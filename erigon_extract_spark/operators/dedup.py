@@ -1,0 +1,272 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All four families work over a ``documents(doc_id, text, ...)`` table:
+
+- exact:       hash-groupBy on a content fingerprint (one shuffle).
+- minhash_lsh: shingle → minhash signature → band buckets → candidate pairs
+               (self-join only WITHIN buckets — the classic LSH trick that
+               makes near-dup detection sub-quadratic at 100 TB).
+- simhash:     64-bit weighted fingerprint; near-dups = small Hamming
+               distance; banded by 16-bit chunks for sub-quadratic joins.
+- ngram_jaccard: exact Jaccard over shingle sets for candidate pairs
+               (verification stage after LSH, or standalone on small data).
+
+Determinism: all hashing uses xxhash-free arithmetic on Spark's built-in
+``hash``/``crc32``/``md5`` so results are reproducible across runs and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical text for fingerprinting: lowercase, collapse whitespace,
+    strip punctuation-adjacent whitespace artifacts."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc per exact (normalized) content hash — the winner is the
+    smallest id (deterministic). Single shuffle on the 128-bit fingerprint;
+    at 100 TB this is a straight hash-aggregate, no sort."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.withColumn("__fp", fp)
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__fp").orderBy(F.col(id_col))),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingles(col, n: int = 5) -> F.Column:
+    """Word n-gram shingle array (distinct) from raw text."""
+    words = F.split(normalize_text(col), " ")
+    # slide an n-window over words; drop short tails
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+
+
+def _minhash_col(shingle_col, perm_seed: int) -> F.Column:
+    """One minhash value: min over shingles of a seeded 32-bit hash.
+
+    Uses Spark's built-in murmur3 ``hash`` with a per-permutation seed-mix —
+    JVM-side, codegen'd, no UDF.
+    """
+    return F.array_min(
+        F.transform(
+            shingle_col,
+            lambda s: F.hash(s, F.lit(perm_seed)).bitwiseAND(F.lit(0x7FFFFFFF)),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Add a ``signature: array<int>`` minhash column."""
+    sh = shingles(F.col(text_col), shingle_n)
+    out = docs.withColumn("__shingles", sh)
+    sig = F.array(*[_minhash_col(F.col("__shingles"), i * 2654435761 + 1) for i in range(n_hashes)])
+    return out.withColumn("signature", sig).drop("__shingles")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash LSH.
+
+    rows/band = n_hashes/bands; two docs collide if any band's sub-signature
+    matches exactly. Returns (doc_id_a, doc_id_b) with a < b, distinct.
+
+    Scale: the only join is an equi-self-join on (band_idx, band_hash) —
+    bucket sizes are small w.h.p., so the shuffle is proportional to data
+    size, not to the quadratic pair space. Hot buckets (boilerplate docs)
+    are bounded by AQE skew splitting.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n).select(
+        id_col, "signature"
+    )
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs above ``threshold``.
+
+    Shingle-inverted-index join: explode shingles, self-join on shingle,
+    count shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). The
+    explode-join is the standard sub-quadratic set-similarity plan (only
+    pairs sharing ≥1 shingle are ever materialized). For 100 TB, add a
+    prefix filter (sort shingles by global frequency, keep the rarest k) —
+    left as the LSH path above, which subsumes it.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """64-bit SimHash fingerprint per doc, built from shingle hashes with
+    pure built-ins: for each of 64 bit positions, sum ±1 votes across
+    shingles and take the sign."""
+    sh = shingles(F.col(text_col), shingle_n)
+    h = F.transform(sh, lambda s: F.xxhash64(s))
+    # bit b of fingerprint = 1 if sum over shingles of sign(bit b) > 0
+    bits = [
+        F.when(
+            F.aggregate(
+                h,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(63)  # skip sign bit to stay in long range
+    ]
+    fp = bits[0]
+    for b in bits[1:]:
+        fp = fp.bitwiseOR(b)
+    return docs.withColumn("simhash", fp)
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs under SimHash Hamming distance, banded into four
+    16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal)."""
+    fps = simhash(docs, text_col, shingle_n).select(id_col, "simhash")
+    chunks = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.ck")
+    pairs = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a crossJoin pruned by Catalyst into a
+broadcast nested loop when the probe side is small, with the dot product as
+a built-in higher-order function (``F.zip_with`` + ``F.aggregate``), fully
+JVM-side, no UDF.
+
+Scale path: LSH bucketing via random hyperplanes (signed projections) —
+probe and corpus only join within matching hash buckets, turning the
+quadratic scan into an equi-join. (An IVF variant = k-means coarse
+quantizer would use Spark MLlib KMeans; the hyperplane LSH below needs no
+training pass, which suits one-shot pipelines.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """For each probe vector, the top-k corpus vectors by cosine similarity.
+
+    probes: (probe_id, embedding). The probe side is broadcast (it is the
+    small side by construction); the corpus streams through map tasks — no
+    shuffle of the corpus, one final top-k aggregation per probe.
+    """
+    p = probes.select(
+        F.col(probe_id_col), F.col(vec_col).alias("__pvec")
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(p)).select(
+        probe_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__pvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (LCG, no numpy to
+    keep it importable everywhere)."""
+    out = []
+    state = (seed * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        out.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH signature (n_planes sign
+    bits) buckets both sides; cosine is computed only within buckets.
+
+    At 100 TB the corpus-side signature is computed in one map pass and the
+    join is a plain equi-join on the bucket id — shuffle ∝ corpus size.
+    Recall tunes with n_planes (fewer planes → bigger buckets → higher
+    recall, more compute)."""
+
+    def signature(vec) -> F.Column:
+        bits = []
+        for p in range(n_planes):
+            plane = _hyperplane(dim, p + 1)
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig.bitwiseOR(b)
+        return sig
+
+    c = corpus.select(id_col, vec_col).withColumn("__bucket", signature(F.col(vec_col)))
+    p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec")).withColumn(
+        "__bucket", signature(F.col("__pvec"))
+    )
+    scored = c.join(F.broadcast(p), "__bucket").select(
+        probe_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__pvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

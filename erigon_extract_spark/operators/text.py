@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines, over
+``documents(doc_id, text, lang, source, n_chars)``.
+
+Everything here is built-in column expressions (JVM-side, codegen'd) — no
+Python in the hot path. Each function returns a column or a DataFrame with
+added columns, so they compose into one fused projection per scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A deliberately small, deterministic stopword profile per language for the
+# n-gram/stopword language-ID heuristic. (Real pipelines plug fastText etc.
+# behind the same column contract.)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+
+def token_count(col) -> F.Column:
+    """Whitespace token count."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_tokens(col) -> F.Column:
+    """BPE-ish pre-tokenization: word pieces + standalone punctuation,
+    the GPT-2 style regex class split (approximated with built-ins)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}']+"), lambda t: F.length(t) > 0
+    )
+
+
+def punct_ratio(col) -> F.Column:
+    n = F.length(col)
+    punct = n - F.length(F.regexp_replace(col, r"[\p{Punct}]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def upper_ratio(col) -> F.Column:
+    n = F.length(col)
+    upp = n - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(upp / n)
+
+
+def digit_ratio(col) -> F.Column:
+    n = F.length(col)
+    dig = n - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(dig / n)
+
+
+def mean_word_len(col) -> F.Column:
+    toks = word_tokens(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / F.size(toks)
+    )
+
+
+def stopword_ratio(col, lang: str = "en") -> F.Column:
+    toks = word_tokens(col)
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    hits = F.size(F.array_intersect(F.array_distinct(toks), markers))
+    n_hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    _ = hits
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(n_hits / F.size(toks))
+
+
+def quality_score(col) -> F.Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation and
+    digit noise, plausible word lengths, some stopwords. Weights are fixed
+    and documented so the score is reproducible."""
+    length_ok = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    low_punct = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    low_digit = F.lit(1.0) - F.least(digit_ratio(col) * 5, F.lit(1.0))
+    wl = mean_word_len(col)
+    wl_ok = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = F.least(stopword_ratio(col) * 3, F.lit(1.0))
+    return (
+        length_ok * 0.3 + low_punct * 0.2 + low_digit * 0.2 + wl_ok * 0.15 + sw * 0.15
+    )
+
+
+def lang_id(col) -> F.Column:
+    """Stopword-vote language ID: the language whose marker list scores the
+    most token hits; 'und' (undetermined) when nothing matches."""
+    toks = word_tokens(col)
+    scores = [
+        (
+            lang,
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t, m=markers: F.array_contains(
+                        F.array(*[F.lit(x) for x in m]), t
+                    ),
+                )
+            ),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties deterministically
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint64(col) -> F.Column:
+    """Deterministic 64-bit content fingerprint of normalized text
+    (xxhash64 — stable across Spark versions and partitionings)."""
+    c = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.xxhash64(c)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One fused projection adding all text-analysis columns."""
+    c = F.col(text_col)
+    return (
+        docs.withColumn("token_count", token_count(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("digit_ratio", digit_ratio(c))
+        .withColumn("mean_word_len", mean_word_len(c))
+        .withColumn("stopword_ratio", stopword_ratio(c))
+        .withColumn("quality_score", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fingerprint", fingerprint64(c))
+    )

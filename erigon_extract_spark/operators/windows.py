@@ -1,0 +1,113 @@
+"""Window-function operators — the Spark form of the reference's hand-rolled
+delta/re-keying machinery (SURVEY.md §2.5).
+
+The reference's Writer/Reader structs carry exactly the frame state of
+``Window.partitionBy(key).orderBy(order)`` with ``lag``; every "reset on new
+address" is a partition boundary. These helpers make the semantics explicit
+and reusable across the domain pipeline and the generic query surface.
+
+Scale note: each helper induces at most ONE shuffle (the window's hash
+partition by key). When the upstream DataFrame is already partitioned by the
+same keys (e.g. after ``repartitionByRange`` in the transpose), Catalyst
+reuses the partitioning and the window is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rekey_first_block(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    block_col: str = "block",
+    out_col: str = "block_from",
+    drop_genesis: bool = True,
+) -> DataFrame:
+    """Convert last-block semantics to first-block semantics.
+
+    Reference behavior (merge loop, erigon_extract.c:2409-2433): per key
+    group ordered by block, each row's output block becomes the PREVIOUS
+    row's input block (0 for the first row of a group); rows whose adjusted
+    block is 0 and that don't step forward (original block == 0) are genesis
+    entries and are dropped (erigon_extract.c:2421-2426).
+
+    The reference runs this single-threaded inside a k-way merge ("cannot
+    parallelise the merge step", erigon_extract.c:2732-2733). As a lag
+    window it parallelizes over key ranges — the merge bottleneck disappears.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(block_col).asc())
+    out = df.withColumn(out_col, F.lag(block_col, 1, 0).over(w))
+    if drop_genesis:
+        out = out.filter(~((F.col(out_col) == 0) & (F.col(block_col) == 0)))
+    return out
+
+
+def monotonic_violations(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    block_col: str = "block",
+    out_col: str = "block_from",
+) -> DataFrame:
+    """Rows where the re-keyed block did not step forward (reference warns
+    at erigon_extract.c:2421-2433). Empty on well-formed input — use with
+    ``assert_empty``."""
+    return df.filter((F.col(out_col) >= F.col(block_col)) & (F.col(out_col) != 0))
+
+
+def delta_encode(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+    first_value: Column | None = None,
+) -> DataFrame:
+    """value - lag(value) per key group (reference W1/W2: block/nonce deltas,
+    erigon_extract.c:690-735, 873-884). First row of each group keeps its
+    absolute value minus ``first_value`` (default 0)."""
+    out_col = out_col or f"{value_col}_delta"
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    base = F.lag(value_col, 1).over(w)
+    if first_value is None:
+        first_value = F.lit(0)
+    return df.withColumn(out_col, F.col(value_col) - F.coalesce(base, first_value))
+
+
+def delta_decode(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    delta_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Inverse of delta_encode: running sum over the group frame
+    (rowsBetween(unboundedPreceding, currentRow))."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(delta_col).over(w))
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Keep the first row per key by the given order — the canonical-chain
+    dedup for fork blocks (reference W6, erigon_extract.c:1852-1871 tolerates
+    duplicate block numbers; here duplicates resolve deterministically).
+
+    row_number (not dropDuplicates) so the winner is deterministic.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

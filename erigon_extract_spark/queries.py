@@ -1,0 +1,767 @@
+"""The engine's declared query surface for the driver's correctness gate.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent ANSI
+SQL string for the DuckDB oracle (run over the same parquet tables). Keys
+map to SURVEY.md §2 operators (s*/p*/j*/w*/a*/o* prefixes), TPC-H-style
+analytic queries (q*), and the beyond-reference training-data operators
+(dedup_*, text_*, sim_*).
+
+Rules for oracle parity (learned the hard way, encoded once here):
+- Alias every computed column identically on both sides.
+- Round float aggregates on both sides (ROUND(x, 2..6)) so accumulation
+  order can't flip the value hash.
+- Any top-k has a full deterministic tiebreak in its ORDER BY.
+- Set-returning queries compare order-insensitively, so no ORDER BY needed
+  for correctness — kept where it documents intent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.asof import as_of_join, state_at
+from erigon_extract_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from erigon_extract_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from erigon_extract_spark.operators import text as tx
+from erigon_extract_spark.operators.windows import (
+    delta_encode,
+    dedup_keep_first,
+    rekey_first_block,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytic queries (generic surface, SURVEY.md §2.6/§2.7/§3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q6_revenue_change",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator-mapped queries (SURVEY.md §2 inventory, line by line)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_point_lookup",
+    "SELECT r_regionkey, r_name FROM region WHERE r_name = 'ASIA'",
+)
+def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1: SyncStage["Execution"] → value (erigon_extract.c:1435-1467):
+    # point lookup into a tiny dimension.
+    return (
+        _load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey", "r_name")
+    )
+
+
+@query(
+    "s2_range_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate <= TIMESTAMP '1996-08-31'
+    """,
+)
+def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S2/S3/P5: cursor range scan ≡ pushed-down block-range predicate
+    # (erigon_extract.c:1535-1558, 1598-1600). Projection prunes columns at
+    # the parquet reader.
+    li = _load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-08-31").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@query(
+    "j1_lookup_join",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(COALESCE(p_retailprice, 0.0) * l_quantity), 2) AS retail_value
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1: broadcast left-outer lookup join with null-tolerant fallback
+    # (PlainCodeHash recovery, erigon_extract.c:262-292).
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.coalesce(F.col("p_retailprice"), F.lit(0.0)) * F.col("l_quantity")),
+                2,
+            ).alias("retail_value"),
+        )
+    )
+
+
+@query(
+    "j2_ordered_union",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey AS key, 0 AS kind, o_totalprice AS amount FROM orders
+      UNION ALL
+      SELECT l_orderkey AS key, 1 AS kind, l_extendedprice AS amount FROM lineitem
+    )
+    """,
+)
+def j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2: ordered interleave of two sorted streams = unionByName with a kind
+    # discriminator, account-before-storage (erigon_extract.c:1578-1596).
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(0).alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        F.lit(1).alias("kind"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return orders.unionByName(li)
+
+
+@query(
+    "j3_index_range_join",
+    """
+    WITH spans AS (
+      SELECT l_orderkey AS key, MAX(l_linenumber) AS n FROM lineitem GROUP BY l_orderkey
+    ),
+    ids AS (
+      SELECT key, UNNEST(generate_series(1, n)) AS l_linenumber FROM spans
+    )
+    SELECT ids.key AS orderkey, ids.l_linenumber AS linenumber,
+           l.l_quantity AS quantity
+    FROM ids JOIN lineitem l
+      ON l.l_orderkey = ids.key AND l.l_linenumber = ids.l_linenumber
+    """,
+)
+def j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3: 1:N index-range join — body (tx_index, tx_amount) joined to the tx
+    # table over a generated contiguous id range (erigon_extract.c:1873-1965):
+    # explode(sequence(...)) + equi-join.
+    li = _load(spark, sf_dir, "lineitem")
+    spans = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.max("l_linenumber").alias("n")
+    )
+    ids = spans.select(
+        "key", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("l_linenumber")
+    )
+    return (
+        ids.join(
+            li,
+            (li.l_orderkey == ids.key) & (li.l_linenumber == ids.l_linenumber),
+        )
+        .select(
+            ids.key.alias("orderkey"),
+            ids.l_linenumber.alias("linenumber"),
+            li.l_quantity.alias("quantity"),
+        )
+    )
+
+
+@query(
+    "w1_delta_encode",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - COALESCE(LAG(value) OVER
+                 (PARTITION BY user_id ORDER BY event_id), 0.0), 6) AS value_delta
+    FROM events
+    """,
+)
+def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1/W2: per-key delta encoding = lag window (erigon_extract.c:690-735).
+    ev = _load(spark, sf_dir, "events")
+    out = delta_encode(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["event_id"],
+        value_col="value",
+        out_col="value_delta",
+        first_value=F.lit(0.0),
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_delta", 6).alias("value_delta")
+    )
+
+
+@query(
+    "w4_rekey_first_block",
+    """
+    SELECT user_id, event_id, event_type, value,
+           COALESCE(LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id), 0)
+             AS effective_from
+    FROM events
+    """,
+)
+def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W4: the load-bearing first-block re-keying (erigon_extract.c:2409-2433)
+    # generalized: each version's key becomes the previous version's id.
+    ev = _load(spark, sf_dir, "events")
+    out = rekey_first_block(
+        ev, key_cols=["user_id"], block_col="event_id", out_col="effective_from"
+    )
+    return out.select("user_id", "event_id", "event_type", "value", "effective_from")
+
+
+@query(
+    "w6_dedup_first",
+    """
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W6: canonical-chain dedup — keep first row per key by deterministic
+    # order (fork blocks, erigon_extract.c:1852-1871).
+    ev = _load(spark, sf_dir, "events")
+    return dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@query(
+    "asof_state_at",
+    """
+    SELECT user_id,
+           MAX(event_id) AS event_id,
+           ARG_MAX(event_type, event_id) AS event_type,
+           ARG_MAX(value, event_id) AS value
+    FROM events
+    WHERE event_id <= 5000
+    GROUP BY user_id
+    """,
+)
+def asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The as-of query — the reference's raison d'être (README.md:37-41):
+    # latest version per key at/before a point in version-time, via max_by.
+    ev = _load(spark, sf_dir, "events")
+    return state_at(
+        ev,
+        key_cols=["user_id"],
+        version_col="event_id",
+        as_of=5000,
+        value_cols=["event_type", "value"],
+    )
+
+
+@query(
+    "asof_join",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.event_id AS purchase_event_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.event_id <= c.event_id
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join: each click gets the user's latest not-after purchase.
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="event_id",
+        right_time="purchase_event_id",
+        direction="backward",
+    ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")
+
+
+@query(
+    "a1_counters",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1/A2: row counters per kind (erigon_extract.c:1627-1630, 1968-1972).
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "a3_uniqueness_check",
+    """
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    """,
+)
+def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3: PK-uniqueness violation set (must be empty; reference aborts,
+    # erigon_extract.c:2131-2157). Returned as a DataFrame so the driver
+    # hashes the (empty) violation set.
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "o2_multi_column_sort",
+    """
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def o2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O1/O2: the transpose sort contract — range-partition + in-partition
+    # multi-column sort (erigon_extract.c:2102-2264). Values compare
+    # equal regardless of order; the sort is exercised in the plan.
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        orders.repartitionByRange(8, "o_custkey", "o_orderdate")
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "set_ops_nations",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersect(b)
+
+
+@query(
+    "rollup_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (north star, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_id_a
+      JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query("dedup_minhash_lsh")  # murmur3 sigs aren't SQL-expressible → rows-only check
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, n_hashes=32, bands=8, shingle_n=3)
+
+
+@query("dedup_simhash")  # xxhash64 sigs aren't SQL-expressible → rows-only check
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=10, shingle_n=2)
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS token_count,
+           ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / length(text), 6) AS digit_ratio,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(c).alias("token_count"),
+        F.round(tx.digit_ratio(c), 6).alias("digit_ratio"),
+        F.md5(tx.normalize_text(c)).alias("fingerprint"),
+    )
+
+
+@query(
+    "text_lang_quality",  # language votes + quality components, oracle-matched
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(list_filter(w, t -> list_contains(
+             ['the','and','of','to','in','is','that','it','for','was'], t))) AS en_hits,
+           len(w) AS n_tokens
+    FROM toks
+    """,
+)
+def text_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(tx.normalize_text(F.col("text")), " ")
+    markers = F.array(
+        *[F.lit(m) for m in ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"]]
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias("en_hits"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+@query(
+    "sim_bruteforce_topk",
+    """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < 5
+    ),
+    pairs AS (
+      SELECT p.probe_id, e.vec_id,
+             list_dot_product(e.embedding, p.pvec)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_raw
+      FROM embeddings e CROSS JOIN probes p
+    )
+    SELECT probe_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM (
+      SELECT probe_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 10
+    """,
+)
+def sim_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = brute_force_topk(emb, probes, k=10)
+    return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query("sim_lsh_topk")  # LSH bucketing (approximate) → rows-only check
+def sim_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = lsh_bucket_topk(emb, probes, dim=64, k=10, n_planes=6)
+    return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
