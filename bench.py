@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs each headline query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "headline_total", "value": <sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>}
+
+Timing counts full execution (collect-equivalent via a count/write action),
+not plan construction. Session startup and scan caching are excluded by a
+warm-up action on each input table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
+    "j3_index_range_join",
+    "w4_rekey_first_block",
+    "asof_state_at",
+    "asof_join",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from erigon_extract_spark.session import get_spark
+    from erigon_extract_spark import queries as q
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the file-listing/footer caches so per-query numbers measure the
+    # query, not first-touch filesystem metadata.
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,31 +63,37 @@ def shingles(col, n: int = 5) -> F.Column:
     )
 
 
-def _minhash_col(shingle_col, perm_seed: int) -> F.Column:
-    """One minhash value: min over shingles of a seeded 32-bit hash.
-
-    Uses Spark's built-in murmur3 ``hash`` with a per-permutation seed-mix —
-    JVM-side, codegen'd, no UDF.
-    """
-    return F.array_min(
-        F.transform(
-            shingle_col,
-            lambda s: F.hash(s, F.lit(perm_seed)).bitwiseAND(F.lit(0x7FFFFFFF)),
-        )
-    )
-
-
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     n_hashes: int = 32,
     shingle_n: int = 5,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Add a ``signature: array<int>`` minhash column."""
-    sh = shingles(F.col(text_col), shingle_n)
-    out = docs.withColumn("__shingles", sh)
-    sig = F.array(*[_minhash_col(F.col("__shingles"), i * 2654435761 + 1) for i in range(n_hashes)])
-    return out.withColumn("signature", sig).drop("__shingles")
+    """(doc_id, signature: array<int>) minhash signatures.
+
+    Shape matters: explode shingles once, then ONE flat aggregate with
+    n_hashes simple ``min(hash(sh, seed_i))`` columns. A per-row
+    array-of-lambdas formulation codegens n_hashes × shingle-loop closures
+    (minutes of Janino compile); this plan keeps codegen linear and gets
+    map-side partial mins for free — at 100 TB the shuffle carries one
+    n_hashes-wide row per (doc, partition), not the shingle set.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(
+            F.hash(F.col("sh"), F.lit(i * 2654435761 + 1)).bitwiseAND(
+                F.lit(0x7FFFFFFF)
+            )
+        ).alias(f"__h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -109,7 +115,7 @@ def minhash_lsh_candidates(
     are bounded by AQE skew splitting.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n).select(
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n, id_col).select(
         id_col, "signature"
     )
     banded = sigs.select(
@@ -194,31 +200,35 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    docs: DataFrame, text_col: str = "text", shingle_n: int = 2
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit SimHash fingerprint per doc, built from shingle hashes with
-    pure built-ins: for each of 64 bit positions, sum ±1 votes across
-    shingles and take the sign."""
-    sh = shingles(F.col(text_col), shingle_n)
-    h = F.transform(sh, lambda s: F.xxhash64(s))
-    # bit b of fingerprint = 1 if sum over shingles of sign(bit b) > 0
-    bits = [
-        F.when(
-            F.aggregate(
-                h,
-                F.lit(0).cast("long"),
-                lambda acc, x: acc
-                + F.when(x.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
-        for b in range(63)  # skip sign bit to stay in long range
+    """(id_col, simhash) — 63-bit SimHash fingerprint per doc (sign bit
+    unused, keeping the value in a LongType).
+
+    Plan shape: explode shingles → one xxhash64 per shingle → ONE flat
+    aggregate of 63 ±1-vote sums → recombine sign bits. Same codegen/
+    map-side-combine rationale as minhash_signatures.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.xxhash64(F.explode(shingles(F.col(text_col), shingle_n))).alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(63)
     ]
-    fp = bits[0]
-    for b in bits[1:]:
-        fp = fp.bitwiseOR(b)
-    return docs.withColumn("simhash", fp)
+    votes = sh.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(63):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    return votes.select(id_col, fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -230,7 +240,7 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs under SimHash Hamming distance, banded into four
     16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal)."""
-    fps = simhash(docs, text_col, shingle_n).select(id_col, "simhash")
+    fps = simhash(docs, text_col, shingle_n, id_col)
     chunks = fps.select(
         id_col,
         "simhash",

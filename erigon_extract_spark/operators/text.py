@@ -94,20 +94,14 @@ def lang_id(col) -> F.Column:
     """Stopword-vote language ID: the language whose marker list scores the
     most token hits; 'und' (undetermined) when nothing matches."""
     toks = word_tokens(col)
-    scores = [
-        (
-            lang,
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t, m=markers: F.array_contains(
-                        F.array(*[F.lit(x) for x in m]), t
-                    ),
-                )
-            ),
-        )
-        for lang, markers in _LANG_MARKERS.items()
-    ]
+
+    def _hits(markers):
+        arr = F.array(*[F.lit(x) for x in markers])
+        # NB: single-arg lambda closure — Spark HOF lambdas must take only
+        # Column positional params (default args break arity detection).
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = [(lang, _hits(markers)) for lang, markers in _LANG_MARKERS.items()]
     best = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")
     # reverse order so earlier languages win ties deterministically

@@ -42,7 +42,25 @@ ORACLES: dict[str, str] = {}
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries nanosecond timestamps, which Spark's Parquet
+    reader rejects (TIMESTAMP(NANOS) unsupported). Read nanos as long and
+    truncate to microseconds — exactly what DuckDB's TIMESTAMP does, so the
+    oracle comparison stays value-identical."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        # integer division — a double round-trip loses precision at ns scale
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def query(name: str, sql: str | None = None):

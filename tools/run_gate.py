@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Run the full queries()/oracle_sql() gate in ONE Spark session and report
+per-query PASS/FAIL — a fast local mirror of the driver's t2 check.
+
+Usage: python tools/run_gate.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from erigon_extract_spark import queries as q  # noqa: E402
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def run_one(spark, sf_dir: str, name: str) -> tuple[str, bool, str]:
+    t0 = time.perf_counter()
+    try:
+        df = q.QUERIES[name](spark, sf_dir)
+        scols = df.columns
+        srows = sorted(
+            (tuple(norm(r[c]) for c in scols) for r in df.collect()), key=repr
+        )
+    except Exception:
+        return name, False, "SPARK ERROR\n" + traceback.format_exc(limit=5)
+    dt = time.perf_counter() - t0
+    if name not in q.ORACLES:
+        return name, True, f"rows-only, {len(srows)} rows ({dt:.1f}s)"
+    con = duckdb.connect()
+    try:
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        cur = con.execute(q.ORACLES[name])
+        dcols = [d[0] for d in cur.description]
+        drows = sorted(
+            (tuple(norm(v) for v in row) for row in cur.fetchall()), key=repr
+        )
+    except Exception:
+        return name, False, "DUCKDB ERROR\n" + traceback.format_exc(limit=5)
+    finally:
+        con.close()
+    if scols != dcols:
+        return name, False, f"cols {scols} != {dcols}"
+    if len(srows) != len(drows):
+        only_s = [r for r in srows if r not in set(drows)][:2]
+        only_d = [r for r in drows if r not in set(srows)][:2]
+        return name, False, (
+            f"rowcount {len(srows)} != {len(drows)}\n"
+            f"  spark-only: {only_s}\n  duck-only:  {only_d}"
+        )
+    bad = [(s, d) for s, d in zip(srows, drows) if s != d]
+    if bad:
+        return name, False, f"{len(bad)} mismatched rows; first: {bad[:2]}"
+    return name, True, f"{len(srows)} rows ({dt:.1f}s)"
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:] if len(args) > 1 else sorted(q.QUERIES)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="gate")
+    n_pass = n_fail = 0
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = {pool.submit(run_one, spark, sf_dir, n): n for n in names}
+        for fut in futs:
+            name, ok, msg = fut.result()
+            if ok:
+                n_pass += 1
+                print(f"PASS {name}: {msg}", flush=True)
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: {msg}", flush=True)
+    print(f"== {n_pass} pass, {n_fail} fail ==", flush=True)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
