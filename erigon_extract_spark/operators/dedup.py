@@ -22,12 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def normalize_text(col) -> F.Column:
-    """Canonical text for fingerprinting: lowercase, collapse whitespace,
-    strip punctuation-adjacent whitespace artifacts."""
-    c = F.lower(col)
-    c = F.regexp_replace(c, r"\s+", " ")
-    return F.trim(c)
+from erigon_extract_spark.operators.text import normalize_text  # noqa: E402
 
 
 def exact_dedup(
@@ -214,8 +209,8 @@ def simhash(
     """
     sh = docs.select(
         F.col(id_col),
-        F.xxhash64(F.explode(shingles(F.col(text_col), shingle_n))).alias("h"),
-    )
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(id_col, F.xxhash64("sh").alias("h"))
     aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)

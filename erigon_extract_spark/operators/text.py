@@ -11,6 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def normalize_text(col) -> F.Column:
+    """Canonical text for fingerprinting: lowercase, collapse whitespace,
+    trim. Shared by dedup + fingerprint operators so every content hash in
+    the engine agrees on normalization."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
 # A deliberately small, deterministic stopword profile per language for the
 # n-gram/stopword language-ID heuristic. (Real pipelines plug fastText etc.
 # behind the same column contract.)

@@ -379,18 +379,17 @@ def j3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_linenumber").alias("n")
     )
     ids = spans.select(
-        "key", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("l_linenumber")
-    )
-    return (
-        ids.join(
-            li,
-            (li.l_orderkey == ids.key) & (li.l_linenumber == ids.l_linenumber),
-        )
-        .select(
-            ids.key.alias("orderkey"),
-            ids.l_linenumber.alias("linenumber"),
-            li.l_quantity.alias("quantity"),
-        )
+        "key", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("ln")
+    ).alias("ids")
+    lia = li.alias("li")
+    return ids.join(
+        lia,
+        (F.col("li.l_orderkey") == F.col("ids.key"))
+        & (F.col("li.l_linenumber") == F.col("ids.ln")),
+    ).select(
+        F.col("ids.key").alias("orderkey"),
+        F.col("ids.ln").alias("linenumber"),
+        F.col("li.l_quantity").alias("quantity"),
     )
 
 
@@ -433,7 +432,11 @@ def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generalized: each version's key becomes the previous version's id.
     ev = _load(spark, sf_dir, "events")
     out = rekey_first_block(
-        ev, key_cols=["user_id"], block_col="event_id", out_col="effective_from"
+        ev,
+        key_cols=["user_id"],
+        block_col="event_id",
+        out_col="effective_from",
+        drop_genesis=False,  # generic ids carry no genesis-entry semantics
     )
     return out.select("user_id", "event_id", "event_type", "value", "effective_from")
 
