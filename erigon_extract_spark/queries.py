@@ -752,14 +752,21 @@ def text_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_bruteforce_topk",
     """
     WITH probes AS (
-      SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < 5
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     pairs AS (
+      -- DOUBLE[] so DuckDB accumulates in float64, matching Spark's
+      -- double-precision left-fold exactly (float32 accumulation differs
+      -- at ~1e-7 and flips 6-decimal rounding)
       SELECT p.probe_id, e.vec_id,
-             list_dot_product(e.embedding, p.pvec)
-               / (sqrt(list_dot_product(e.embedding, e.embedding))
+             list_dot_product(e.v, p.pvec)
+               / (sqrt(list_dot_product(e.v, e.v))
                   * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_raw
-      FROM embeddings e CROSS JOIN probes p
+      FROM vecs e CROSS JOIN probes p
     )
     SELECT probe_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM (
       SELECT probe_id, vec_id, cos_raw,
