@@ -47,6 +47,7 @@ def main() -> None:
     from erigon_extract_spark import queries as q
 
     spark = get_spark(app_name="bench")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # Warm the file-listing/footer caches so per-query numbers measure the
     # query, not first-touch filesystem metadata.
