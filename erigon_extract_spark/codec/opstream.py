@@ -20,7 +20,8 @@ Format (SPST1):
                 slot32 [varint(len) value_trimmed]
            | OP_PAD(0x00)               (zero fill to page end)
 
-  flags bits (account): 1=nonce present, 2=balance present,
+  flags bits (account): 1=nonce delta present (absent ⇒ unchanged),
+                        2=balance present (absent ⇒ zero),
                         4=incarnation present, 8=code_hash present
   flags bits (storage): 1=value present
   block_delta is vs the previous record of the SAME address (reset on
@@ -140,7 +141,10 @@ class _Encoder:
         if kind == 0:
             flags = 0
             body = bytearray()
-            if nonce:
+            nonce = nonce or 0
+            # absent nonce means "unchanged from previous record" (decoder
+            # carries state), so flag on nonzero DELTA, not nonzero value
+            if nonce != self.nonce:
                 flags |= 1
                 body += _varint(_zigzag(nonce - self.nonce))
             bal = (balance or b"").lstrip(b"\x00")
@@ -155,7 +159,7 @@ class _Encoder:
                 body += code_hash
             rec = bytes([OP_ACCOUNT, flags]) + _varint(delta) + bytes(body)
             self._emit(rec)
-            self.nonce = nonce or 0
+            self.nonce = nonce
             self.key = key
         else:
             flags = 0

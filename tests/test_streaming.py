@@ -1,0 +1,86 @@
+"""Structured Streaming: latest-state and windowed counts driven with the
+file source + availableNow trigger over the events table (same code path a
+Kafka source takes; batch-equivalent semantics for the assertion)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.streaming import (
+    stream_latest_state,
+    stream_windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir):
+    # the file stream source requires a DIRECTORY
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_available_now(out, name, mode):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_latest_state_matches_batch(spark, sf_dir, events_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    out = stream_latest_state(
+        stream,
+        key_cols=["user_id"],
+        version_col="event_id",
+        value_cols=["event_type", "value"],
+    )
+    _run_available_now(out, "latest_state_t", "complete")
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.sql("SELECT * FROM latest_state_t").collect()
+    }
+    expect = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_stream_windowed_counts_runs(spark, sf_dir, events_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = stream_windowed_counts(
+        stream, "ts", window_duration="1 day", group_cols=["event_type"]
+    )
+    _run_available_now(out, "win_counts_t", "append")
+    # append mode emits only closed windows; assert the query ran and the
+    # schema is right
+    df = spark.sql("SELECT * FROM win_counts_t")
+    assert df.columns == ["window_start", "window_end", "event_type", "n_events"]
