@@ -793,3 +793,249 @@ def sim_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lsh_bucket_topk(emb, probes, dim=64, k=10, n_planes=6)
     return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Additional generic-surface coverage (SURVEY.md §2.13 gaps: semi/anti,
+# scalar library, pivot, running windows, prune filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "p6_prune_filter",
+    """
+    SELECT event_id, user_id, ts FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
+    """,
+)
+def p6_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P6: pruned mode keeps only the trailing window of history
+    # (latest - 90000 + 1, erigon_extract.c:2721-2726) — here the trailing
+    # 7 days of events. The scalar bound broadcasts; the filter pushes down.
+    ev = _load(spark, sf_dir, "events")
+    bound = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("__cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bound))
+        .filter(F.col("ts") >= F.col("__cutoff"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@query(
+    "scalar_surface",
+    """
+    SELECT l_orderkey, l_linenumber,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           upper(l_returnflag) || '-' || lower(l_linestatus) AS tag,
+           length(l_returnflag) AS flag_len,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+           substr(l_returnflag || l_linestatus, 1, 1) AS first_char
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.concat(
+            F.upper("l_returnflag"), F.lit("-"), F.lower("l_linestatus")
+        ).alias("tag"),
+        F.length("l_returnflag").alias("flag_len"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bucket"),
+        F.substring(F.concat("l_returnflag", "l_linestatus"), 1, 1).alias(
+            "first_char"
+        ),
+    )
+
+
+@query(
+    "pivot_status_qty",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("F"), 2).alias("F"),
+        F.round(F.col("O"), 2).alias("O"),
+    )
+
+
+@query(
+    "w_running_sum",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_value
+    FROM events
+    """,
+)
+def w_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The delta-decode frame: running accumulator per key
+    # (rowsBetween(unboundedPreceding, currentRow) — reference W1 decode).
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+@query("agg_approx_distinct")  # HLL sketch values are engine-specific → rows-only
+def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query("u256_arithmetic")  # no 256-bit type in DuckDB → rows-only check
+def u256_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic u256 math over synthesized 32-byte values (md5‖md5 of
+    # part names) — the balance-delta kernel (reference W3/F5,
+    # erigon_extract.c:665-688) as a distributed column op.
+    from erigon_extract_spark.functions.u256 import u256_add, u256_sub
+
+    part = _load(spark, sf_dir, "part")
+    a = F.unhex(F.concat(F.md5(F.col("p_name")), F.md5(F.col("p_name"))))
+    b = F.unhex(F.concat(F.md5(F.col("p_brand")), F.md5(F.col("p_type"))))
+    out = part.select(
+        "p_partkey", a.alias("a"), b.alias("b")
+    ).select(
+        "p_partkey",
+        F.hex(u256_add(F.col("a"), F.col("b"))).alias("sum_hex"),
+        F.hex(u256_sub(F.col("a"), F.col("b"))).alias("diff_hex"),
+    )
+    return out
+
+
+@query("erigon_state_history")  # Erigon-shaped domain pipeline → rows-only
+def erigon_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship domain pipeline end-to-end on deterministic generated
+    fixtures: decode → code-hash recovery → transpose → first-block rekey.
+    Returns the state-history rows (hex-encoded keys for hashability)."""
+    from erigon_extract_spark import fixtures as fxmod
+    from erigon_extract_spark.plans.extract import (
+        decode_account_changesets,
+        decode_storage_changesets,
+        recover_code_hashes,
+        split_plain_state,
+    )
+    from erigon_extract_spark.plans.transpose import build_state_history
+    from erigon_extract_spark.schemas import (
+        ACCOUNT_CHANGESETS,
+        PLAIN_CODE_HASH,
+        PLAIN_STATE,
+        STORAGE_CHANGESETS,
+    )
+
+    fx = fxmod.generate(seed=42, n_addresses=12, n_blocks=200, n_body_blocks=20)
+    acs = spark.createDataFrame(fx.account_changesets, ACCOUNT_CHANGESETS)
+    scs = spark.createDataFrame(fx.storage_changesets, STORAGE_CHANGESETS)
+    ps = spark.createDataFrame(fx.plain_state, PLAIN_STATE)
+    pch = spark.createDataFrame(fx.plain_code_hash, PLAIN_CODE_HASH)
+
+    acct = recover_code_hashes(
+        decode_account_changesets(acs).drop("decode_error"), pch
+    )
+    stor = decode_storage_changesets(scs).drop("decode_error")
+    ps_a, ps_s = split_plain_state(ps)
+    ps_acct = recover_code_hashes(
+        decode_account_changesets(ps_a).drop("decode_error"), pch
+    )
+    ps_stor = decode_storage_changesets(ps_s).drop("decode_error")
+    sh = build_state_history(acct, stor, ps_acct, ps_stor, num_partitions=4)
+    return sh.select(
+        F.hex("address").alias("address"),
+        "kind",
+        "incarnation",
+        F.hex("slot").alias("slot"),
+        "block_from",
+        "nonce",
+        F.hex("balance").alias("balance"),
+        F.hex("code_hash").alias("code_hash"),
+        F.hex("value").alias("value"),
+    )
+
+
+@query("erigon_state_at")  # as-of over the domain pipeline → rows-only
+def erigon_state_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erigon_extract_spark.plans.state import account_state_at
+
+    sh_hex = erigon_pipeline_q(spark, sf_dir)
+    sh = sh_hex.select(
+        F.unhex("address").alias("address"),
+        "kind",
+        "incarnation",
+        F.unhex("slot").alias("slot"),
+        "block_from",
+        "nonce",
+        F.unhex("balance").alias("balance"),
+        F.unhex("code_hash").alias("code_hash"),
+        F.unhex("value").alias("value"),
+    )
+    out = account_state_at(sh, block=100)
+    return out.select(
+        F.hex("address").alias("address"),
+        "block_from",
+        "nonce",
+        F.hex("balance").alias("balance"),
+        "incarnation",
+        F.hex("code_hash").alias("code_hash"),
+    )
