@@ -1,0 +1,93 @@
+"""Plan-quality assertions: the optimizations the engine is designed around
+must actually appear in the physical plan. These tests read `.explain`
+output — they catch regressions where a refactor silently drops pushdown,
+broadcast, or partitioning reuse (the difference between minutes and hours
+at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erigon_extract_spark import queries as q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_range_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    df = q.QUERIES["s2_range_scan"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    # projection pruning: the scan schema must not include unused columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = q.QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the two fact tables must NOT be broadcast
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count(
+        "BroadcastHashJoin"
+    ) >= 4
+
+
+def test_code_hash_recovery_is_broadcast(spark):
+    from erigon_extract_spark.plans.extract import recover_code_hashes
+
+    acct = spark.createDataFrame(
+        [], "address binary, incarnation long, code_hash binary, nonce long"
+    )
+    pch = spark.createDataFrame(
+        [], "address binary, incarnation long, code_hash binary"
+    )
+    plan = _plan(recover_code_hashes(acct, pch))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_transpose_single_shuffle_window_reuses_partitioning(spark):
+    """The re-key window must not add a second exchange after the range
+    repartition: one RangePartitioning exchange, no extra hash exchange
+    for the window."""
+    from erigon_extract_spark.plans.transpose import build_state_history
+
+    acct = spark.createDataFrame(
+        [(b"a" * 20, 5, 1, 0, b"b" * 32, b"\x00" * 32)],
+        "address binary, block long, incarnation long, nonce long, "
+        "balance binary, code_hash binary",
+    )
+    stor = spark.createDataFrame(
+        [],
+        "address binary, block long, incarnation long, slot binary, value binary",
+    )
+    sh = build_state_history(acct, stor, num_partitions=4)
+    plan = _plan(sh)
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_asof_state_uses_partial_aggregation(spark, sf_dir):
+    df = q.QUERIES["asof_state_at"](spark, sf_dir)
+    plan = _plan(df)
+    # max_by-based as-of compiles to a two-phase hash aggregate
+    # (partial_max before the exchange), not a window sort
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_point_lookup_prunes_with_filter_pushdown(spark, sf_dir):
+    from erigon_extract_spark.plans.state import account_state_at
+    from erigon_extract_spark.schemas import STATE_HISTORY
+
+    sh = spark.createDataFrame([], STATE_HISTORY)
+    df = account_state_at(sh, block=100, address=b"\x01" * 20)
+    opt = _optimized(df)
+    assert "isnotnull" in opt or "address" in opt  # filter survives into plan
