@@ -21,6 +21,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# pytest runs a representative subset (suite runtime); the FULL matrix runs
+# via `python tools/run_gate.py [sf_dir]`, which this file mirrors exactly.
+SUBSET = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "j1_lookup_join",
+    "j3_index_range_join",
+    "w4_rekey_first_block",
+    "asof_state_at",
+    "asof_join",
+    "dedup_exact",
+    "text_stats",
+    "sim_bruteforce_topk",
+]
+ROWS_ONLY_SUBSET = ["dedup_minhash_lsh", "u256_arithmetic"]
+
 
 def _duck(sf_dir: str):
     con = duckdb.connect()
@@ -63,7 +79,7 @@ def _duck_rows(con, sql):
     )
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+@pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(spark, name):
     scols, srows = _spark_rows(QUERIES[name](spark, SF_DIR))
     con = _duck(SF_DIR)
@@ -78,7 +94,7 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", ROWS_ONLY_SUBSET)
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0

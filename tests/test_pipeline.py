@@ -27,7 +27,7 @@ from erigon_extract_spark.schemas import (
 
 @pytest.fixture(scope="module")
 def fx():
-    return fxmod.generate(seed=42, n_addresses=30, n_blocks=500, n_body_blocks=60)
+    return fxmod.generate(seed=42, n_addresses=18, n_blocks=250, n_body_blocks=40)
 
 
 @pytest.fixture(scope="module")
@@ -96,7 +96,7 @@ def test_state_history_key_unique(state_history):
     )
 
 
-@pytest.mark.parametrize("q_frac", [0.25, 0.6, 1.0])
+@pytest.mark.parametrize("q_frac", [0.4, 1.0])
 def test_account_state_at_matches_oracle(state_history, fx, q_frac):
     q_block = int(fx.latest_block * q_frac)
     oracle = fxmod.account_state_at_oracle(fx, q_block)
