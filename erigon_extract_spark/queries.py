@@ -985,7 +985,7 @@ def erigon_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         STORAGE_CHANGESETS,
     )
 
-    fx = fxmod.generate(seed=42, n_addresses=12, n_blocks=200, n_body_blocks=20)
+    fx = fxmod.generate(seed=42, n_addresses=8, n_blocks=120, n_body_blocks=10)
     acs = spark.createDataFrame(fx.account_changesets, ACCOUNT_CHANGESETS)
     scs = spark.createDataFrame(fx.storage_changesets, STORAGE_CHANGESETS)
     ps = spark.createDataFrame(fx.plain_state, PLAIN_STATE)
@@ -1000,7 +1000,7 @@ def erigon_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_account_changesets(ps_a).drop("decode_error"), pch
     )
     ps_stor = decode_storage_changesets(ps_s).drop("decode_error")
-    sh = build_state_history(acct, stor, ps_acct, ps_stor, num_partitions=4)
+    sh = build_state_history(acct, stor, ps_acct, ps_stor, num_partitions=2)
     return sh.select(
         F.hex("address").alias("address"),
         "kind",
