@@ -68,6 +68,81 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer partitions the corpus
+    into n_lists cells; each probe scans only its n_probe nearest cells.
+
+    Scale path vs hyperplane LSH: the quantizer adapts to the data
+    distribution (better recall at the same scan fraction), at the price of
+    a training pass. Train on a sample at 100 TB; assignment is one map
+    pass, and the cell id becomes a partition/bucket column so a cell scan
+    is a pruned file read, not a full-corpus filter.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = corpus.sparkSession
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+
+    assigned = model.transform(
+        corpus.select(
+            id_col, vec_col, array_to_vector(F.col(vec_col)).alias("features")
+        )
+    ).select(id_col, vec_col, F.col("prediction").alias("cell"))
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+
+    # each probe picks its n_probe nearest cells by cosine to the centroid
+    p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
+    probe_cells = (
+        p.crossJoin(F.broadcast(centers))
+        .select(
+            probe_id_col,
+            "__pvec",
+            "cell",
+            cosine(F.col("__pvec"), F.col("center")).alias("__cd"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(probe_id_col).orderBy(
+                    F.col("__cd").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(probe_id_col, "__pvec", "cell")
+    )
+
+    scored = assigned.join(F.broadcast(probe_cells), "cell").select(
+        probe_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__pvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (LCG, no numpy to
     keep it importable everywhere)."""

@@ -1,0 +1,68 @@
+"""Similarity search: brute-force exactness and LSH/IVF recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(emb, probes):
+    out = brute_force_topk(emb, probes, k=10)
+    return {
+        pid: [r["vec_id"] for r in rows]
+        for pid, rows in _group(out.collect(), "probe_id")
+    }
+
+
+def _group(rows, key):
+    from collections import defaultdict
+
+    d = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[key], -r["cosine"], r["vec_id"])):
+        d[r[key]].append(r)
+    return d.items()
+
+
+def test_bruteforce_self_is_top1(exact):
+    for pid, ids in exact.items():
+        assert ids[0] == pid  # a vector's nearest neighbor is itself
+
+
+def test_ivf_recall_vs_exact(emb, probes, exact):
+    approx = ivf_topk(emb, probes, k=10, n_lists=8, n_probe=4)
+    got = {
+        pid: {r["vec_id"] for r in rows}
+        for pid, rows in _group(approx.collect(), "probe_id")
+    }
+    for pid, ids in exact.items():
+        recall = len(set(ids) & got.get(pid, set())) / len(ids)
+        assert recall >= 0.5, f"probe {pid}: recall {recall}"
+
+
+def test_lsh_returns_subset_scores_match(emb, probes, exact):
+    approx = lsh_bucket_topk(emb, probes, dim=64, k=10, n_planes=4)
+    rows = approx.collect()
+    assert len(rows) > 0
+    # every reported cosine must equal the true cosine (LSH prunes
+    # candidates, never alters scores): self-match cosine == 1
+    self_rows = [r for r in rows if r["probe_id"] == r["vec_id"]]
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in self_rows)
