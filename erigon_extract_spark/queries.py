@@ -936,6 +936,86 @@ def w_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_lang_id_vote",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(
+               string_split_regex(lower(text), '[^a-z0-9'']+'),
+               x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, lang,
+        len(list_filter(w, t -> list_contains(
+          ['the','and','of','to','in','is','that','it','for','was'], t))) AS en,
+        len(list_filter(w, t -> list_contains(
+          ['der','die','und','das','ist','nicht','ein','mit','auf','zu'], t))) AS de,
+        len(list_filter(w, t -> list_contains(
+          ['le','la','les','et','de','un','une','est','que','pour'], t))) AS fr,
+        len(list_filter(w, t -> list_contains(
+          ['el','la','los','de','que','y','en','un','una','es'], t))) AS es
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM votes
+    """,
+)
+def text_lang_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: the engine's word_tokens uses \p{L}\p{N}; this corpus is ASCII so
+    # the [a-z0-9'] oracle class is equivalent. Tie-break order en>de>fr>es
+    # matches operators.text.lang_id (earlier language wins ties).
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    c AS (
+      -- float op order mirrors the Spark expressions exactly: ratio first,
+      -- then scale ((a/n)*k, not (a*k)/n) so doubles match to the last bit
+      SELECT doc_id,
+        least(length(text) / 500.0, 1.0) AS length_ok,
+        1.0 - least(((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                    * 1.0 / length(text)) * 4, 1.0) AS low_punct,
+        1.0 - least(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                    * 1.0 / length(text)) * 5, 1.0) AS low_digit,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                  * 1.0 / len(w) END AS wl,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE least((len(list_filter(w, t2 -> list_contains(
+               ['the','and','of','to','in','is','that','it','for','was'], t2)))
+               * 1.0 / len(w)) * 3, 1.0) END AS sw
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(length_ok * 0.3 + low_punct * 0.2 + low_digit * 0.2
+                 + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.15
+                 + sw * 0.15, 6) AS quality
+    FROM c
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
 @query("agg_approx_distinct")  # HLL sketch values are engine-specific → rows-only
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
