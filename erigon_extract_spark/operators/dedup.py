@@ -44,8 +44,17 @@ def exact_dedup(
 
 
 def shingles(col, n: int = 5) -> F.Column:
-    """Word n-gram shingle array (distinct) from raw text."""
+    """Word n-gram shingle array (distinct) from raw text.
+
+    PERF: only apply this to an ATTRIBUTE (a projected words array or a
+    plain column) — see exploded_shingles. Embedding the split expression
+    inside the transform lambda re-evaluates the full text split PER
+    SHINGLE INDEX (measured 15-180x slower at sf0.1)."""
     words = F.split(normalize_text(col), " ")
+    return _shingles_of_words(words, n)
+
+
+def _shingles_of_words(words, n: int) -> F.Column:
     # slide an n-window over words; drop short tails
     return F.array_distinct(
         F.filter(
@@ -55,6 +64,19 @@ def shingles(col, n: int = 5) -> F.Column:
             ),
             lambda s: F.length(s) > 0,
         )
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame, text_col: str, n: int, id_col: str
+) -> DataFrame:
+    """(id_col, sh) — one row per distinct shingle, with the words array
+    materialized as an attribute FIRST so the shingle lambda reads a
+    per-row array instead of re-splitting the text per index."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    pre = docs.select(F.col(id_col), words.alias("__words"))
+    return pre.select(
+        id_col, F.explode(_shingles_of_words(F.col("__words"), n)).alias("sh")
     )
 
 
@@ -74,9 +96,7 @@ def minhash_signatures(
     map-side partial mins for free — at 100 TB the shuffle carries one
     n_hashes-wide row per (doc, partition), not the shingle set.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    sh = exploded_shingles(docs, text_col, shingle_n, id_col)
     aggs = [
         F.min(
             F.hash(F.col("sh"), F.lit(i * 2654435761 + 1)).bitwiseAND(
@@ -113,9 +133,7 @@ def minhash_lsh_candidates(
     # Band buckets straight from the flat min-hash aggregate columns.
     # (Materializing an array column and indexing it here re-evaluates the
     # array constructor per index — measured 25× slower than flat columns.)
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    sh = exploded_shingles(docs, text_col, shingle_n, id_col)
     aggs = [
         F.min(
             F.hash(F.col("sh"), F.lit(i * 2654435761 + 1)).bitwiseAND(
@@ -178,9 +196,7 @@ def ngram_jaccard_pairs(
     prefix filter (sort shingles by global frequency, keep the rarest k) —
     left as the LSH path above, which subsumes it.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    sh = exploded_shingles(docs, text_col, shingle_n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("l")
@@ -219,10 +235,9 @@ def simhash(
     aggregate of 63 ±1-vote sums → recombine sign bits. Same codegen/
     map-side-combine rationale as minhash_signatures.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).select(id_col, F.xxhash64("sh").alias("h"))
+    sh = exploded_shingles(docs, text_col, shingle_n, id_col).select(
+        id_col, F.xxhash64("sh").alias("h")
+    )
     aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
