@@ -94,6 +94,39 @@ def delta_decode(
     return df.withColumn(out_col, F.sum(delta_col).over(w))
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    gap_seconds: int,
+    out_col: str = "session_id",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based session assignment: a new session starts when the time
+    since the previous event of the same key exceeds ``gap_seconds``.
+    session_id is the running count of session starts per key (1-based).
+
+    Two windows over the SAME partitioning (key, ordered by time +
+    tiebreaks) — one shuffle total; the lag and the running sum pipeline
+    in one stage. Pass tiebreak_cols when time values can collide, so the
+    assignment is deterministic.
+    """
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(time_col).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col(time_col).cast("double") - prev.cast("double") > gap_seconds),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(is_new).over(run))
+
+
 def dedup_keep_first(
     df: DataFrame,
     key_cols: Sequence[str],

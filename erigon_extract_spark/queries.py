@@ -1016,6 +1016,33 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erigon_extract_spark.operators.windows import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    out = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=3600, tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "event_id", "session_id")
+
+
 @query("agg_approx_distinct")  # HLL sketch values are engine-specific → rows-only
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
