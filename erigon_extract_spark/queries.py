@@ -1043,6 +1043,45 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "session_id")
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; the LSH-bucketed
+    variant in operators.similarity is the 100 TB path — this exact version
+    is the verification oracle)."""
+    from erigon_extract_spark.operators.similarity import cosine
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        # float64 products to match the oracle's DOUBLE[] accumulation —
+        # float32 products differ at ~1e-7 and flip 6-decimal rounding
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= 0.35)
+        .select("vec_id_a", "vec_id_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 @query("agg_approx_distinct")  # HLL sketch values are engine-specific → rows-only
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
