@@ -36,6 +36,16 @@ def cosine(a, b) -> F.Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_prenorm(a, b, norm_a, norm_b) -> F.Column:
+    """Cosine with both L2 norms precomputed (float-identical to ``cosine``
+    — the norm expression is evaluated on the same values, just earlier).
+
+    At scale this is the only sane shape: norms are computed once per row
+    on each side (O(N+M) array folds) instead of once per candidate pair
+    (O(N*M)); the per-pair work is a single dot product."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -51,12 +61,19 @@ def brute_force_topk(
     shuffle of the corpus, one final top-k aggregation per probe.
     """
     p = probes.select(
-        F.col(probe_id_col), F.col(vec_col).alias("__pvec")
+        F.col(probe_id_col),
+        F.col(vec_col).alias("__pvec"),
+        l2_norm(F.col(vec_col)).alias("__pnorm"),
     )
-    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(p)).select(
+    c = corpus.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cnorm")
+    )
+    scored = c.crossJoin(F.broadcast(p)).select(
         probe_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("__pvec")).alias("cosine"),
+        cosine_prenorm(
+            F.col(vec_col), F.col("__pvec"), F.col("__cnorm"), F.col("__pnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -128,10 +145,21 @@ def ivf_topk(
         .select(probe_id_col, "__pvec", "cell")
     )
 
-    scored = assigned.join(F.broadcast(probe_cells), "cell").select(
-        probe_id_col,
-        id_col,
-        cosine(F.col(vec_col), F.col("__pvec")).alias("cosine"),
+    scored = (
+        assigned.withColumn("__cnorm", l2_norm(F.col(vec_col)))
+        .join(
+            F.broadcast(
+                probe_cells.withColumn("__pnorm", l2_norm(F.col("__pvec")))
+            ),
+            "cell",
+        )
+        .select(
+            probe_id_col,
+            id_col,
+            cosine_prenorm(
+                F.col(vec_col), F.col("__pvec"), F.col("__cnorm"), F.col("__pnorm")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -191,14 +219,22 @@ def lsh_bucket_topk(
             sig = sig.bitwiseOR(b)
         return sig
 
-    c = corpus.select(id_col, vec_col).withColumn("__bucket", signature(F.col(vec_col)))
-    p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec")).withColumn(
-        "__bucket", signature(F.col("__pvec"))
+    c = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__bucket", signature(F.col(vec_col)))
+        .withColumn("__cnorm", l2_norm(F.col(vec_col)))
+    )
+    p = (
+        probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
+        .withColumn("__bucket", signature(F.col("__pvec")))
+        .withColumn("__pnorm", l2_norm(F.col("__pvec")))
     )
     scored = c.join(F.broadcast(p), "__bucket").select(
         probe_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("__pvec")).alias("cosine"),
+        cosine_prenorm(
+            F.col(vec_col), F.col("__pvec"), F.col("__cnorm"), F.col("__pnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

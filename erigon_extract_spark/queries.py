@@ -777,7 +777,13 @@ def text_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        # double products match the oracle's DOUBLE[] accumulation exactly;
+        # float32 products can flip both 6-decimal rounding and near-tie
+        # top-k ordering
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -1063,18 +1069,26 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force; the LSH-bucketed
     variant in operators.similarity is the 100 TB path — this exact version
     is the verification oracle)."""
-    from erigon_extract_spark.operators.similarity import cosine
+    from erigon_extract_spark.operators.similarity import cosine_prenorm, l2_norm
 
     emb = _load(spark, sf_dir, "embeddings").select(
         "vec_id",
         # float64 products to match the oracle's DOUBLE[] accumulation —
         # float32 products differ at ~1e-7 and flip 6-decimal rounding
         F.col("embedding").cast("array<double>").alias("embedding"),
+    ).withColumn("norm", l2_norm(F.col("embedding")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         pairs.withColumn("__cos", cos)
         .filter(F.col("__cos") >= 0.35)
