@@ -314,6 +314,43 @@ def expected_state_history(fx: Fixtures) -> list[tuple]:
     return final
 
 
+def account_snapshot_rows(fx: Fixtures, at_block: int) -> list[tuple]:
+    """Decoded-frame-shaped account snapshot (PlainState equivalent) at
+    ``at_block``: (block, address, nonce, balance32, incarnation, code_hash)
+    — values byte-identical to decode+recover output."""
+    rows = []
+    for addr, versions in fx.account_timelines.items():
+        alive = [v for v in versions if v.set_block <= at_block]
+        if not alive:
+            continue
+        v = alive[-1]
+        rows.append(
+            (
+                at_block,
+                addr,
+                v.nonce,
+                int(v.balance).to_bytes(32, "big"),
+                v.incarnation,
+                v.code_hash,
+            )
+        )
+    return rows
+
+
+def storage_snapshot_rows(fx: Fixtures, at_block: int) -> list[tuple]:
+    """Nonzero storage values at ``at_block`` per (addr, inc, slot):
+    (block, address, incarnation, slot, value)."""
+    rows = []
+    for (addr, inc, slot), writes in fx.storage_timelines.items():
+        cur = None
+        for wb, nv in writes:
+            if wb <= at_block:
+                cur = nv
+        if cur is not None and cur != ZERO32:
+            rows.append((at_block, addr, inc, slot, cur))
+    return rows
+
+
 def account_state_at_oracle(fx: Fixtures, block: int) -> dict[bytes, AccountVersion]:
     """Ground truth account state as of ``block`` from the timelines."""
     out = {}

@@ -29,25 +29,19 @@ KIND_ACCOUNT = 0
 KIND_STORAGE = 1
 
 
-def build_state_history(
+def union_state_parts(
     accounts_decoded: DataFrame,
     storage_decoded: DataFrame,
     plain_state_accounts: DataFrame | None = None,
     plain_state_storage: DataFrame | None = None,
-    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Union account + storage history (+ optional latest-state snapshot),
-    transpose to address-major order, re-key to first-block semantics.
-
-    Inputs are decoded frames (see plans.extract). PlainState rows carry the
-    snapshot block and get the +1 shift so last-block comparison semantics
-    line up before re-keying (reference comment erigon_extract.c:2373-2387).
-
-    Returns STATE_HISTORY rows sorted within range partitions by
-    (address, kind, incarnation, slot, block_from) — account rows sort
-    before storage rows at the same address via kind 0 < 1, matching the
-    reference comparator (erigon_extract.c:2110-2113).
-    """
+    """Union decoded account/storage changesets (+ optional latest-state
+    snapshot) into the common pre-transpose row shape
+    (address, kind, incarnation, slot, block, nonce, balance, code_hash,
+    value). PlainState rows get the +1 block shift so last-block comparison
+    semantics line up before re-keying (reference comment
+    erigon_extract.c:2373-2387). Shared by the full build and the
+    incremental-maintenance plan."""
     acct = accounts_decoded.select(
         "address",
         F.lit(KIND_ACCOUNT).alias("kind"),
@@ -103,15 +97,44 @@ def build_state_history(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
+    return unioned
 
-    # Version-group key. Account rows key on ADDRESS ONLY — incarnation is
-    # payload for accounts, key for storage (reference comparator
-    # compare_keys_except_block, erigon_extract.c:2102-2129: storage compares
-    # incarnation+slot, accounts stop at address). __key_inc normalizes that.
-    unioned = unioned.withColumn(
+
+def with_version_key(df: DataFrame) -> DataFrame:
+    """Add the normalized version-group incarnation column ``__key_inc``:
+    incarnation is part of the version key for storage rows only — payload
+    for accounts (reference comparator compare_keys_except_block,
+    erigon_extract.c:2102-2129)."""
+    return df.withColumn(
         "__key_inc",
         F.when(F.col("kind") == KIND_STORAGE, F.col("incarnation")).otherwise(F.lit(0)),
     )
+
+
+def build_state_history(
+    accounts_decoded: DataFrame,
+    storage_decoded: DataFrame,
+    plain_state_accounts: DataFrame | None = None,
+    plain_state_storage: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Union account + storage history (+ optional latest-state snapshot),
+    transpose to address-major order, re-key to first-block semantics.
+
+    Inputs are decoded frames (see plans.extract). Returns STATE_HISTORY
+    rows sorted within range partitions by
+    (address, kind, incarnation, slot, block_from) — account rows sort
+    before storage rows at the same address via kind 0 < 1, matching the
+    reference comparator (erigon_extract.c:2110-2113).
+    """
+    unioned = union_state_parts(
+        accounts_decoded,
+        storage_decoded,
+        plain_state_accounts,
+        plain_state_storage,
+    )
+
+    unioned = with_version_key(unioned)
 
     # Transpose: one range-partitioning shuffle replaces the reference's
     # RAM-bound per-run qsort + single-threaded k-way merge. The group key

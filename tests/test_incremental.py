@@ -1,0 +1,153 @@
+"""Incremental state-history maintenance: old store + append-only delta
+must equal a full rebuild over all inputs (the reference's "can be updated
+in place" aspiration, reference README.md:52-56 — its code only ever does a
+full rebuild)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from erigon_extract_spark import fixtures as fxmod
+from erigon_extract_spark.operators.asserts import assert_empty
+from erigon_extract_spark.plans.extract import (
+    decode_account_changesets,
+    decode_storage_changesets,
+    recover_code_hashes,
+)
+from erigon_extract_spark.plans.incremental import (
+    apply_increment,
+    incremental_history_delta,
+    seam_violations,
+    zero_tombstones,
+)
+from erigon_extract_spark.plans.transpose import build_state_history
+from erigon_extract_spark.schemas import (
+    ACCOUNT_CHANGESETS,
+    PLAIN_CODE_HASH,
+    STORAGE_CHANGESETS,
+)
+
+T_SPLIT = 150
+
+ACCT_PS_SCHEMA = (
+    "block long, address binary, nonce long, balance binary, "
+    "incarnation long, code_hash binary"
+)
+STOR_PS_SCHEMA = "block long, address binary, incarnation long, slot binary, value binary"
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return fxmod.generate(seed=7, n_addresses=20, n_blocks=250, n_body_blocks=10)
+
+
+@pytest.fixture(scope="module")
+def frames(spark, fx):
+    acs = spark.createDataFrame(fx.account_changesets, ACCOUNT_CHANGESETS)
+    scs = spark.createDataFrame(fx.storage_changesets, STORAGE_CHANGESETS)
+    pch = spark.createDataFrame(fx.plain_code_hash, PLAIN_CODE_HASH)
+    acct = recover_code_hashes(
+        decode_account_changesets(acs).drop("decode_error"), pch
+    )
+    stor = decode_storage_changesets(scs).drop("decode_error")
+    acct.cache(), stor.cache()
+    return acct, stor
+
+
+def _snapshot_frames(spark, fx, stor_decoded, at_block):
+    psa = spark.createDataFrame(
+        fxmod.account_snapshot_rows(fx, at_block), ACCT_PS_SCHEMA
+    )
+    pss = spark.createDataFrame(
+        fxmod.storage_snapshot_rows(fx, at_block), STOR_PS_SCHEMA
+    )
+    tomb = zero_tombstones(stor_decoded, pss, at_block)
+    return psa, pss.unionByName(tomb.select(*pss.columns))
+
+
+def _canon(df):
+    return set(
+        map(
+            tuple,
+            df.select(
+                F.hex("address"),
+                "kind",
+                "incarnation",
+                F.hex("slot"),
+                "block_from",
+                "nonce",
+                F.hex("balance"),
+                F.hex("code_hash"),
+                F.hex("value"),
+            ).collect(),
+        )
+    )
+
+
+def test_incremental_equals_full_rebuild(spark, fx, frames):
+    acct, stor = frames
+    acct_old = acct.filter(F.col("block") <= T_SPLIT)
+    stor_old = stor.filter(F.col("block") <= T_SPLIT)
+    acct_new = acct.filter(F.col("block") > T_SPLIT)
+    stor_new = stor.filter(F.col("block") > T_SPLIT)
+
+    psa_t, pss_t = _snapshot_frames(spark, fx, stor_old, T_SPLIT)
+    old = build_state_history(acct_old, stor_old, psa_t, pss_t, num_partitions=4)
+    old.cache()
+
+    tip = fx.latest_block
+    psa_tip, pss_tip = _snapshot_frames(spark, fx, stor, tip)
+    full = build_state_history(acct, stor, psa_tip, pss_tip, num_partitions=4)
+
+    assert_empty(seam_violations(old, acct_new, stor_new), "seam consistency")
+
+    delta = incremental_history_delta(
+        old, acct_new, stor_new, psa_tip, pss_tip
+    )
+    updated = apply_increment(old, delta, num_partitions=4)
+
+    got, want = _canon(updated), _canon(full)
+    assert got == want, (
+        f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
+    )
+    # the delta really is append-only: nothing in it was already stored,
+    # and every new row comes from the delta (old ∩ delta = ∅, old ∪ delta = full)
+    assert _canon(delta) & _canon(old) == set()
+    assert _canon(delta) | _canon(old) == want
+
+
+def test_empty_batch_empty_delta(spark, fx, frames):
+    acct, stor = frames
+    psa_t, pss_t = _snapshot_frames(
+        spark, fx, stor.filter(F.col("block") <= T_SPLIT), T_SPLIT
+    )
+    old = build_state_history(
+        acct.filter(F.col("block") <= T_SPLIT),
+        stor.filter(F.col("block") <= T_SPLIT),
+        psa_t,
+        pss_t,
+        num_partitions=4,
+    )
+    delta = incremental_history_delta(old, acct.limit(0), stor.limit(0))
+    assert delta.count() == 0
+
+
+def test_seam_violation_detected_on_gapped_batch(spark, fx, frames):
+    """A batch that skips blocks (T..T+40 missing) no longer continues the
+    store — the seam check must catch it (values at the seam differ)."""
+    acct, stor = frames
+    psa_t, pss_t = _snapshot_frames(
+        spark, fx, stor.filter(F.col("block") <= T_SPLIT), T_SPLIT
+    )
+    old = build_state_history(
+        acct.filter(F.col("block") <= T_SPLIT),
+        stor.filter(F.col("block") <= T_SPLIT),
+        psa_t,
+        pss_t,
+        num_partitions=4,
+    )
+    gapped_acct = acct.filter(F.col("block") > T_SPLIT + 40)
+    gapped_stor = stor.filter(F.col("block") > T_SPLIT + 40)
+    n = seam_violations(old, gapped_acct, gapped_stor).count()
+    assert n > 0
