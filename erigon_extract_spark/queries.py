@@ -1749,3 +1749,245 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM ps
+    JOIN part ON p_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                       FROM ps ps2
+                       JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                       WHERE ps2.l_partkey = ps.l_partkey
+                         AND r2.r_name = 'EUROPE')
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adaptation (min-cost supplier). The testdata has no
+    partsupp table, so the part↔supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) projection of lineitem and the minimized "cost"
+    is s_acctbal. The correlated MIN subquery decorrelates into a window
+    min over p_partkey — one shuffle, no join-back. s_acctbal is compared
+    raw (no arithmetic on either side), so float equality is exact."""
+    ps = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = _load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eu = (
+        _load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adaptation (product-type profit). No partsupp →
+    supply cost proxied as 0.6 * p_retailprice. Star join: lineitem fact
+    vs three broadcast dims + orders; profit aggregated by supplier
+    nation × order year."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = _load(spark, sf_dir, "supplier")
+    orders = _load(spark, sf_dir, "orders")
+    nation = _load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING ROUND(SUM(l_extendedprice), 2) >
+           (SELECT ROUND(SUM(l_extendedprice) * 0.0005, 2)
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7')
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adaptation (important stock). Stock value per part =
+    SUM(l_extendedprice) over one nation's suppliers; keep parts above a
+    fraction of the nation total (global-aggregate scalar subquery, kept
+    in-plan via broadcast cross join — no driver collect). Both the group
+    sums and the threshold round to 2 decimals on both engines."""
+    li = _load(spark, sf_dir, "lineitem")
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    base = li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+    threshold = base.agg(
+        F.round(F.sum("l_extendedprice") * F.lit(0.0005), 2).alias("threshold")
+    )
+    return (
+        base.groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+        .crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey
+                        FROM lineitem JOIN part ON p_partkey = l_partkey
+                        WHERE p_name LIKE 'small%'
+                        GROUP BY l_suppkey
+                        HAVING SUM(l_quantity) > 100)
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (promotion-eligible suppliers). No partsupp →
+    eligibility is "shipped more than 100 units of small* parts", an
+    IN-subquery with HAVING → aggregate + left-semi join. Quantities are
+    integral doubles so the >100 sum is exact in both engines."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qualified = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = _load(spark, sf_dir, "supplier")
+    return supp.join(
+        qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adaptation (suppliers who kept orders waiting). No
+    receipt/commit dates → "late" is proxied by l_returnflag = 'R': count,
+    per supplier, finished multi-supplier orders where this supplier is
+    the ONLY one with a returned item. Exercises the correlated
+    EXISTS (left-semi with a non-equi residual) + NOT EXISTS (left-anti)
+    pair — the reference's only missing join shapes (SURVEY.md §2.13)."""
+    li = _load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders_f = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    supp = _load(spark, sf_dir, "supplier")
+    base = (
+        l1.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
