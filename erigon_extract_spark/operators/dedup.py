@@ -25,6 +25,39 @@ from pyspark.sql import functions as F
 from erigon_extract_spark.operators.text import normalize_text  # noqa: E402
 
 
+def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots.
+
+    A single small parquet file arrives as ONE partition, serializing every
+    downstream narrow stage (shingling a 5k-doc file on one of 32 cores was
+    the whole minhash cost at sf0.1). At 100 TB the scan already yields
+    thousands of splits and this is a no-op — the guard keeps the extra
+    shuffle out of the big-data path."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _pairs_of_sorted(ids_col: str) -> F.Column:
+    """All (a, b) pairs with a < b from a SORTED array attribute.
+
+    ``ids_col`` must name a projected attribute, not a composed expression:
+    referencing an expression inside a higher-order-function lambda
+    re-evaluates it per element (measured 15-180x slowdowns elsewhere)."""
+    return F.flatten(
+        F.transform(
+            F.col(ids_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids_col), i + F.lit(2), F.size(F.col(ids_col))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -118,22 +151,26 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH.
 
     rows/band = n_hashes/bands; two docs collide if any band's sub-signature
     matches exactly. Returns (doc_id_a, doc_id_b) with a < b, distinct.
 
-    Scale: the only join is an equi-self-join on (band_idx, band_hash) —
-    bucket sizes are small w.h.p., so the shuffle is proportional to data
-    size, not to the quadratic pair space. Hot buckets (boilerplate docs)
-    are bounded by AQE skew splitting.
+    Scale: no self-join — docs group by (band, bucket) in ONE shuffle and
+    pairs are generated bucket-locally, so the whole doc pipeline (shingle,
+    minhash) is scanned once instead of twice and the shuffled bytes are
+    proportional to data size, not to the quadratic pair space. Bucket
+    sizes are small w.h.p.; for 100 TB runs pass ``max_bucket_size`` to
+    drop degenerate boilerplate buckets (every member is a near-dup of the
+    others, so route those to exact_dedup instead of pairing O(k²)).
     """
     rows_per_band = n_hashes // bands
     # Band buckets straight from the flat min-hash aggregate columns.
     # (Materializing an array column and indexing it here re-evaluates the
     # array constructor per index — measured 25× slower than flat columns.)
-    sh = exploded_shingles(docs, text_col, shingle_n, id_col)
+    sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
     aggs = [
         F.min(
             F.hash(F.col("sh"), F.lit(i * 2654435761 + 1)).bitwiseAND(
@@ -162,22 +199,21 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.select(F.explode(_pairs_of_sorted("ids")).alias("p"))
         .select(
-            F.col(f"l.{id_col}").alias("doc_id_a"),
-            F.col(f"r.{id_col}").alias("doc_id_b"),
+            F.col("p.a").alias("doc_id_a"),
+            F.col("p.b").alias("doc_id_b"),
         )
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -261,8 +297,12 @@ def simhash_near_pairs(
     shingle_n: int = 2,
 ) -> DataFrame:
     """Near-dup pairs under SimHash Hamming distance, banded into four
-    16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal)."""
-    fps = simhash(docs, text_col, shingle_n, id_col)
+    16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal).
+
+    Same bucket-local pair generation as minhash_lsh_candidates: one scan
+    of the fingerprint pipeline, one shuffle on (chunk, chunk_value), pairs
+    emitted inside each bucket."""
+    fps = simhash(widen_if_narrow(docs), text_col, shingle_n, id_col)
     chunks = fps.select(
         id_col,
         "simhash",
@@ -280,19 +320,24 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.ck")
-    pairs = (
-        chunks.alias("l")
-        .join(
-            chunks.alias("r"),
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.ck") == F.col("r.ck"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    # structs sort by leading field, so array_sort orders members by id and
+    # _pairs_of_sorted yields (a.id < b.id) pairs directly
+    buckets = (
+        chunks.groupBy("chunk", "ck")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col), F.col("simhash")))
+            ).alias("ids")
         )
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode(_pairs_of_sorted("ids")).alias("p"))
         .select(
-            F.col(f"l.{id_col}").alias("doc_id_a"),
-            F.col(f"r.{id_col}").alias("doc_id_b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+            F.col(f"p.a.{id_col}").alias("doc_id_a"),
+            F.col(f"p.b.{id_col}").alias("doc_id_b"),
+            F.col("p.a.simhash").alias("ha"),
+            F.col("p.b.simhash").alias("hb"),
         )
         .distinct()
     )
