@@ -91,3 +91,43 @@ def test_point_lookup_prunes_with_filter_pushdown(spark, sf_dir):
     df = account_state_at(sh, block=100, address=b"\x01" * 20)
     opt = _optimized(df)
     assert "isnotnull" in opt or "address" in opt  # filter survives into plan
+
+def test_q21_uses_semi_and_anti_joins(spark, sf_dir):
+    """The EXISTS/NOT EXISTS pair must stay semi/anti (never materialize the
+    matching rows) — at 100 TB an inner-join-then-distinct formulation would
+    shuffle the full multiplicity of lineitem matches."""
+    plan = _plan(q.QUERIES["q21_waiting_supplier"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q2_correlated_min_is_window_not_join_back(spark, sf_dir):
+    """The correlated MIN subquery decorrelates into a window min over the
+    part key: one pass over the candidate set instead of an aggregate +
+    join-back (which would rescan lineitem)."""
+    df = q.QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    # all dimension joins broadcast; the only shuffles are the distinct
+    # part-supplier projection and the window partitioning
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q9_star_join_broadcasts_all_dims(spark, sf_dir):
+    """Star schema: lineitem fact joins part/supplier/nation broadcast-side;
+    only orders (fact-sized) may shuffle."""
+    plan = _plan(q.QUERIES["q9_product_type_profit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_minhash_lsh_has_no_self_join(spark, sf_dir):
+    """Bucket-local pair generation: the LSH plan must contain NO join at
+    all — pairs come from explode over grouped buckets, so the doc pipeline
+    is scanned once and shuffled bytes stay linear in data size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from erigon_extract_spark.operators.dedup import minhash_lsh_candidates
+
+    plan = _plan(minhash_lsh_candidates(docs))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
