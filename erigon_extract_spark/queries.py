@@ -1991,3 +1991,63 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "window_ranking_surface",
+    """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER w1 AS rn,
+           NTILE(4) OVER w1 AS quartile,
+           RANK() OVER w2 AS rnk,
+           DENSE_RANK() OVER w2 AS drnk,
+           ROUND(PERCENT_RANK() OVER w2, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w2, 6) AS cume
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+    """,
+)
+def window_ranking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface (SURVEY.md §2.13: absent in the reference,
+    supplied by Spark built-ins). w1 is a deterministic total order for the
+    position functions; w2 ranks on a tie-heavy key, which is deterministic
+    for rank/dense_rank/percent_rank/cume_dist because they depend only on
+    the ordering key values."""
+    orders = _load(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        F.row_number().over(w1).alias("rn"),
+        F.ntile(4).over(w1).alias("quartile"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.round(F.percent_rank().over(w2), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w2), 6).alias("cume"),
+    )
+
+
+@query(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (SURVEY.md §2.13). GROUPING() markers disambiguate
+    real NULLs from subtotal rows — the reason hash comparison across
+    engines stays sound on the superset rows."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
