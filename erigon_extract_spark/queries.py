@@ -63,6 +63,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _dsum(col) -> F.Column:
+    """Order-independent float sum: per-row cast to DECIMAL(18,6), exact
+    decimal addition, result back to double. Large double sums rounded to
+    cents can flip on accumulation order alone (observed: one q9 group off
+    by a cent between two runs of the SAME engine); decimal sums cannot.
+    The SQL mirror is ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), k).
+
+    Scale 6 is load-bearing: every TPC-H money expression here has at most
+    6 true decimal digits (price 2dp x discount 2dp x tax 2dp), so the
+    double->decimal cast lands on an exactly-representable value and never
+    sits on a rounding tie — at scale 4 the engines' tie-breaking modes
+    disagreed (HALF_UP vs round-half-even) by a cent per ~10k rows.
+    """
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
 def query(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -83,11 +99,11 @@ def query(name: str, sql: str | None = None):
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -103,11 +119,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_dsum(disc_price), 2).alias("sum_disc_price"),
+            F.round(_dsum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(
+                _dsum(F.col("l_extendedprice")) / F.count("*"), 6
+            ).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -156,7 +174,9 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -191,7 +211,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
@@ -200,7 +220,8 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_revenue_change",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -220,7 +241,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
                 "revenue"
             ),
             F.count("*").alias("n_rows"),
@@ -619,7 +640,8 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -628,7 +650,7 @@ def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _load(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("total_price"),
     )
 
 
@@ -1545,7 +1567,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -1564,9 +1587,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -1810,8 +1833,9 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity
+                     AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1825,7 +1849,12 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adaptation (product-type profit). No partsupp →
     supply cost proxied as 0.6 * p_retailprice. Star join: lineitem fact
     vs three broadcast dims + orders; profit aggregated by supplier
-    nation × order year."""
+    nation × order year.
+
+    The per-row profit casts to DECIMAL(18,6) before SUM: decimal
+    addition is exact and therefore order-independent, so the cross-engine
+    hash can't flip at a ROUND boundary the way a double SUM did (observed
+    one group off by a cent at sf0.01 from accumulation order alone)."""
     li = _load(spark, sf_dir, "lineitem")
     part = _load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     supp = _load(spark, sf_dir, "supplier")
@@ -1843,21 +1872,29 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            F.round(
+                F.sum(profit.cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_profit")
+        )
     )
 
 
 @query(
     "q11_important_stock",
     """
-    SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+    SELECT l_partkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                 AS DOUBLE), 2) AS part_value
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_7'
     GROUP BY l_partkey
-    HAVING ROUND(SUM(l_extendedprice), 2) >
-           (SELECT ROUND(SUM(l_extendedprice) * 0.0005, 2)
+    HAVING ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                 AS DOUBLE), 2) >
+           (SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                   AS DOUBLE) * 0.0005, 2)
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -1883,11 +1920,13 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
     threshold = base.agg(
-        F.round(F.sum("l_extendedprice") * F.lit(0.0005), 2).alias("threshold")
+        F.round(_dsum(F.col("l_extendedprice")) * F.lit(0.0005), 2).alias(
+            "threshold"
+        )
     )
     return (
         base.groupBy("l_partkey")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+        .agg(F.round(_dsum(F.col("l_extendedprice")), 2).alias("part_value"))
         .crossJoin(F.broadcast(threshold))
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
@@ -2035,7 +2074,8 @@ def window_ranking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUPING(o_orderstatus) AS g_status,
            GROUPING(o_orderpriority) AS g_prio,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -2049,5 +2089,5 @@ def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").alias("g_status"),
         F.grouping("o_orderpriority").alias("g_prio"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("total_price"),
     )
