@@ -84,9 +84,20 @@ def sorted_state_rows(draw):
                     None,
                 )
             )
-        for _ in range(draw(st.integers(0, 3))):
-            slot = draw(b32)
-            inc = draw(st.integers(1, 3))
+        # distinct (incarnation, slot) version keys, emitted in sorted
+        # order — the codec's contract is state-key-sorted input, and a
+        # repeated key with a restarting block run would violate it (can't
+        # happen in production: state keys are unique and globally sorted)
+        n_slots = draw(st.integers(0, 3))
+        pairs = draw(
+            st.lists(
+                st.tuples(st.integers(1, 3), b32),
+                min_size=n_slots,
+                max_size=n_slots,
+                unique=True,
+            )
+        )
+        for inc, slot in sorted(pairs):
             block = 0
             for _ in range(draw(st.integers(1, 4))):
                 block += draw(st.integers(1, 10**6))
