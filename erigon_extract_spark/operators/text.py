@@ -117,6 +117,38 @@ def lang_id(col) -> F.Column:
     return expr
 
 
+def rolling_fingerprint_df(
+    docs: DataFrame, text_col: str = "text", prefix_len: int = 64
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Karp-Rabin style) of the first
+    ``prefix_len`` printable-ASCII chars of the normalized text:
+    ``fp = fold(chars, (a, c) -> (a*31 + code(c)) mod (2^31 - 1))``.
+
+    Cross-engine deterministic (pure int64 arithmetic), so it has a DuckDB
+    oracle — unlike xxhash64-based ``fingerprint64``. Returns a DataFrame
+    because the char->code array must be PROJECTED before the fold: Spark
+    re-evaluates expressions referenced inside higher-order-function lambdas
+    per element (NOTES.md: 42-184s vs 1-3s on this table), so composing
+    split+transform+aggregate as one expression is quadratic.
+    """
+    ascii_prefix = F.substring(
+        F.regexp_replace(normalize_text(F.col(text_col)), r"[^\x20-\x7e]", ""),
+        1,
+        prefix_len,
+    )
+    chars = F.filter(F.split(ascii_prefix, ""), lambda c: F.length(c) > 0)
+    staged = docs.select(
+        "doc_id",
+        F.transform(chars, lambda c: F.ascii(c).cast("long")).alias("codes"),
+    )
+    fp = F.aggregate(
+        F.col("codes"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * F.lit(31) + x) % F.lit(2147483647),
+    )
+    return staged.select("doc_id", fp.alias("fp"))
+
+
 def fingerprint64(col) -> F.Column:
     """Deterministic 64-bit content fingerprint of normalized text
     (xxhash64 — stable across Spark versions and partitionings)."""

@@ -29,6 +29,7 @@ from erigon_extract_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from erigon_extract_spark.operators.rangejoin import band_self_join
 from erigon_extract_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
 from erigon_extract_spark.operators import text as tx
 from erigon_extract_spark.operators.windows import (
@@ -2090,4 +2091,124 @@ def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").alias("g_prio"),
         F.count("*").alias("n_orders"),
         F.round(_dsum(F.col("o_totalprice")), 2).alias("total_price"),
+    )
+
+
+@query(
+    "grouping_sets_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 AS DOUBLE), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY.md §2.13 absent-category coverage
+    beyond rollup/cube): three independent grouping lists in one pass —
+    Spark plans a single Expand + hash aggregate, not three scans."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+        F.count("*").alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("total_price"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (SURVEY.md §2.13 distinct/ordered
+    aggregates). Both engines interpolate lo + frac*(hi-lo) on the sorted
+    group in float64, so values are compared at full precision — any
+    rounding here would CREATE tie-boundary mismatches (quartile fracs are
+    multiples of 0.0025, which always land on round-half ties at some
+    decimal). Exact ordered-agg is the correctness baseline for the
+    approx_percentile scale path."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             substring(
+               regexp_replace(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 '[^\\x20-\\x7e]', '', 'g'),
+               1, 64) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN 0 ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_split_to_array(s, ''),
+                                c -> CAST(unicode(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 2147483647)
+           END AS fp
+    FROM norm
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash (training-data
+    north star: 'document fingerprinting (rolling hash)'). Deterministic
+    int64 arithmetic -> full DuckDB oracle, unlike hash-function
+    fingerprints."""
+    docs = _load(spark, sf_dir, "documents")
+    return tx.rolling_fingerprint_df(docs)
+
+
+@query(
+    "range_interval_join",
+    """
+    SELECT a.event_type,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT a.event_id) AS n_events_with_neighbor
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND b.ts BETWEEN a.ts - INTERVAL 5 SECOND AND a.ts + INTERVAL 5 SECOND
+     AND a.event_id <> b.event_id
+    GROUP BY a.event_type
+    """,
+)
+def range_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal band join: events of the same type within +-5s of each
+    other. The oracle is the naive theta-join; the Spark plan is the
+    bucketed equi-join from operators/rangejoin.py (linear, shuffle-
+    partitionable — the 100 TB path where a theta-join would be a
+    cartesian product)."""
+    events = _events(spark, sf_dir)
+    pairs = band_self_join(
+        events, ["event_type"], "ts", band_us=5_000_000, id_col="event_id"
+    )
+    return pairs.groupBy(F.col("a_event_type").alias("event_type")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct(F.col("a_event_id")).alias("n_events_with_neighbor"),
     )
