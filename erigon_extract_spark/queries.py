@@ -2212,3 +2212,63 @@ def range_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.count_distinct(F.col("a_event_id")).alias("n_events_with_neighbor"),
     )
+
+
+@query(
+    "window_tumbling_agg",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
+           time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE
+             AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window rollup (SURVEY.md §2.12). Runs the
+    streaming builder itself in batch mode (withWatermark is a batch
+    no-op), so the oracle validates the exact code path the availableNow
+    streaming tests execute."""
+    from erigon_extract_spark.streaming.latest_state import stream_windowed_counts
+
+    events = _events(spark, sf_dir)
+    return stream_windowed_counts(
+        events, "ts", window_duration="15 minutes", group_cols=["event_type"]
+    )
+
+
+@query(
+    "window_hopping_agg",
+    """
+    WITH hops AS (
+      SELECT e.event_type, u.w_start AS window_start
+      FROM events e,
+           UNNEST([time_bucket(INTERVAL 15 MINUTE, ts),
+                   time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL 15 MINUTE])
+             AS u(w_start)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 30 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM hops
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 30min/15min windows: each event counts in exactly
+    window/slide = 2 overlapping windows. The oracle materializes the same
+    assignment with a 2-element UNNEST — the explode Spark's Expand node
+    performs physically."""
+    from erigon_extract_spark.streaming.latest_state import stream_windowed_counts
+
+    events = _events(spark, sf_dir)
+    return stream_windowed_counts(
+        events,
+        "ts",
+        window_duration="30 minutes",
+        group_cols=["event_type"],
+        slide_duration="15 minutes",
+    )

@@ -52,13 +52,27 @@ def stream_windowed_counts(
     window_duration: str = "1 hour",
     watermark_delay: str = "30 minutes",
     group_cols: list[str] | None = None,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts — the standard late-data-tolerant
-    rollup for an event stream."""
+    """Watermarked windowed counts — the standard late-data-tolerant rollup
+    for an event stream. Tumbling by default; pass ``slide_duration`` for
+    hopping (sliding) windows, where each event lands in
+    window/slide overlapping windows.
+
+    ``withWatermark`` is a no-op on batch DataFrames, so the SAME builder
+    runs in batch for the DuckDB oracle gate (queries
+    ``window_tumbling_agg``/``window_hopping_agg``) and in streaming under
+    an availableNow trigger — one code path, oracle-verified logic.
+    """
     group_cols = group_cols or []
     w = stream.withWatermark(time_col, watermark_delay)
+    window = (
+        F.window(F.col(time_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(time_col), window_duration)
+    )
     return (
-        w.groupBy(F.window(F.col(time_col), window_duration), *group_cols)
+        w.groupBy(window, *group_cols)
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("window.start").alias("window_start"),
