@@ -39,7 +39,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_stats",
+    "text_fingerprint",
     "sim_bruteforce_topk",
+    "range_interval_join",
+    "window_hopping_agg",
 ]
 
 

@@ -2272,3 +2272,49 @@ def window_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         slide_duration="15 minutes",
     )
+
+
+@query(
+    "multimodal_probe",
+    """
+    WITH payload AS (
+      SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, length(s) AS n_bytes,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   regexp_split_to_array(substring(s, 1, 64), ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) & 2147483647) AS hv
+      FROM payload
+    )
+    SELECT doc_id, 'image/png' AS mime, n_bytes,
+           CAST(64 + hv % 1920 AS INTEGER) AS width,
+           CAST(64 + (hv // 256) % 1080 AS INTEGER) AS height,
+           (hv // 65536) % 60000 AS duration_ms
+    FROM h
+    """,
+)
+def multimodal_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction through the REAL mapInPandas decode
+    path (operators/multimodal.py). Payloads are printable-ASCII text bytes,
+    so the stub probe's byte fold is mirrorable as a char-code fold in SQL —
+    the one payload family where the Arrow-batched binary pipeline gets a
+    full value oracle rather than a rows-only check."""
+    from erigon_extract_spark.operators.multimodal import extract_media_metadata
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.lit("image/png").alias("mime"),
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
+    )
+    meta = extract_media_metadata(media, fake_decode=True)
+    return meta.select(
+        "doc_id", "mime", "n_bytes", "width", "height", "duration_ms"
+    )
