@@ -1,0 +1,45 @@
+"""Deterministic content-hash sampling and dataset splitting.
+
+Training-data pipelines need holdout splits that are STABLE across runs,
+cluster sizes, and engines — `df.sample(fraction, seed)` is none of those
+(it depends on partitioning). The primitive here is a hash bucket from the
+md5 of a key rendered as text: pure column expressions, engine-agnostic
+(DuckDB mirrors it exactly, so the split membership itself is under the
+oracle gate), and adding documents never reshuffles existing assignments.
+
+Scale notes: the bucket is a narrow projection — no shuffle, no state; a
+filter on it pushes into the scan stage, so carving a 1% stable sample out
+of 100 TB reads only what the filter keeps after row-group pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stable_hash_bucket(col, n_buckets: int = 100) -> F.Column:
+    """Uniform bucket in [0, n_buckets) from md5 of the key's decimal text.
+    First 8 hex digits -> unsigned int -> mod; deterministic everywhere."""
+    hex8 = F.substring(F.md5(col.cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % n_buckets).alias("bucket")
+
+
+def stable_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/'test' by default, 80/10/10).
+    ``weights`` maps split name -> percent; must sum to 100."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    bucket = stable_hash_bucket(F.col(key_col), 100)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = bucket < F.lit(lo + pct)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += pct
+    return df.withColumn("split", expr)

@@ -2318,3 +2318,36 @@ def multimodal_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select(
         "doc_id", "mime", "n_bytes", "width", "height", "duration_ms"
     )
+
+
+@query(
+    "sample_stable_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(doc_id) AS id_checksum
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def sample_stable_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-hash bucket
+    (operators/sampling.py): stable across runs, partitionings, and
+    engines — the oracle checks the split MEMBERSHIP itself via the
+    id_checksum, not just the counts."""
+    from erigon_extract_spark.operators.sampling import stable_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return stable_split(docs, "doc_id").groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

@@ -47,3 +47,59 @@ def test_key_histogram(spark):
     df = spark.range(0, 100).select((F.col("id") % 10 == 0).alias("hot"))
     top = key_histogram(df, ["hot"], top=1).collect()
     assert top[0]["hot"] is False and top[0]["count"] == 90
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """100 TB readiness: with AQE skew-join on, a sort-merge join against a
+    heavily skewed key set gets its oversized partitions split at runtime
+    (OptimizeSkewedJoin marks them 'skewed'). Thresholds are lowered so the
+    tiny fixture triggers the same code path production skew would."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # force SMJ: broadcast would bypass the skew-join rule entirely
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # one hot key holding ~90% of rows, padded payload to trip the
+        # byte threshold
+        left = spark.range(0, 20000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = left.join(right, "k")
+        # collect() finalizes THIS DataFrame's adaptive plan (count() would
+        # execute a separate aggregate query and leave this one unexecuted)
+        n = len(joined.collect())
+        assert n == 20000  # every left row matches exactly one right key
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)
