@@ -96,3 +96,64 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, mime string, target_w int, target_h int, payload binary, "
+    "resize_error string"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    mime_col: str = "mime",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage (the
+    feature-extraction shape every vision-training pipeline needs). The
+    pixel kernel is STUBBED like the probe: ``fake_decode`` emits a
+    deterministic payload (target-dims header + content digest of the
+    source bytes) so schema, batching, and partitioning are testable;
+    swapping in PIL changes only the inner function.
+
+    Scale: payload-in/payload-out keeps one Arrow batch in flight per
+    task — the same memory envelope as the probe regardless of file count.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                if payload is None:
+                    rows.append((r[id_col], r[mime_col], target_w, target_h,
+                                 None, "null payload"))
+                    continue
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "real resize requires PIL — not in container"
+                    )
+                src = bytes(payload)
+                digest = 0
+                for b in src[:64]:
+                    digest = (digest * 131 + b) & 0x7FFFFFFF
+                fake = (
+                    target_w.to_bytes(4, "big")
+                    + target_h.to_bytes(4, "big")
+                    + digest.to_bytes(4, "big")
+                )
+                rows.append((r[id_col], r[mime_col], target_w, target_h,
+                             fake, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "target_w", "target_h", "payload",
+                         "resize_error"],
+            )
+
+    return media.select(id_col, mime_col, payload_col).mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )

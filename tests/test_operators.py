@@ -153,3 +153,29 @@ def test_multimodal_metadata_and_frame_plan(spark):
     assert meta[1].width == again[1].width
     frames = frame_sample_plan(media, every_ms=10_000).collect()
     assert all(f.frame_ts_ms % 10_000 == 0 for f in frames)
+
+
+def test_multimodal_resize_stub(spark):
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, "image/png", b"payload-bytes-1"), (2, "image/png", None)],
+        "doc_id long, mime string, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_images(media, 224, 224).collect()}
+    ok = out[1]
+    assert (ok.target_w, ok.target_h) == (224, 224)
+    assert ok.resize_error is None
+    # deterministic fake payload: dims header + content digest
+    assert len(ok.payload) == 12
+    assert int.from_bytes(bytes(ok.payload)[:4], "big") == 224
+    bad = out[2]
+    assert bad.payload is None and bad.resize_error == "null payload"
+    # real-decode path is an explicit stub, not silent wrong output
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PIL"):
+        resize_images(media.filter(F.col("payload").isNotNull()),
+                      fake_decode=False).collect()

@@ -131,3 +131,42 @@ def test_minhash_lsh_has_no_self_join(spark, sf_dir):
     plan = _plan(minhash_lsh_candidates(docs))
     assert "Join" not in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS must plan one Expand + one aggregation pass over one
+    scan — not one scan per grouping list."""
+    df = q.QUERIES["grouping_sets_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_windowed_aggs_single_shuffle(spark, sf_dir):
+    """Tumbling and hopping event-time rollups are one hash-agg shuffle;
+    hopping's per-event window assignment happens map-side (Expand/explode
+    before the exchange), never by re-scanning."""
+    for name in ("window_tumbling_agg", "window_hopping_agg"):
+        plan = _plan(q.QUERIES[name](spark, sf_dir))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert plan.count("FileScan") == 1, (name, plan)
+
+
+def test_stable_split_filter_reaches_scan(spark, sf_dir):
+    """A stable-sample filter is a deterministic expression over one
+    column — selecting 'test' docs must not shuffle before filtering."""
+    from erigon_extract_spark.operators.sampling import stable_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    test_docs = stable_split(docs, "doc_id").filter(F.col("split") == "test")
+    plan = _plan(test_docs)
+    assert "Exchange" not in plan, plan
+
+
+def test_band_join_is_shuffle_equi_join(spark, sf_dir):
+    """The banded range join must stay an equi-join at the bench scale
+    factor too (not just the unit fixture)."""
+    plan = _plan(q.QUERIES["range_interval_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

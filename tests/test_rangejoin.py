@@ -70,3 +70,41 @@ def test_band_self_join_plans_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_self_join_random_matches_naive(spark):
+    """Seeded-random stress: dense, duplicate, and boundary timestamps
+    across several keys must produce exactly the naive theta-join's pairs."""
+    import random
+
+    rng = random.Random(1234)
+    base = datetime(2024, 6, 1)
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b", "c"]),
+            base + timedelta(microseconds=rng.randrange(0, 60_000_000)),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    band = 3_000_000
+    got = {
+        (r.a_event_id, r.b_event_id)
+        for r in band_self_join(
+            df, ["event_type"], "ts", band, "event_id"
+        ).collect()
+    }
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for i, k, ts in rows:
+        by_key.setdefault(k, []).append((i, int(ts.timestamp() * 1_000_000)))
+    want = {
+        (i, j)
+        for pairs in by_key.values()
+        for i, ti in pairs
+        for j, tj in pairs
+        if i != j and abs(ti - tj) <= band
+    }
+    assert got == want and len(want) > 1000
