@@ -347,3 +347,103 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+# --- portable minhash (cross-engine verifiable) ------------------------------
+
+# Prime modulus > 2^32; with multipliers < 2^21, (a*hv + b) stays < 2^62 —
+# no int64 overflow in either engine.
+PORTABLE_P = 4294967311
+PORTABLE_AS = [1000003 + 7919 * i for i in range(16)]
+PORTABLE_BS = [12345 + 999983 * i for i in range(16)]
+
+
+def portable_shingle_hash(col) -> F.Column:
+    """60-bit integer from md5 hex — the one hash both Spark and DuckDB
+    compute identically (F.hash/xxhash64 have no DuckDB counterpart)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % F.lit(PORTABLE_P)
+    )
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Banded minhash LSH with md5-derived permutation hashes, plus the
+    signature-agreement fraction per candidate pair.
+
+    Same plan shape as ``minhash_lsh_candidates`` (one shuffle to
+    signatures, bucket-local pair generation) but every number is
+    reproducible in ANSI SQL, so the WHOLE algorithm — shingling,
+    signatures, banding, candidate pairs, agreement — sits under the
+    DuckDB oracle gate. The xxhash64 variant stays the fast path; this is
+    the correctness witness that the minhash machinery computes what it
+    claims.
+    """
+    rows_per_band = n_hashes // bands
+    sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
+    hv = sh.select(id_col, portable_shingle_hash(F.col("sh")).alias("hv"))
+    flat = hv.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(PORTABLE_AS[i]) * F.col("hv") + F.lit(PORTABLE_BS[i]))
+                % F.lit(PORTABLE_P)
+            ).alias(f"__s{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    banded = flat.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"__s{b * rows_per_band + r}").cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    pairs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_of_sorted("ids")).alias("p"))
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .distinct()
+    )
+    sig_a = flat.select(
+        F.col(id_col).alias("doc_id_a"),
+        *[F.col(f"__s{i}").alias(f"__a{i}") for i in range(n_hashes)],
+    )
+    sig_b = flat.select(
+        F.col(id_col).alias("doc_id_b"),
+        *[F.col(f"__s{i}").alias(f"__b{i}") for i in range(n_hashes)],
+    )
+    agreement = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    ) / F.lit(float(n_hashes))
+    return (
+        pairs.join(sig_a, "doc_id_a")
+        .join(sig_b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", agreement.alias("sig_agreement"))
+    )

@@ -2351,3 +2351,79 @@ def sample_stable_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+def _minhash_portable_oracle_sql() -> str:
+    """The md5-minhash pipeline, mirrored term-for-term in SQL. Built
+    programmatically so the permutation constants can never drift from
+    operators/dedup.py."""
+    from erigon_extract_spark.operators.dedup import (
+        PORTABLE_AS,
+        PORTABLE_BS,
+        PORTABLE_P,
+    )
+
+    n, bands, rpb = 16, 4, 4
+    mins = ",\n             ".join(
+        f"MIN(({PORTABLE_AS[i]} * hv + {PORTABLE_BS[i]}) % {PORTABLE_P})"
+        f" AS s{i}"
+        for i in range(n)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"s{b * rpb + r}" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(f"CAST(sa.s{i} = sb.s{i} AS INTEGER)" for i in range(n))
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+      FROM words,
+           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+      WHERE length(array_to_string(list_slice(w, i, i + 4), ' ')) > 0
+    ),
+    hv AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+               % {PORTABLE_P} AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT p.doc_id_a, p.doc_id_b,
+           ({agree}) / 16.0 AS sig_agreement
+    FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_id_a
+      JOIN sig sb ON sb.doc_id = p.doc_id_b
+    """
+
+
+@query("dedup_minhash_portable", _minhash_portable_oracle_sql())
+def dedup_minhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-matched minhash LSH: md5-derived permutation hashes make
+    shingling, signatures, banding, candidate pairs, AND the signature-
+    agreement fraction reproducible in DuckDB — the correctness witness
+    for the xxhash64 fast path (dedup_minhash_lsh, rows-only)."""
+    from erigon_extract_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(docs)
