@@ -447,3 +447,80 @@ def minhash_lsh_pairs_portable(
         .join(sig_b, "doc_id_b")
         .select("doc_id_a", "doc_id_b", agreement.alias("sig_agreement"))
     )
+
+
+def simhash_pairs_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash near-pairs with the portable md5 hash and a 32-bit
+    fingerprint — every vote, bit, chunk, and Hamming distance
+    reproducible in SQL (the oracle witness for the 63-bit xxhash64
+    fast path). Pigeonhole banding: 4 chunks of n_bits/4; distance <= 3
+    guarantees at least one equal chunk."""
+    chunk_bits = n_bits // 4
+    sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
+    hv = sh.select(id_col, portable_shingle_hash(F.col("sh")).alias("h"))
+    votes = hv.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(n_bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    fps = votes.select(id_col, fp.alias("simhash"))
+    chunks = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.ck")
+    buckets = (
+        chunks.groupBy("chunk", "ck")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col), F.col("simhash")))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode(_pairs_of_sorted("ids")).alias("p"))
+        .select(
+            F.col(f"p.a.{id_col}").alias("doc_id_a"),
+            F.col(f"p.b.{id_col}").alias("doc_id_b"),
+            F.col("p.a.simhash").alias("ha"),
+            F.col("p.b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

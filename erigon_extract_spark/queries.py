@@ -2427,3 +2427,75 @@ def dedup_minhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return minhash_lsh_pairs_portable(docs)
+
+
+def _simhash_portable_oracle_sql() -> str:
+    """32-bit portable SimHash mirrored in SQL: per-bit ±1 vote sums,
+    sign-bit reassembly, 8-bit chunk banding, Hamming filter."""
+    from erigon_extract_spark.operators.dedup import PORTABLE_P
+
+    n_bits, chunk_bits = 32, 8
+    vote_cols = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(n_bits)
+    )
+    fp_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    chunk_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, fp, {i} AS chunk, (fp >> {i * chunk_bits})"
+        f" & {(1 << chunk_bits) - 1} AS ck FROM fp"
+        for i in range(4)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 1), ' ') AS sh
+      FROM words,
+           UNNEST(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)
+      WHERE length(array_to_string(list_slice(w, i, i + 1), ' ')) > 0
+    ),
+    hv AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+               % {PORTABLE_P} AS hv
+      FROM sh
+    ),
+    votes AS (
+      SELECT doc_id,
+             {vote_cols}
+      FROM hv GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, {fp_sum} AS fp FROM votes
+    ),
+    chunks AS (
+      {chunk_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+             l.fp AS ha, r.fp AS hb
+      FROM chunks l JOIN chunks r
+        ON l.chunk = r.chunk AND l.ck = r.ck AND l.doc_id < r.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, bit_count(xor(ha, hb)) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(ha, hb)) <= 3
+    """
+
+
+@query("dedup_simhash_portable", _simhash_portable_oracle_sql())
+def dedup_simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-matched SimHash near-dup pairs — the correctness witness for
+    the 63-bit xxhash64 fast path (dedup_simhash, rows-only)."""
+    from erigon_extract_spark.operators.dedup import simhash_pairs_portable
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_pairs_portable(docs)
