@@ -2499,3 +2499,37 @@ def dedup_simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return simhash_pairs_portable(docs)
+
+
+# ONE ANSI string both engines parse and execute — the spark.sql() front
+# end is itself part of the engine's user surface (SURVEY.md §2.13: the
+# reference has no query language; ours is DataFrame + SQL).
+_SQL_SURFACE = """
+    WITH big AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(b.spend) AS DOUBLE), 2) AS segment_spend
+    FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
+    WHERE EXISTS (
+      SELECT 1 FROM nation n
+      WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey < 3
+    )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_entrypoint", _SQL_SURFACE)
+def sql_entrypoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end as a first-class entry point: register the tables
+    as views, submit the IDENTICAL ANSI text the DuckDB oracle runs (CTE,
+    correlated EXISTS, decimal aggregation), return the result. Catalyst
+    plans the EXISTS as a broadcast semi join — same physical shape as the
+    DataFrame-API queries."""
+    for t in ("orders", "customer", "nation"):
+        _load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_SURFACE)

@@ -84,3 +84,40 @@ def test_stream_windowed_counts_runs(spark, sf_dir, events_dir):
     # schema is right
     df = spark.sql("SELECT * FROM win_counts_t")
     assert df.columns == ["window_start", "window_end", "event_type", "n_events"]
+
+
+def test_stream_band_join_matches_batch(spark, sf_dir, events_dir):
+    """The watermarked stream-stream interval join must produce exactly the
+    batch band join's pair set (availableNow processes everything, so no
+    pairs are lost to late-data eviction here)."""
+    from erigon_extract_spark.operators.rangejoin import band_self_join
+    from erigon_extract_spark.streaming.stream_join import stream_band_self_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    joined = stream_band_self_join(
+        stream, ["event_type"], "ts", band_seconds=3600, id_col="event_id"
+    )
+    _run_available_now(
+        joined.select("a_event_id", "b_event_id"), "band_pairs", "append"
+    )
+    got = {
+        (r.a_event_id, r.b_event_id)
+        for r in spark.sql("SELECT * FROM band_pairs").collect()
+    }
+
+    batch = spark.read.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = {
+        (r.a_event_id, r.b_event_id)
+        for r in band_self_join(
+            batch, ["event_type"], "ts", 3_600_000_000, "event_id"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
