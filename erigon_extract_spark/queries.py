@@ -2533,3 +2533,62 @@ def sql_entrypoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         _load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_SURFACE)
+
+
+@query(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS k_total
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def json_extract_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (SURVEY.md §2.13): extract a field from the
+    semi-structured props column JVM-side (get_json_object — no Python in
+    the path) and aggregate on it. At scale the extraction is a map-side
+    projection; only the grouped result shuffles."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy("event_type", (k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum(k).alias("k_total"))
+    )
+
+
+@query(
+    "date_scalar_surface",
+    """
+    SELECT EXTRACT(YEAR FROM l_shipdate) AS y,
+           EXTRACT(MONTH FROM l_shipdate) AS m,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty,
+           MIN(EXTRACT(dow FROM l_shipdate)) AS min_dow,
+           MAX(EXTRACT(doy FROM l_shipdate)) AS max_doy,
+           MIN(date_diff('day', DATE '1992-01-01', l_shipdate)) AS min_epoch_day
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def date_scalar_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar library over the ship-date axis (SURVEY.md §2.13;
+    the reference's only time axis is the block number). Conventions are
+    normalized to DuckDB's: dow 0=Sunday (Spark dayofweek is 1=Sunday),
+    doy and EXTRACT match directly."""
+    li = _load(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate")
+    return li.groupBy(
+        F.year(d).alias("y"), F.month(d).alias("m")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.min(F.dayofweek(d) - 1).alias("min_dow"),
+        F.max(F.dayofyear(d)).alias("max_doy"),
+        F.min(F.datediff(d, F.lit("1992-01-01"))).alias("min_epoch_day"),
+    )
