@@ -67,6 +67,61 @@ def write_sorted_parquet(
     )
 
 
+def write_block_partitioned(
+    df: DataFrame,
+    path: str,
+    block_col: str = "block",
+    blocks_per_bucket: int = 100_000,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Changeset layout for the 100 TB path: hive-partition by a derived
+    block bucket (the Spark analogue of the reference's 100k-block job
+    ranges, erigon_extract.c:2534-2543). A block-range predicate then
+    prunes whole directories at PLANNING time (PartitionFilters), before
+    any footer is read — the scan cost of `extract_blockrange(s, e)`
+    becomes proportional to the range, not the table."""
+    from pyspark.sql import functions as F
+
+    bucketed = df.withColumn(
+        "block_bucket", (F.col(block_col) / blocks_per_bucket).cast("long")
+    )
+    writer = bucketed.write.partitionBy("block_bucket").mode("overwrite")
+    if sort_cols:
+        bucketed = bucketed.repartition("block_bucket")
+        writer = (
+            bucketed.sortWithinPartitions("block_bucket", *sort_cols)
+            .write.partitionBy("block_bucket")
+            .mode("overwrite")
+        )
+    writer.parquet(path)
+
+
+def read_block_range(
+    spark: SparkSession,
+    path: str,
+    block_start: int,
+    block_end: int,
+    blocks_per_bucket: int = 100_000,
+) -> DataFrame:
+    """S2's scale path over the block-partitioned layout. Catalyst cannot
+    derive ``block_bucket`` bounds from a ``block`` predicate on its own
+    (the bucket is a stored directory key, not an expression it can
+    invert), so this helper adds BOTH: the bucket range becomes a
+    PartitionFilter that prunes directories at planning time; the block
+    range remains as the row-level pushed filter inside surviving buckets.
+    ``block_end`` is inclusive (reference stop condition,
+    erigon_extract.c:1598-1600)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    return df.filter(
+        F.col("block_bucket").between(
+            block_start // blocks_per_bucket, block_end // blocks_per_bucket
+        )
+        & F.col("block").between(block_start, block_end)
+    )
+
+
 def write_manifest(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     """Compute row counts (per kind when present) and write a JSON manifest
     next to the data. Counts come from real aggregation — one job."""
