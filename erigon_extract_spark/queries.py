@@ -2592,3 +2592,58 @@ def date_scalar_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.dayofyear(d)).alias("max_doy"),
         F.min(F.datediff(d, F.lit("1992-01-01"))).alias("min_epoch_day"),
     )
+
+
+@query(
+    "array_scalar_surface",
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           list_max(embedding) AS max_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           embedding[5] AS fifth
+    FROM embeddings
+    """,
+)
+def array_scalar_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar library (SURVEY.md §2.13) over the embedding column:
+    size / max / filtered count / indexing, all structural (no float
+    accumulation, so values compare exactly). DuckDB lists are 1-indexed;
+    element_at matches that convention."""
+    emb = _load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.array_max(v).alias("max_val"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.element_at(v, 5).alias("fifth"),
+    )
+
+
+@query(
+    "text_explode_sentences",
+    """
+    SELECT doc_id, i AS sentence_idx, length(w[i]) AS sentence_len
+    FROM (
+      SELECT doc_id, string_split(text, '. ') AS w FROM documents
+    ), UNNEST(generate_series(1, len(w))) AS t(i)
+    WHERE length(w[i]) > 0
+    """,
+)
+def text_explode_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating surface (the UDTF shape, §2.13) as a built-in
+    posexplode — one row per sentence with its ordinal. At scale this is a
+    map-side Generate node: no shuffle, output partitioning inherits the
+    scan."""
+    docs = _load(spark, sf_dir, "documents")
+    split_col = F.split(F.col("text"), r"\. ")
+    return (
+        docs.select("doc_id", F.posexplode(split_col).alias("pos", "s"))
+        .filter(F.length("s") > 0)
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("sentence_idx"),
+            F.length("s").alias("sentence_len"),
+        )
+    )
