@@ -2647,3 +2647,27 @@ def text_explode_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("s").alias("sentence_len"),
         )
     )
+
+
+@query(
+    "stream_latest_state_batch",
+    """
+    SELECT user_id,
+           MAX(ts) AS ts,
+           arg_max(event_type, ts) AS event_type,
+           arg_max(value, ts) AS value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_latest_state_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming latest-state builder itself, oracle-gated in batch
+    mode (no (user_id, ts) ties in the data, so max_by/arg_max agree
+    deterministically). This is the running-state operator the update-mode
+    stream maintains — O(#live keys) state at any input size."""
+    from erigon_extract_spark.streaming.latest_state import stream_latest_state
+
+    ev = _events(spark, sf_dir)
+    return stream_latest_state(
+        ev, ["user_id"], version_col="ts", value_cols=["event_type", "value"]
+    ).select("user_id", "ts", "event_type", "value")
