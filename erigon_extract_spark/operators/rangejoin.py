@@ -35,7 +35,12 @@ def band_self_join(
     semantics). Returns the probe-side row (prefixed ``a_``) with the
     matched build-side id and timestamp (prefixed ``b_``).
     """
-    us = F.unix_micros(F.col(ts_col))
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # unix_micros requires TIMESTAMP; under a UTC session the cast is
+        # value-preserving
+        ts = ts.cast("timestamp")
+    us = F.unix_micros(ts)
     bucket = F.floor(us / F.lit(band_us))
 
     probe = (

@@ -49,19 +49,18 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries nanosecond timestamps, which Spark's Parquet
-    reader rejects (TIMESTAMP(NANOS) unsupported). Read nanos as long and
-    truncate to microseconds — exactly what DuckDB's TIMESTAMP does, so the
-    oracle comparison stays value-identical."""
+    """events.parquet has shipped with nanosecond timestamps (which Spark's
+    Parquet reader rejects without nanosAsLong) and with microsecond NTZ
+    timestamps, depending on the generator version. Normalize either to
+    TIMESTAMP — under a UTC session the values match DuckDB's TIMESTAMP
+    exactly, so the oracle comparison stays value-identical."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        # integer division — a double round-trip loses precision at ns scale
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from erigon_extract_spark.sources.tables import normalize_event_ts
+
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _dsum(col) -> F.Column:

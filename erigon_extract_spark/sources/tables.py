@@ -35,6 +35,33 @@ _SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (microsecond, UTC session)
+    regardless of how the parquet writer encoded it.
+
+    Three encodings appear in the wild (the driver's testdata has shipped
+    two of them across regenerations):
+
+    - ``TIMESTAMP(NANOS)`` read with ``spark.sql.legacy.parquet.nanosAsLong``
+      → a ``bigint`` of nanoseconds: integer-divide to micros (a double
+      round-trip loses precision at ns scale) and rebuild the timestamp.
+    - ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` → ``timestamp_ntz``:
+      cast to ``timestamp``; with ``spark.sql.session.timeZone=UTC`` the
+      wall-clock values are unchanged, so DuckDB oracle parity holds.
+    - plain ``timestamp``: pass through.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     """Read a domain table with its declared schema (no inference drift)."""
     schema = _SCHEMAS.get(name)

@@ -10,6 +10,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from erigon_extract_spark.sources.tables import normalize_event_ts
 from erigon_extract_spark.streaming import (
     stream_latest_state,
     stream_windowed_counts,
@@ -71,10 +72,8 @@ def test_stream_latest_state_matches_batch(spark, sf_dir, events_dir):
 def test_stream_windowed_counts_runs(spark, sf_dir, events_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema).parquet(events_dir)
     )
     out = stream_windowed_counts(
         stream, "ts", window_duration="1 day", group_cols=["event_type"]
@@ -95,10 +94,8 @@ def test_stream_band_join_matches_batch(spark, sf_dir, events_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(events_dir)
     )
     joined = stream_band_self_join(
         stream, ["event_type"], "ts", band_seconds=3600, id_col="event_id"
@@ -111,9 +108,7 @@ def test_stream_band_join_matches_batch(spark, sf_dir, events_dir):
         for r in spark.sql("SELECT * FROM band_pairs").collect()
     }
 
-    batch = spark.read.parquet(events_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = normalize_event_ts(spark.read.parquet(events_dir))
     want = {
         (r.a_event_id, r.b_event_id)
         for r in band_self_join(
