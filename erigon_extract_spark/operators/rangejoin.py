@@ -37,10 +37,17 @@ def band_self_join(
     """
     ts = F.col(ts_col)
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        # unix_micros requires TIMESTAMP; under a UTC session the cast is
-        # value-preserving
-        ts = ts.cast("timestamp")
-    us = F.unix_micros(ts)
+        # unix_micros requires TIMESTAMP, and a bare NTZ→TIMESTAMP cast
+        # interprets the wall clock in the SESSION timezone — under a
+        # non-UTC session, pairs spanning a DST transition would get micros
+        # deltas distorted by the offset change. Diffing NTZ values against
+        # a fixed NTZ epoch is pure wall-clock arithmetic: timezone- and
+        # DST-independent by construction.
+        us = F.timestampdiff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts
+        )
+    else:
+        us = F.unix_micros(ts)
     bucket = F.floor(us / F.lit(band_us))
 
     probe = (

@@ -113,12 +113,22 @@ def sessionize(
     """
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    prev = F.lag(time_col).over(w)
-    is_new = F.when(
-        prev.isNull()
-        | (F.col(time_col).cast("double") - prev.cast("double") > gap_seconds),
-        1,
-    ).otherwise(0)
+    # Gap math on integer microseconds, never float seconds: double epochs at
+    # 2024 magnitudes carry ~µs quantization, so a gap of exactly
+    # `gap_seconds` can flip between engines depending on rounding. Integer
+    # micros are exact on both Spark and any ANSI oracle
+    # (epoch_us / date_diff('microsecond', ...)).
+    from pyspark.sql import types as T
+
+    dt = df.schema[time_col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        tick = F.unix_micros(F.col(time_col).cast("timestamp"))
+        gap = F.lit(int(gap_seconds) * 1_000_000)
+    else:
+        tick = F.col(time_col).cast("double")
+        gap = F.lit(gap_seconds)
+    prev = F.lag(tick).over(w)
+    is_new = F.when(prev.isNull() | (tick - prev > gap), 1).otherwise(0)
     run = (
         Window.partitionBy(*key_cols)
         .orderBy(*order)

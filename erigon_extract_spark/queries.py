@@ -1047,12 +1047,17 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sessionize_events",
     """
-    WITH g AS (
+    WITH e AS (
+      -- truncate to µs to match the Spark read (ns parquet → `ts div 1000`)
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > CAST(3600 AS BIGINT) * 1000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,

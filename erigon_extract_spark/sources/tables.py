@@ -54,9 +54,24 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
     dtype = dict(df.dtypes).get(ts_col)
     if dtype in ("bigint", "long"):
-        return df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        # Integer column is assumed to be epoch NANOSECONDS (the only integer
+        # encoding the generator has shipped; `nanosAsLong` reads produce it).
+        # Guard the assumption at run time: epoch-micros or -millis input
+        # would land 1000-5000x outside the plausible ns range and otherwise
+        # mis-scale silently. assert_true returns NULL when the predicate
+        # holds, so the `when` collapses to the converted value.
+        ts_micros = F.expr(f"`{ts_col}` div 1000")  # backticked: any identifier
+        plausible = F.col(ts_col).isNull() | ts_micros.between(
+            F.lit(631_152_000_000_000),  # 1990-01-01 in epoch-µs
+            F.lit(4_102_444_800_000_000),  # 2100-01-01 in epoch-µs
         )
+        guarded = F.when(
+            F.assert_true(
+                plausible, F.lit(f"{ts_col}: integer value is not epoch-nanos")
+            ).isNull(),
+            F.timestamp_micros(ts_micros),
+        )
+        return df.withColumn(ts_col, guarded)
     if dtype == "timestamp_ntz":
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
