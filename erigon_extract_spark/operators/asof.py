@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,37 +50,78 @@ def as_of_join(
 ) -> DataFrame:
     """As-of join: for each left row, attach the latest right row with
     right_time <= left_time (backward) or earliest with >= (forward),
-    matching on equi-keys ``on``.
+    matching on equi-keys ``on``. Every left row survives (nulls if no
+    match). Output columns: all of ``left``'s, then ``right``'s non-key
+    columns (including ``right_time`` — the matched version).
 
-    Implementation: equi-join on keys + time inequality, then keep the best
-    right match per left row via max_by/min_by over a deterministic left row
-    id. For large fact-to-fact as-of joins, pre-bucket both sides on ``on``
-    so the equi-join is shuffle-free; the inequality is applied as a
-    post-join filter that Catalyst pushes into the join condition.
+    Physical strategy — the *merge* shape: union both sides with a side
+    tag, one window over (keys ORDER BY time, side) carrying the running
+    ``last`` right row forward (backward direction; time DESC for
+    forward). Cost is ONE shuffle of |L|+|R| rows and linear work per key —
+    no per-key pair materialization, so a hot key with a million rows on
+    both sides stays O(|L_k|+|R_k|), not O(|L_k|·|R_k|). When the inputs
+    are already partitioned/bucketed by ``on`` the window reuses the
+    partitioning and the join is shuffle-free. (A broadcast equi-join +
+    per-row pick was measured and rejected: it shuffles |L|·avg|R_k| joined
+    rows on a unique row id with no partial aggregation — strictly more
+    than |L|+|R| even when the right side is dimension-sized.)
+
+    Right rows at exactly the left row's time DO match in both directions
+    (<=/>= semantics): the side tag orders right before left within a tie.
+    The matched right row's columns travel as ONE struct, so a NULL in one
+    right value column can never mix columns from different right rows.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
-
-    lid = F.monotonically_increasing_id()
-    lt = left.withColumn("__lid", lid)
+    on = list(on)
+    l_payload = [c for c in left.columns if c not in on]
     right_cols = [c for c in right.columns if c not in on]
-    rt = right.select(
-        *on, *[F.col(c).alias(f"__r_{c}") for c in right_cols]
+
+    l_tag = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in l_payload],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}"
+                for c in right_cols
+            )
+            + ">"
+        )
+        .alias("__rs"),
     )
-    cond = (
-        F.col(f"__r_{right_time}") <= F.col(left_time)
-        if direction == "backward"
-        else F.col(f"__r_{right_time}") >= F.col(left_time)
+    r_tag = right.filter(F.col(right_time).isNotNull()).select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in l_payload
+        ],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rs"),
     )
-    joined = lt.join(rt, on=list(on), how="left")
-    pick = F.max_by if direction == "backward" else F.min_by
-    left_cols = [c for c in lt.columns if c != "__lid"]
-    # Rows failing the time inequality contribute NULL ordering keys, which
-    # max_by/min_by ignore — so every left row survives (nulls if no match).
-    agg = [F.first(c, ignorenulls=False).alias(c) for c in left_cols] + [
-        pick(
-            F.when(cond, F.col(f"__r_{c}")), F.when(cond, F.col(f"__r_{right_time}"))
-        ).alias(c)
-        for c in right_cols
-    ]
-    return joined.groupBy("__lid").agg(*agg).drop("__lid")
+    unioned = r_tag.unionByName(l_tag)
+
+    if direction == "backward":
+        # nulls_first: a left row with NULL time sorts before any right row
+        # and therefore matches nothing — same as the inequality semantics.
+        order = [F.col("__t").asc_nulls_first(), F.col("__side").asc()]
+    else:
+        order = [F.col("__t").desc_nulls_first(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__rm", F.last("__rs", ignorenulls=True).over(w))
+
+    return matched.filter(F.col("__side") == 1).select(
+        *[
+            F.col(c) if c in on else F.col(f"__l_{c}").alias(c)
+            for c in left.columns
+        ],
+        *[F.col("__rm").getField(c).alias(c) for c in right_cols],
+    )

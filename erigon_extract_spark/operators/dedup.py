@@ -33,12 +33,23 @@ def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFra
     downstream narrow stage (shingling a 5k-doc file on one of 32 cores was
     the whole minhash cost at sf0.1). At 100 TB the scan already yields
     thousands of splits and this is a no-op — the guard keeps the extra
-    shuffle out of the big-data path."""
+    shuffle out of the big-data path.
+
+    The narrowness probe is ``df.inputFiles()`` (a driver-side listing),
+    NOT ``df.rdd.getNumPartitions()`` — the latter forces a full
+    DataFrame→RDD plan conversion on the driver per call. File count
+    under-estimates splits for large splittable files, which only makes
+    the guard conservative (it widens when it didn't strictly need to);
+    apply it to scans, not post-shuffle frames."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_source_files = len(df.inputFiles())
+    except Exception:  # non-file source (in-memory relation, stream)
+        n_source_files = 0
+    if n_source_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def _pairs_of_sorted(ids_col: str) -> F.Column:
@@ -151,7 +162,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH.
 
@@ -162,9 +173,14 @@ def minhash_lsh_candidates(
     pairs are generated bucket-locally, so the whole doc pipeline (shingle,
     minhash) is scanned once instead of twice and the shuffled bytes are
     proportional to data size, not to the quadratic pair space. Bucket
-    sizes are small w.h.p.; for 100 TB runs pass ``max_bucket_size`` to
-    drop degenerate boilerplate buckets (every member is a near-dup of the
-    others, so route those to exact_dedup instead of pairing O(k²)).
+    sizes are small w.h.p. EXCEPT for degenerate boilerplate corpora (the
+    same license header in a million docs), where one bucket would emit
+    O(k²) pairs from a single task — so ``max_bucket_size`` caps buckets
+    BY DEFAULT and oversized ones are dropped from pairing. Members of a
+    dropped bucket agree on an entire band sub-signature, i.e. they are
+    wholesale near-identical: route them through ``exact_dedup`` (or keep
+    one representative per bucket) instead of enumerating pairs. Pass
+    ``max_bucket_size=None`` only when the corpus is known boilerplate-free.
     """
     rows_per_band = n_hashes // bands
     # Band buckets straight from the flat min-hash aggregate columns.
@@ -295,13 +311,18 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs under SimHash Hamming distance, banded into four
     16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal).
 
     Same bucket-local pair generation as minhash_lsh_candidates: one scan
     of the fingerprint pipeline, one shuffle on (chunk, chunk_value), pairs
-    emitted inside each bucket."""
+    emitted inside each bucket. ``max_bucket_size`` (on by default) drops
+    degenerate chunk buckets — boilerplate corpora put thousands of docs in
+    one 16-bit chunk value, which would emit O(k²) pairs from one task;
+    members of a dropped bucket share a whole fingerprint chunk, so handle
+    them via exact_dedup / one-representative selection instead."""
     fps = simhash(widen_if_narrow(docs), text_col, shingle_n, id_col)
     chunks = fps.select(
         id_col,
@@ -331,6 +352,8 @@ def simhash_near_pairs(
         )
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = (
         buckets.select(F.explode(_pairs_of_sorted("ids")).alias("p"))
         .select(

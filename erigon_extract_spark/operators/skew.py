@@ -21,39 +21,66 @@ from pyspark.sql import functions as F
 def salted_agg(
     df: DataFrame,
     key_cols: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, "Column | tuple[Column, object]"],
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation: salt the key, partially aggregate per
-    (key, salt), then merge. Only SUM/COUNT/MIN/MAX-decomposable aggregates
-    belong here; pass the phase-1 expression and the phase-2 merge is the
-    same function over the partials.
+    (key, salt), then merge. Only aggregates with a correct two-phase
+    decomposition belong here.
 
-    aggs maps output column name → phase-1 aggregate expression.
+    ``aggs`` maps output column name → either
+    - a phase-1 Column whose head is one of ``sum``/``count``/``min``/
+      ``max`` (the only heads whose merge can be inferred safely: count
+      merges with sum, the rest with themselves), or
+    - an explicit ``(phase1_column, merge)`` pair, where ``merge`` is a
+      callable Column→Column for phase 2 (e.g. decompose avg yourself as a
+      salted sum + salted count and divide).
+
+    Any other phase-1 head RAISES instead of silently mis-merging — an
+    ``avg`` of partial avgs or a re-collected ``collect_set`` would return
+    plausible-looking wrong numbers, which is strictly worse than an error.
     """
     salted = df.withColumn(
         "__salt", F.pmod(F.hash(*key_cols, F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
+    phase1_exprs: dict[str, Column] = {}
+    merges: dict[str, object] = {}
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            expr, merge = spec
+            if not callable(merge):
+                raise TypeError(
+                    f"salted_agg[{name!r}]: explicit merge must be callable"
+                )
+        else:
+            expr, merge = spec, _infer_merge(name, spec)
+        phase1_exprs[name] = expr
+        merges[name] = merge
     phase1 = salted.groupBy(*key_cols, "__salt").agg(
-        *[expr.alias(name) for name, expr in aggs.items()]
+        *[expr.alias(name) for name, expr in phase1_exprs.items()]
     )
-    merge = {
-        name: _merge_fn(expr)(F.col(name)).alias(name) for name, expr in aggs.items()
-    }
-    return phase1.groupBy(*key_cols).agg(*merge.values())
+    return phase1.groupBy(*key_cols).agg(
+        *[merges[name](F.col(name)).alias(name) for name in phase1_exprs]
+    )
 
 
-def _merge_fn(expr: Column):
-    """Pick the merge aggregate for a phase-1 expression by its head
-    function name (sum/count merge with sum; min/max with min/max)."""
-    s = expr._jc.toString().lower()
-    if s.startswith("count("):
-        return F.sum
-    if s.startswith("min("):
-        return F.min
-    if s.startswith("max("):
-        return F.max
-    return F.sum
+_INFERABLE_MERGES = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _infer_merge(name: str, expr: Column):
+    """Merge aggregate for a phase-1 expression, by its head function name.
+    Only decomposable heads are inferable; anything else must come with an
+    explicit merge (see salted_agg docstring)."""
+    s = expr._jc.toString().lower().lstrip()
+    head = s.split("(", 1)[0].strip()
+    fn = _INFERABLE_MERGES.get(head)
+    if fn is None:
+        raise ValueError(
+            f"salted_agg[{name!r}]: cannot infer a two-phase merge for "
+            f"phase-1 head {head!r} (expression: {s[:80]}). Pass an explicit "
+            "(phase1, merge) tuple — e.g. avg = salted sum / salted count."
+        )
+    return fn
 
 
 def salted_join(

@@ -179,3 +179,24 @@ def test_multimodal_resize_stub(spark):
     with _pytest.raises(Exception, match="PIL"):
         resize_images(media.filter(F.col("payload").isNotNull()),
                       fake_decode=False).collect()
+
+
+def test_lsh_bucket_cap_drops_degenerate_boilerplate(spark):
+    """A boilerplate corpus (every doc identical) lands in one LSH bucket;
+    the default cap must keep that bucket from emitting O(k^2) pairs, and
+    cap=None must restore the exhaustive behavior."""
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, "the same license header repeated verbatim in every file") for i in range(n)]
+        + [(1000, "a completely different document about spark physical plans")],
+        "doc_id int, text string",
+    )
+    capped = minhash_lsh_candidates(docs, shingle_n=2, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_candidates(docs, shingle_n=2, max_bucket_size=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+    sim_capped = simhash_near_pairs(docs, shingle_n=2, max_bucket_size=10)
+    assert sim_capped.count() == 0
+    sim_uncapped = simhash_near_pairs(docs, shingle_n=2, max_bucket_size=None)
+    assert sim_uncapped.count() == n * (n - 1) // 2

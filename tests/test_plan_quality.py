@@ -170,3 +170,18 @@ def test_band_join_is_shuffle_equi_join(spark, sf_dir):
     plan = _plan(q.QUERIES["range_interval_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_linear_merge_single_shuffle(spark):
+    """as_of_join must compile to the union+window merge: ONE hash exchange
+    on the keys, no monotonically_increasing_id, no join node at all — the
+    shape whose cost is |L|+|R| rather than per-key |L_k|x|R_k|."""
+    from erigon_extract_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10, "l")], "k int, t int, lv string")
+    right = spark.createDataFrame([(1, 8, "r")], "k int, rt int, rv string")
+    df = as_of_join(left, right, ["k"], "t", "rt")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -103,3 +103,34 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in saved.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_salted_agg_rejects_non_decomposable_head(spark):
+    """avg of partial avgs is wrong; the operator must raise, not mis-merge."""
+    import pytest
+    from pyspark.sql import functions as F
+    from erigon_extract_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0)], "k int, v double")
+    with pytest.raises(ValueError, match="cannot infer"):
+        salted_agg(df, ["k"], {"a": F.avg("v")}).collect()
+
+
+def test_salted_agg_explicit_merge_for_avg(spark):
+    from pyspark.sql import functions as F
+    from erigon_extract_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (1, 9.0), (2, 5.0)], "k int, v double"
+    )
+    out = salted_agg(
+        df,
+        ["k"],
+        {
+            "s": (F.sum("v"), F.sum),
+            "n": (F.count("v"), F.sum),
+        },
+        salt_buckets=4,
+    ).withColumn("avg_v", F.col("s") / F.col("n"))
+    got = {r.k: (r.s, r.n, r.avg_v) for r in out.collect()}
+    assert got == {1: (15.0, 3, 5.0), 2: (5.0, 1, 5.0)}
