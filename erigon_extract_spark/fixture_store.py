@@ -40,7 +40,7 @@ from erigon_extract_spark.functions.decode import (
 FIXTURE_DIR = Path(__file__).resolve().parent.parent / "fixtures_parquet"
 PARAMS = {"seed": 42, "n_addresses": 8, "n_blocks": 120, "n_body_blocks": 10}
 _MARKER = "_VERSION.json"
-_VERSION = 2
+_VERSION = 3
 
 RAW_TABLES = (
     "account_changesets",
@@ -172,6 +172,28 @@ def generate_all(target: Path) -> None:
             stor_types,
             fxmod.storage_snapshot_rows(fx, at_block),
         )
+
+    # --- reference-dialect golden file (merged full-history layout) ---
+    # The expected state-history rows, encoded byte-exactly in the
+    # reference's merged-file format (256-byte header + strategy-0 stream
+    # with 4 KiB restart pages). Decoding it with codec/refstream must
+    # reproduce the rows the oracle SQL derives — that puts the format
+    # codec itself under the driver's hash gate.
+    from erigon_extract_spark.codec import refstream as rs
+
+    items = []
+    for addr, kind, inc, slot, block_from, nonce, bal, ch, val in (
+        fxmod.expected_state_history(fx)
+    ):
+        if kind == 0:
+            items.append(rs.AccountItem(block_from, addr, nonce, bal, inc, ch))
+        else:
+            items.append(rs.StorageItem(block_from, addr, inc, slot, val))
+    (target / "full-history.dat").write_bytes(
+        rs.encode_full_history_file(
+            items, block_start=0, block_end=fx.latest_block + 1
+        )
+    )
 
     (target / _MARKER).write_text(
         json.dumps({"version": _VERSION, "params": PARAMS}, sort_keys=True)

@@ -1395,6 +1395,35 @@ def erigon_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hex_history(updated)
 
 
+@query("ref_dialect_decode", _ERIGON_HISTORY_SQL)
+def ref_dialect_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact reference-format fidelity under the hash gate: decode the
+    golden merged full-history file (256-byte header + strategy-0 opcode
+    stream with 4 KiB restart pages, written by codec/refstream in the
+    reference's exact dialect — erigon_extract.c:1340-1428, 2266-2288) with
+    the PARALLEL page-range reader, and require the items to hash-match the
+    state-history oracle. Exercises opcode dispatch, number/delta/invert
+    codecs, choose-shorter slots, incarnation escapes, restart-page resets,
+    and the mapInPandas page-task fan-out."""
+    from erigon_extract_spark import fixture_store
+    from erigon_extract_spark.codec.refstream import read_ref_file_df
+
+    d = str(fixture_store.ensure())
+    df = read_ref_file_df(spark, f"{d}/full-history.dat", strategy=0,
+                          pages_per_task=2)
+    return df.select(
+        F.hex("address").alias("address"),
+        F.col("is_storage").cast("int").alias("kind"),
+        "incarnation",
+        F.hex("slot").alias("slot"),
+        F.col("block").alias("block_from"),
+        "nonce",
+        F.hex("balance").alias("balance"),
+        F.hex("code_hash").alias("code_hash"),
+        F.hex("value").alias("value"),
+    )
+
+
 _ERIGON_STATE_AT_SQL = (
     _erigon_history_cte()
     + """
@@ -2838,8 +2867,9 @@ _GATE_PRIORITY = [
     "erigon_state_history",
     "erigon_incremental_update",
     "erigon_state_at",
-    # generic analytics surface
-    "topk_per_group",
+    "ref_dialect_decode",
+    # generic analytics surface (topk_per_group sits past the window — its
+    # row_number shape is covered by window_ranking_surface)
     "set_ops_nations",
     "rollup_order_stats",
     "join_semi",
