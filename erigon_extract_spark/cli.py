@@ -1,0 +1,230 @@
+"""Command-line entry points — the inspect/transform surface of the
+reference binary (show_usage, erigon_extract.c:2595-2611), Spark-side.
+
+    python -m erigon_extract_spark.cli show <file>          # reference -s
+    python -m erigon_extract_spark.cli show -S <file>       # reference -S
+    python -m erigon_extract_spark.cli show -T <file>       # reference -T
+    python -m erigon_extract_spark.cli copy -T <in> <out>   # transcode (copy_file, 2047-2100)
+    python -m erigon_extract_spark.cli build --fixtures <outdir>   # pipeline -> sorted parquet
+    python -m erigon_extract_spark.cli dump <state_history_parquet>  # K5 canonical dump
+    python -m erigon_extract_spark.cli state-at <parquet> --block N [--address hex]
+
+``show`` mirrors the reference's output line formats (print_account /
+print_storage / the dim "(set ...)" trace lines, erigon_extract.c:361-424)
+without ANSI color, so dumps diff cleanly against reference output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _print_number(b: bytes) -> str:
+    """print_number (erigon_extract.c:89-103): hex with leading zero
+    NIBBLES trimmed; '0' when all zero."""
+    h = b.hex().lstrip("0")
+    return h if h else "0"
+
+
+def _show(args) -> int:
+    from erigon_extract_spark.codec import refstream as rs
+
+    data = open(args.file, "rb").read()
+    start = 256 if args.merged else 0
+    end = None
+    if args.merged:
+        hdr = rs.decode_header(data)
+        start, end = hdr["header_size"], hdr["end_of_states"]
+        print(f"(header end_of_states={end} page_shift={hdr['page_shift']} "
+              f"blocks={hdr['block_start']}..{hdr['block_end']})")
+
+    def trace(event, value):
+        if event == "block":
+            print(f"(set block={value})")
+        elif event == "address":
+            print(f"(set address={value.hex()})")
+        elif event == "incarnation":
+            print(f"(bytecode_incarnation={value})")
+
+    reader = rs.RefReader(strategy=args.strategy, trace=trace)
+    n = 0
+    for it in reader.items(data, start, end):
+        if it.is_storage:
+            print(f"  Storage block={it.block} "
+                  f"slot={it.address.hex()}/{it.slot.hex()}")
+            print(f"          inc={it.incarnation} "
+                  f"value={_print_number(it.value)}")
+        else:
+            code = (
+                "0"
+                if it.code_hash in (bytes(32), rs.EMPTY_CODE_HASH)
+                else it.code_hash.hex()
+            )
+            print(f"  Account block={it.block} address={it.address.hex()}")
+            print(f"          inc={it.incarnation} nonce={it.nonce} "
+                  f"balance={_print_number(it.balance)} codeHash={code}")
+        n += 1
+    print(f"({n} items)", file=sys.stderr)
+    return 0
+
+
+def _copy(args) -> int:
+    """copy_file equivalent (erigon_extract.c:2047-2100): decode with one
+    strategy/layout, re-encode with another — the round-trip verifier."""
+    from erigon_extract_spark.codec import refstream as rs
+
+    data = open(args.infile, "rb").read()
+    start, end = 0, None
+    blocks = None
+    if args.merged:
+        hdr = rs.decode_header(data)
+        start, end = hdr["header_size"], hdr["end_of_states"]
+        blocks = (hdr["block_start"], hdr["block_end"])
+    items = rs.decode_items(data, strategy=args.strategy, start=start, end=end)
+    if args.out_merged:
+        if blocks is None:
+            blocks = (
+                min((i.block for i in items), default=0),
+                max((i.block for i in items), default=0),
+            )
+        out = rs.encode_full_history_file(
+            items, block_start=blocks[0], block_end=blocks[1]
+        )
+    else:
+        out = rs.encode_items(items, strategy=args.out_strategy)
+    open(args.outfile, "wb").write(out)
+    print(f"({len(items)} items -> {len(out)} bytes)", file=sys.stderr)
+    return 0
+
+
+def _spark():
+    from erigon_extract_spark.session import get_spark
+
+    return get_spark(app_name="cli")
+
+
+def _build(args) -> int:
+    """Run the flagship pipeline end-to-end and write the sorted store
+    (the reference's full transformation run, erigon_extract.c:2663-2706)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from erigon_extract_spark import fixture_store
+    from erigon_extract_spark.plans.extract import (
+        decode_account_changesets,
+        decode_storage_changesets,
+        recover_code_hashes,
+        split_plain_state,
+    )
+    from erigon_extract_spark.plans.transpose import build_state_history
+    from erigon_extract_spark.schemas import (
+        ACCOUNT_CHANGESETS,
+        PLAIN_CODE_HASH,
+        PLAIN_STATE,
+        STORAGE_CHANGESETS,
+    )
+    from erigon_extract_spark.sources.tables import (
+        write_manifest,
+        write_sorted_parquet,
+    )
+
+    spark = _spark()
+    src = args.fixtures or str(fixture_store.ensure())
+    acs = spark.read.schema(ACCOUNT_CHANGESETS).parquet(
+        f"{src}/account_changesets.parquet"
+    )
+    scs = spark.read.schema(STORAGE_CHANGESETS).parquet(
+        f"{src}/storage_changesets.parquet"
+    )
+    ps = spark.read.schema(PLAIN_STATE).parquet(f"{src}/plain_state.parquet")
+    pch = spark.read.schema(PLAIN_CODE_HASH).parquet(
+        f"{src}/plain_code_hash.parquet"
+    )
+    acct = recover_code_hashes(decode_account_changesets(acs).drop("decode_error"), pch)
+    stor = decode_storage_changesets(scs).drop("decode_error")
+    ps_a, ps_s = split_plain_state(ps)
+    ps_acct = recover_code_hashes(
+        decode_account_changesets(ps_a).drop("decode_error"), pch
+    )
+    ps_stor = decode_storage_changesets(ps_s).drop("decode_error")
+    sh = build_state_history(acct, stor, ps_acct, ps_stor,
+                             num_partitions=args.partitions)
+    write_sorted_parquet(
+        sh, args.out, ["address", "kind", "incarnation", "slot", "block_from"],
+        num_partitions=args.partitions,
+    )
+    manifest = write_manifest(spark.read.parquet(args.out), args.out)
+    print(manifest)
+    return 0
+
+
+def _dump(args) -> int:
+    from erigon_extract_spark.operators.dump import dump_text
+
+    spark = _spark()
+    sys.stdout.write(dump_text(spark.read.parquet(args.store)))
+    return 0
+
+
+def _state_at(args) -> int:
+    from erigon_extract_spark.operators.dump import canonical_dump
+    from erigon_extract_spark.plans.state import account_state_at
+
+    spark = _spark()
+    sh = spark.read.parquet(args.store)
+    address = bytes.fromhex(args.address) if args.address else None
+    out = account_state_at(sh, block=args.block, address=address)
+    from pyspark.sql import functions as F
+
+    rows = out.withColumn("kind", F.lit(0)).withColumn(
+        "slot", F.lit(None).cast("binary")
+    ).withColumn("value", F.lit(None).cast("binary"))
+    for r in canonical_dump(rows).collect():
+        print(r["line"])
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="erigon_extract_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("show", help="decode + print an encoded file (-s/-S/-T)")
+    p.add_argument("file")
+    p.add_argument("-S", dest="strategy", action="store_const", const=1,
+                   default=0, help="strategy-1 file (reference -S)")
+    p.add_argument("-T", dest="merged", action="store_true",
+                   help="merged file with header+pages (reference -T)")
+    p.set_defaults(fn=_show)
+
+    p = sub.add_parser("copy", help="decode + re-encode (copy_file verifier)")
+    p.add_argument("infile")
+    p.add_argument("outfile")
+    p.add_argument("-S", dest="strategy", action="store_const", const=1, default=0)
+    p.add_argument("-T", dest="merged", action="store_true")
+    p.add_argument("--out-strategy", type=int, default=0)
+    p.add_argument("--out-merged", action="store_true")
+    p.set_defaults(fn=_copy)
+
+    p = sub.add_parser("build", help="run the pipeline, write the sorted store")
+    p.add_argument("--fixtures", default=None,
+                   help="input dir (default: the committed fixture parquet)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--partitions", type=int, default=None)
+    p.set_defaults(fn=_build)
+
+    p = sub.add_parser("dump", help="K5 canonical text dump of a store")
+    p.add_argument("store")
+    p.set_defaults(fn=_dump)
+
+    p = sub.add_parser("state-at", help="as-of account state query")
+    p.add_argument("store")
+    p.add_argument("--block", type=int, required=True)
+    p.add_argument("--address", default=None, help="hex, no 0x")
+    p.set_defaults(fn=_state_at)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

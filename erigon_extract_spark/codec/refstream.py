@@ -487,8 +487,12 @@ class _Cursor:
 class RefReader:
     """Replicates struct Reader + read_item (erigon_extract.c:1340-1428)."""
 
-    def __init__(self, strategy: int = 0):
+    def __init__(self, strategy: int = 0, trace=None):
         self.strategy = strategy
+        # optional callable(event, value) mirroring the reference's
+        # print=true trace in read_item ("(set block=)" / "(set address=)" /
+        # "(bytecode_incarnation=)" lines) — used by the CLI show command
+        self.trace = trace
         self._state_init()
 
     def _state_init(self) -> None:
@@ -528,12 +532,18 @@ class RefReader:
             b = cur.u8()
             if b == CODE_PAGE_PADDING:
                 self._state_init()
+                if self.trace:
+                    self.trace("padding", None)
                 continue
             if b <= CODE_BLOCK_NUMBER + 7:  # 1..8
                 self._read_block_number(cur, b)
+                if self.trace:
+                    self.trace("block", self.block)
                 continue
             if b == CODE_ADDRESS:
                 self.address = cur.take(ADDRESS_LEN)
+                if self.trace:
+                    self.trace("address", self.address)
                 self.account_incarnation = 0
                 self.storage_incarnation = 0
                 if self.strategy >= 1:
@@ -548,9 +558,13 @@ class RefReader:
                 return self._read_storage(cur, b)
             if b == CODE_INCARNATION:
                 self.bytecode_incarnation = self._read_u64(cur)
+                if self.trace:
+                    self.trace("incarnation", self.bytecode_incarnation)
                 continue
             # 251..255
             self._read_block_number(cur, b)
+            if self.trace:
+                self.trace("block", self.block)
         return None
 
     def _read_block_number(self, cur: _Cursor, b: int) -> None:

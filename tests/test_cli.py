@@ -1,0 +1,60 @@
+"""CLI surface (erigon_extract_spark/cli.py) — the reference's -s/-S/-T
+inspect and copy_file verify commands (erigon_extract.c:2595-2653,
+2047-2100), plus the Spark-side build/dump/state-at entry points."""
+
+from __future__ import annotations
+
+import io
+import sys
+
+from erigon_extract_spark import cli
+from erigon_extract_spark import fixture_store
+from erigon_extract_spark.codec import refstream as rs
+
+
+def _run(argv, capsys):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_show_merged_prints_reference_format(capsys):
+    d = str(fixture_store.ensure())
+    rc, out = _run(["show", "-T", f"{d}/full-history.dat"], capsys)
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0].startswith("(header end_of_states=")
+    assert any(l.startswith("  Account block=") for l in lines)
+    assert any(l.startswith("  Storage block=") for l in lines)
+    assert any(l.startswith("(set address=") for l in lines)
+    assert any(l.startswith("(set block=") for l in lines)
+    # item count == fixture state history rows
+    n_acct = sum(1 for l in lines if l.startswith("  Account"))
+    n_stor = sum(1 for l in lines if l.startswith("  Storage"))
+    assert n_acct + n_stor == 429
+
+
+def test_copy_merged_to_merged_is_byte_identical(tmp_path, capsys):
+    d = str(fixture_store.ensure())
+    src = f"{d}/full-history.dat"
+    dst = str(tmp_path / "copy.dat")
+    rc, _ = _run(["copy", "-T", src, dst, "--out-merged"], capsys)
+    assert rc == 0
+    assert open(src, "rb").read() == open(dst, "rb").read()
+
+
+def test_copy_transcode_roundtrip_preserves_items(tmp_path, capsys):
+    d = str(fixture_store.ensure())
+    src = f"{d}/full-history.dat"
+    mid = str(tmp_path / "s1.dat")
+    rc, _ = _run(["copy", "-T", src, mid, "--out-strategy", "1"], capsys)
+    assert rc == 0
+    _, orig = rs.decode_full_history_file(open(src, "rb").read())
+    back = rs.decode_items(open(mid, "rb").read(), strategy=1)
+    assert [i.astuple() for i in back] == [i.astuple() for i in orig]
+
+
+def test_print_number_trims_leading_zero_nibbles():
+    assert cli._print_number(bytes(32)) == "0"
+    assert cli._print_number((0xF5E).to_bytes(32, "big")) == "f5e"
+    assert cli._print_number((0x10).to_bytes(4, "big")) == "10"
