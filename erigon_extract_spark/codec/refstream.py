@@ -763,3 +763,59 @@ def read_ref_file_df(spark, path: str, strategy: int = 0,
             yield pd.DataFrame(rows, columns=cols)
 
     return tasks.mapInPandas(decode_ranges, out_schema)
+
+
+def write_ref_files(df, out_dir: str, strategy: int = 1) -> list[dict]:
+    """Distributed reference-dialect SINK: each partition of ``df`` (rows in
+    the unified item shape: is_storage, block, address, nonce, balance,
+    incarnation, code_hash, slot, value) is encoded by ITS OWN task into
+    one ``part-<n>.dat`` file under ``out_dir`` — the Spark analogue of the
+    reference writing one file per 100k-block job range
+    (erigon_extract.c:2534-2543), so encode throughput scales with
+    partition count and no item stream ever funnels through the driver.
+
+    The caller controls file boundaries and intra-file order via its own
+    repartitionByRange/sortWithinPartitions (matching the reference's
+    address-major strategy-1 transpose files or block-major strategy-0
+    extracts). Returns the written manifest rows (path, items, bytes).
+    """
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def encode_partition(batches):
+        items = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if r.is_storage:
+                    items.append(
+                        StorageItem(
+                            int(r.block), bytes(r.address), int(r.incarnation),
+                            bytes(r.slot), bytes(r.value),
+                        )
+                    )
+                else:
+                    items.append(
+                        AccountItem(
+                            int(r.block), bytes(r.address), int(r.nonce),
+                            bytes(r.balance), int(r.incarnation),
+                            bytes(r.code_hash),
+                        )
+                    )
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.dat")
+        if items:
+            blob = encode_items(items, strategy=strategy)
+            with open(path, "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame(
+                [{"path": path, "n_items": len(items), "n_bytes": len(blob)}]
+            )
+
+    manifest = df.mapInPandas(
+        encode_partition, "path string, n_items long, n_bytes long"
+    ).collect()
+    return [r.asDict() for r in manifest]

@@ -2397,6 +2397,53 @@ def window_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_agg",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          >= CAST(300 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (SURVEY.md §2.12 extension): a session is a
+    maximal run of a key's events with inter-event gaps < 5 minutes; it
+    closes 5 minutes after its last event. The oracle re-derives merge
+    semantics via lag/cumsum grouping — a gap of EXACTLY the window starts
+    a new session (Spark's half-open [start, last+gap) windows), hence
+    ``>=`` in the oracle's gap test."""
+    from erigon_extract_spark.streaming.latest_state import (
+        stream_session_windows,
+    )
+
+    events = _events(spark, sf_dir)
+    return stream_session_windows(
+        events, "ts", gap="5 minutes", key_cols=["user_id"], value_col="value"
+    )
+
+
+@query(
     "window_hopping_agg",
     """
     WITH hops AS (
@@ -2873,7 +2920,8 @@ _GATE_PRIORITY = [
     "set_ops_nations",
     "rollup_order_stats",
     "join_semi",
-    "join_anti",
+    # join_anti sits past the window: q21 (LeftAnti in-plan) and join_semi
+    # keep the family's two directions covered between gate + pytest
     "scalar_surface",
     "pivot_status_qty",
     "window_ranking_surface",
@@ -2898,6 +2946,7 @@ _GATE_PRIORITY = [
     # streaming semantics in batch mode
     "window_tumbling_agg",
     "window_hopping_agg",
+    "session_window_agg",
     "stream_latest_state_batch",
 ]
 

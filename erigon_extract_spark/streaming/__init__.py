@@ -1,4 +1,6 @@
 from erigon_extract_spark.streaming.latest_state import (  # noqa: F401
+    stream_dedup_within_watermark,
     stream_latest_state,
+    stream_session_windows,
     stream_windowed_counts,
 )

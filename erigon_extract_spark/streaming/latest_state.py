@@ -81,3 +81,60 @@ def stream_windowed_counts(
             "n_events",
         )
     )
+
+
+def stream_session_windows(
+    stream: DataFrame,
+    time_col: str,
+    gap: str,
+    key_cols: list[str],
+    value_col: str | None = None,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Session-window rollup: events of a key belong to one session while
+    each gap to the next event is < ``gap``; a session closes ``gap`` after
+    its last event (window end = last ts + gap, half-open).
+
+    Uses Spark's native ``session_window`` — in streaming the watermark
+    closes and evicts sessions whose end has passed, so state is
+    O(open sessions), not O(history). ``withWatermark`` is a batch no-op,
+    so the SAME builder runs under the DuckDB oracle (query
+    ``session_window_agg``) and under an availableNow trigger.
+    """
+    w = stream.withWatermark(time_col, watermark_delay)
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value")
+        )
+    return (
+        w.groupBy(F.session_window(F.col(time_col), gap), *key_cols)
+        .agg(*aggs)
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *key_cols,
+            "n_events",
+            *(("total_value",) if value_col is not None else ()),
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    dedup_cols: list[str],
+    watermark_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keeps one row per
+    ``dedup_cols`` combination, and — unlike plain ``dropDuplicates`` whose
+    state grows forever — evicts dedup state once the watermark passes a
+    row's event time. The streaming analogue of ``exact_dedup`` for
+    at-least-once sources (Kafka replays, file re-lists): duplicates
+    arriving within the lateness bound are dropped, state is
+    O(rows inside the watermark window), not O(history)."""
+    return stream.withWatermark(
+        watermark_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(dedup_cols)

@@ -198,3 +198,31 @@ def test_spark_reader_paged(spark, tmp_path):
     )
     assert got == sorted(i.astuple() for i in items)
     assert df.rdd.getNumPartitions() >= 1
+
+
+def test_write_ref_files_distributed_sink(spark, tmp_path):
+    """Each partition encodes into its own strategy-1 file; reading every
+    file back must reproduce the exact input items, address-major within
+    each file (the reference's per-range transpose layout)."""
+    items = _fixture_items()
+    rows = [i.astuple() for i in items]
+    schema = (
+        "is_storage boolean, block long, address binary, nonce long, "
+        "balance binary, incarnation long, code_hash binary, slot binary, "
+        "value binary"
+    )
+    df = (
+        spark.createDataFrame(rows, schema)
+        .repartitionByRange(3, "address", "is_storage", "incarnation", "slot")
+        .sortWithinPartitions(
+            "address", "is_storage", "incarnation", "slot", "block"
+        )
+    )
+    out = str(tmp_path / "refsink")
+    manifest = rs.write_ref_files(df, out, strategy=1)
+    assert 1 <= len(manifest) <= 3
+    assert sum(m["n_items"] for m in manifest) == len(items)
+    back = []
+    for m in sorted(manifest, key=lambda m: m["path"]):
+        back.extend(rs.decode_items(open(m["path"], "rb").read(), strategy=1))
+    assert sorted(i.astuple() for i in back) == sorted(rows)

@@ -116,3 +116,63 @@ def test_stream_band_join_matches_batch(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_session_windows_available_now(spark, sf_dir, events_dir):
+    """Session windows under a real streaming trigger must equal the batch
+    run of the same builder (which the DuckDB oracle hash-verifies as
+    query session_window_agg)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from erigon_extract_spark.streaming import stream_session_windows
+
+    batch = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    stream = normalize_event_ts(
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        ).parquet(events_dir)
+    )
+    out = stream_session_windows(
+        stream, "ts", gap="5 minutes", key_cols=["user_id"], value_col="value"
+    )
+    _run_available_now(out, "session_windows_t", "complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM session_windows_t").collect()
+    }
+    expect = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in stream_session_windows(
+            batch, "ts", gap="5 minutes", key_cols=["user_id"],
+            value_col="value",
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 100
+
+
+def test_stream_dedup_within_watermark_drops_replays(spark, sf_dir, events_dir):
+    """A replayed batch (every row duplicated) must dedup back to the
+    distinct row set while the duplicates fall inside the watermark."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import shutil as _sh
+    import tempfile as _tf
+
+    from erigon_extract_spark.streaming import stream_dedup_within_watermark
+
+    base = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", "event_id", "ts")
+    d = _tf.mkdtemp(prefix="events_replay_")
+    try:
+        # two identical files = an at-least-once source replaying the batch
+        base.unionAll(base).coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(base.schema).parquet(d)
+        out = stream_dedup_within_watermark(
+            stream, ["user_id", "event_id"], watermark_col="ts",
+            watermark_delay="1 hour",
+        )
+        _run_available_now(out, "dedup_wm_t", "append")
+        n = spark.sql("SELECT COUNT(*) AS n FROM dedup_wm_t").collect()[0].n
+        assert n == base.count()
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
