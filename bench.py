@@ -25,6 +25,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# The first 17 entries are the round-1 headline set — kept stable so
+# per-query times stay comparable across rounds. Entries after the marker
+# are round-2 additions (flagship pipeline + new operator families);
+# "value" sums ALL queries, so compare totals only over shared names.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -43,6 +47,10 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "range_interval_join",
     "window_hopping_agg",
+    # --- round-2 additions ---
+    "erigon_state_history",
+    "ref_dialect_decode",
+    "session_window_agg",
 ]
 
 

@@ -1440,6 +1440,49 @@ _ERIGON_STATE_AT_SQL = (
 )
 
 
+_ERIGON_STORAGE_AT_SQL = (
+    _erigon_history_cte()
+    + """
+    SELECT hex(address) AS address,
+           incarnation,
+           hex(slot) AS slot,
+           MAX(block_from) AS block_from,
+           hex(arg_max(value, block_from)) AS value
+    FROM state_history
+    WHERE kind = 1 AND block_from <= 100
+    GROUP BY address, incarnation, slot
+    """
+)
+
+
+@query("erigon_storage_state_at", _ERIGON_STORAGE_AT_SQL)
+def erigon_storage_state_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-slot as-of lookup over the flagship pipeline output (the
+    other half of the reference's 'any account or storage at any point in
+    block time', README.md:37-41): latest version per (address,
+    incarnation, slot) with block_from <= 100, max_by-aggregated — partial
+    aggregation before the single exchange."""
+    from erigon_extract_spark.plans.state import storage_state_at
+
+    sh_hex = erigon_pipeline_q(spark, sf_dir)
+    sh = sh_hex.select(
+        F.unhex("address").alias("address"),
+        "kind",
+        "incarnation",
+        F.unhex("slot").alias("slot"),
+        "block_from",
+        F.unhex("value").alias("value"),
+    )
+    out = storage_state_at(sh, block=100)
+    return out.select(
+        F.hex("address").alias("address"),
+        "incarnation",
+        F.hex("slot").alias("slot"),
+        "block_from",
+        F.hex("value").alias("value"),
+    )
+
+
 @query("erigon_state_at", _ERIGON_STATE_AT_SQL)
 def erigon_state_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erigon_extract_spark.plans.state import account_state_at
