@@ -40,7 +40,7 @@ from erigon_extract_spark.functions.decode import (
 FIXTURE_DIR = Path(__file__).resolve().parent.parent / "fixtures_parquet"
 PARAMS = {"seed": 42, "n_addresses": 8, "n_blocks": 120, "n_body_blocks": 10}
 _MARKER = "_VERSION.json"
-_VERSION = 3
+_VERSION = 4
 
 RAW_TABLES = (
     "account_changesets",
@@ -172,6 +172,34 @@ def generate_all(target: Path) -> None:
             stor_types,
             fxmod.storage_snapshot_rows(fx, at_block),
         )
+
+    # --- tx-bodies pipeline (S5/S6/K4/A2) ---
+    _write(
+        target / "block_bodies.parquet",
+        ["block", "block_hash", "body_rlp"],
+        [i64, binary, binary],
+        fx.block_bodies,
+    )
+    _write(
+        target / "block_transactions.parquet",
+        ["tx_id", "tx_rlp"],
+        [i64, binary],
+        fx.block_transactions,
+    )
+    from erigon_extract_spark.functions.decode import _decode_body_one
+
+    d_bodies = []
+    for block, block_hash, body_rlp in fx.block_bodies:
+        tx_index, tx_amount, uncles, err = _decode_body_one(body_rlp)
+        if err is not None:
+            raise ValueError(f"fixture body RLP failed decode: {err}")
+        d_bodies.append((block, block_hash, tx_index, tx_amount, uncles))
+    _write(
+        target / "d_block_bodies.parquet",
+        ["block", "block_hash", "tx_index", "tx_amount", "uncles"],
+        [i64, binary, i64, i64, binary],
+        d_bodies,
+    )
 
     # --- reference-dialect golden file (merged full-history layout) ---
     # The expected state-history rows, encoded byte-exactly in the

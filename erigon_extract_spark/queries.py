@@ -1440,6 +1440,93 @@ _ERIGON_STATE_AT_SQL = (
 )
 
 
+_ERIGON_TX_BODIES_SQL = f"""
+    WITH dedup AS (
+      SELECT block, tx_index, tx_amount, uncles
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY block
+                                     ORDER BY block_hash) AS rn
+        FROM read_parquet('{_FIXDIR}/d_block_bodies.parquet')
+      ) WHERE rn = 1
+    ),
+    tx AS (SELECT * FROM read_parquet('{_FIXDIR}/block_transactions.parquet')),
+    joined AS (
+      SELECT d.block, d.tx_amount, d.uncles, t.tx_id, t.tx_rlp
+      FROM dedup d LEFT JOIN tx t
+        ON t.tx_id >= d.tx_index AND t.tx_id < d.tx_index + d.tx_amount
+    )
+    SELECT block,
+           first(tx_amount) AS tx_amount,
+           hex(first(uncles)) AS uncles,
+           COALESCE(list(hex(tx_rlp) ORDER BY tx_id)
+                    FILTER (WHERE tx_id IS NOT NULL), []) AS txs
+    FROM joined
+    GROUP BY block
+    """
+
+
+@query("erigon_tx_bodies", _ERIGON_TX_BODIES_SQL)
+def erigon_tx_bodies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage B under the hash gate: RLP-decode block bodies (F7), fork
+    dedup (W6), 1:N keyed tx-range join (S6/J3), K4 assembly — the Spark
+    side reads the RAW RLP fixture parquet; the oracle range-joins the
+    Python-decoded frames in SQL (reference extract_txbodies,
+    erigon_extract.c:1785-1980)."""
+    from erigon_extract_spark import fixture_store
+    from erigon_extract_spark.plans.txbodies import assemble_tx_bodies
+    from erigon_extract_spark.schemas import BLOCK_BODIES, BLOCK_TRANSACTIONS
+
+    d = str(fixture_store.ensure())
+    bodies = spark.read.schema(BLOCK_BODIES).parquet(f"{d}/block_bodies.parquet")
+    txs = spark.read.schema(BLOCK_TRANSACTIONS).parquet(
+        f"{d}/block_transactions.parquet"
+    )
+    out = assemble_tx_bodies(bodies, txs, dedup_forks=True)
+    return out.select(
+        "block",
+        "tx_amount",
+        F.hex("uncles").alias("uncles"),
+        F.transform("txs", lambda x: F.hex(x)).alias("txs"),
+    )
+
+
+_ERIGON_TXSTATS_SQL = f"""
+    WITH bodies AS (
+      SELECT * FROM read_parquet('{_FIXDIR}/d_block_bodies.parquet')
+    ),
+    tx AS (SELECT * FROM read_parquet('{_FIXDIR}/block_transactions.parquet'))
+    SELECT (SELECT COUNT(DISTINCT block) FROM bodies) AS block_count,
+           (SELECT CAST(SUM(tx_amount) AS BIGINT) FROM bodies) AS tx_count,
+           (SELECT CAST(SUM(octet_length(tx_rlp)) AS BIGINT) FROM tx)
+             AS total_tx_bytes,
+           (SELECT COUNT(*) FROM (
+              SELECT block FROM bodies GROUP BY block HAVING COUNT(*) > 1
+            )) AS fork_dup_blocks
+    """
+
+
+@query("erigon_txbodies_stats", _ERIGON_TXSTATS_SQL)
+def erigon_txbodies_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 aggregates over the tx-bodies fixture tables (reference counters,
+    erigon_extract.c:1819-1820, 1871, 1960-1972)."""
+    from erigon_extract_spark import fixture_store
+    from erigon_extract_spark.plans.txbodies import txbodies_stats
+    from erigon_extract_spark.schemas import BLOCK_BODIES, BLOCK_TRANSACTIONS
+
+    d = str(fixture_store.ensure())
+    bodies = spark.read.schema(BLOCK_BODIES).parquet(f"{d}/block_bodies.parquet")
+    txs = spark.read.schema(BLOCK_TRANSACTIONS).parquet(
+        f"{d}/block_transactions.parquet"
+    )
+    out = txbodies_stats(bodies, txs)
+    return out.select(
+        "block_count",
+        "tx_count",
+        "total_tx_bytes",
+        F.col("fork_dup_blocks").cast("long").alias("fork_dup_blocks"),
+    )
+
+
 _ERIGON_STORAGE_AT_SQL = (
     _erigon_history_cte()
     + """
@@ -2958,6 +3045,7 @@ _GATE_PRIORITY = [
     "erigon_incremental_update",
     "erigon_state_at",
     "ref_dialect_decode",
+    "erigon_tx_bodies",
     # generic analytics surface (topk_per_group sits past the window — its
     # row_number shape is covered by window_ranking_surface)
     "set_ops_nations",
@@ -2979,7 +3067,8 @@ _GATE_PRIORITY = [
     "dedup_embedding_cosine",
     "sim_bruteforce_topk",
     "text_stats",
-    "text_lang_quality",
+    # text_lang_quality sits past the window — the text family keeps three
+    # gate representatives (stats, lang-id vote, quality score)
     "text_lang_id_vote",
     "text_quality_score",
     "text_fingerprint",
