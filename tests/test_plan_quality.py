@@ -185,3 +185,31 @@ def test_asof_join_is_linear_merge_single_shuffle(spark):
     assert "monotonically_increasing_id" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    df = q.QUERIES["session_window_agg"](spark, sf_dir)
+    plan = _plan(df)
+    # session-window merge: one hash exchange on the grouping key; no join
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+
+
+def test_tx_bodies_no_cartesian(spark, sf_dir):
+    df = q.QUERIES["erigon_tx_bodies"](spark, sf_dir)
+    plan = _plan(df)
+    # the 1:N tx-range join must be an equi-join on the generated tx_id,
+    # never a nested-loop/cartesian theta join
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ref_dialect_decode_parallel_tasks(spark):
+    from erigon_extract_spark import fixture_store
+    from erigon_extract_spark.codec.refstream import read_ref_file_df
+
+    d = str(fixture_store.ensure())
+    df = read_ref_file_df(spark, f"{d}/full-history.dat", strategy=0,
+                          pages_per_task=1)
+    # page-split ingest: multiple independent decode tasks, not one stream
+    assert df.rdd.getNumPartitions() > 1

@@ -226,3 +226,72 @@ def test_write_ref_files_distributed_sink(spark, tmp_path):
     for m in sorted(manifest, key=lambda m: m["path"]):
         back.extend(rs.decode_items(open(m["path"], "rb").read(), strategy=1))
     assert sorted(i.astuple() for i in back) == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ADDRS = [bytes([i]) * 20 for i in (1, 2, 3)]
+
+
+def _rand_b32(draw):
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return bytes(32)
+    if kind == 1:  # small value, many leading zeros (trim/inline paths)
+        return draw(st.integers(0, 300)).to_bytes(32, "big")
+    if kind == 2:  # top bit set (invert paths)
+        return b"\xff" + draw(st.binary(min_size=31, max_size=31))
+    return draw(st.binary(min_size=32, max_size=32))
+
+
+@st.composite
+def _items(draw):
+    out = []
+    for _ in range(draw(st.integers(1, 25))):
+        addr = draw(st.sampled_from(_ADDRS))
+        block = draw(st.integers(0, 2**40))
+        if draw(st.booleans()):
+            inc = draw(st.integers(0, 5))
+            ch = (
+                bytes(32)
+                if inc == 0
+                else draw(st.sampled_from([bytes(32), bytes([0xCD]) * 32]))
+            )
+            out.append(
+                rs.AccountItem(
+                    block, addr, draw(st.integers(0, 2**63 - 1)),
+                    _rand_b32(draw), inc, ch,
+                )
+            )
+        else:
+            out.append(
+                rs.StorageItem(
+                    block, addr, draw(st.integers(1, 5)),
+                    _rand_b32(draw), _rand_b32(draw),
+                )
+            )
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(items=_items(), strategy=st.sampled_from([0, 1]))
+def test_property_roundtrip_any_item_stream(items, strategy):
+    """Any well-formed item stream round-trips exactly under both written
+    strategies — nonce regressions (wrapping deltas), decreasing
+    incarnations (wrapped u64 escapes), zero/high-bit values, and repeated
+    addresses included."""
+    blob = rs.encode_items(items, strategy=strategy)
+    back = rs.decode_items(blob, strategy=strategy)
+    assert [i.astuple() for i in back] == [i.astuple() for i in items]
+
+
+@settings(max_examples=40, deadline=None)
+@given(items=_items())
+def test_property_roundtrip_paged_file(items):
+    data = rs.encode_full_history_file(items, 0, 2**40)
+    _, back = rs.decode_full_history_file(data)
+    assert [i.astuple() for i in back] == [i.astuple() for i in items]
