@@ -1486,6 +1486,78 @@ _ERIGON_STATE_AT_SQL = (
 )
 
 
+_ERIGON_DUMP_SQL = (
+    _erigon_history_cte()
+    + """
+    SELECT CASE WHEN kind = 0 THEN
+             'A ' || lower(hex(address)) || ' @' || block_from
+             || ' nonce=' || COALESCE(nonce, 0)
+             || ' balance=' ||
+               CASE WHEN balance IS NULL THEN '-'
+                    WHEN ltrim(lower(hex(balance)), '0') = '' THEN '0'
+                    ELSE ltrim(lower(hex(balance)), '0') END
+             || ' inc=' || incarnation
+             || ' code=' ||
+               CASE WHEN code_hash IS NULL THEN '-'
+                    WHEN ltrim(lower(hex(code_hash)), '0') = '' THEN '0'
+                    ELSE ltrim(lower(hex(code_hash)), '0') END
+           ELSE
+             'S ' || lower(hex(address)) || ' inc=' || incarnation
+             || ' slot=' || lower(hex(slot)) || ' @' || block_from
+             || ' value=' ||
+               CASE WHEN value IS NULL THEN '-'
+                    WHEN ltrim(lower(hex(value)), '0') = '' THEN '0'
+                    ELSE ltrim(lower(hex(value)), '0') END
+           END AS line
+    FROM state_history
+    """
+)
+
+
+@query("erigon_canonical_dump", _ERIGON_DUMP_SQL)
+def erigon_canonical_dump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 pretty-print sink under the hash gate: the canonical text line per
+    state row (operators/dump.py), hash-matched against the oracle building
+    the identical strings from the state-history CTE (reference
+    show_file/print_* formats, erigon_extract.c:361-424)."""
+    from erigon_extract_spark.operators.dump import canonical_dump
+
+    sh_hex = erigon_pipeline_q(spark, sf_dir)
+    sh = sh_hex.select(
+        F.unhex("address").alias("address"),
+        "kind",
+        "incarnation",
+        F.unhex("slot").alias("slot"),
+        "block_from",
+        "nonce",
+        F.unhex("balance").alias("balance"),
+        F.unhex("code_hash").alias("code_hash"),
+        F.unhex("value").alias("value"),
+    )
+    return canonical_dump(sh)
+
+
+_ERIGON_MANIFEST_SQL = (
+    _erigon_history_cte()
+    + """
+    SELECT kind, COUNT(*) AS n_rows
+    FROM state_history
+    GROUP BY kind
+    """
+)
+
+
+@query("erigon_manifest_counts", _ERIGON_MANIFEST_SQL)
+def erigon_manifest_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 manifest counts under the gate: per-kind row counts of the built
+    store — the numbers the reference's 256-byte header was SUPPOSED to
+    carry before the words[6] double-assignment clobbered the account count
+    (erigon_extract.c:2281-2282; fixed in sources/tables.write_manifest,
+    replicated faithfully only in the byte-exact refstream header)."""
+    sh_hex = erigon_pipeline_q(spark, sf_dir)
+    return sh_hex.groupBy("kind").agg(F.count("*").alias("n_rows"))
+
+
 _ERIGON_TX_BODIES_SQL = f"""
     WITH dedup AS (
       SELECT block, tx_index, tx_amount, uncles
