@@ -1486,6 +1486,70 @@ _ERIGON_STATE_AT_SQL = (
 )
 
 
+_ERIGON_LATEST_SQL = (
+    _erigon_history_cte()
+    + """
+    SELECT hex(address) AS address, kind,
+           arg_max(incarnation, block_from) AS incarnation,
+           hex(slot) AS slot,
+           MAX(block_from) AS block_from,
+           arg_max(nonce, block_from) AS nonce,
+           hex(arg_max(balance, block_from)) AS balance,
+           hex(arg_max(code_hash, block_from)) AS code_hash,
+           hex(arg_max(value, block_from)) AS value
+    FROM state_history
+    -- the version key: incarnation is payload for accounts, key for
+    -- storage (reference comparator erigon_extract.c:2102-2129)
+    GROUP BY address, kind,
+             CASE WHEN kind = 1 THEN incarnation ELSE 0 END, slot
+    """
+)
+
+
+@query("erigon_latest_state", _ERIGON_LATEST_SQL)
+def erigon_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained latest-state table (PlainState equivalent): the open
+    version per state key, materialized from the store with one max_by
+    aggregation. This is the ``old_keys`` side table the incremental plan
+    joins against at scale (plans/incremental.py) and the seed for point
+    lookups — kept under the hash gate so its derivation can't drift from
+    the store semantics."""
+    from erigon_extract_spark.plans.transpose import with_version_key
+
+    sh_hex = erigon_pipeline_q(spark, sf_dir)
+    sh = sh_hex.select(
+        F.unhex("address").alias("address"),
+        "kind",
+        "incarnation",
+        F.unhex("slot").alias("slot"),
+        "block_from",
+        "nonce",
+        F.unhex("balance").alias("balance"),
+        F.unhex("code_hash").alias("code_hash"),
+        F.unhex("value").alias("value"),
+    )
+    keyed = with_version_key(sh)
+    out = keyed.groupBy("address", "kind", "__key_inc", "slot").agg(
+        F.max("block_from").alias("block_from"),
+        F.max_by("incarnation", "block_from").alias("incarnation"),
+        F.max_by("nonce", "block_from").alias("nonce"),
+        F.max_by("balance", "block_from").alias("balance"),
+        F.max_by("code_hash", "block_from").alias("code_hash"),
+        F.max_by("value", "block_from").alias("value"),
+    )
+    return out.select(
+        F.hex("address").alias("address"),
+        "kind",
+        "incarnation",
+        F.hex("slot").alias("slot"),
+        "block_from",
+        "nonce",
+        F.hex("balance").alias("balance"),
+        F.hex("code_hash").alias("code_hash"),
+        F.hex("value").alias("value"),
+    )
+
+
 _ERIGON_DUMP_SQL = (
     _erigon_history_cte()
     + """
