@@ -238,28 +238,91 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for doc pairs above ``threshold``.
+    """EXACT n-gram Jaccard similarity for doc pairs above ``threshold``.
 
-    Shingle-inverted-index join: explode shingles, self-join on shingle,
-    count shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). The
-    explode-join is the standard sub-quadratic set-similarity plan (only
-    pairs sharing ≥1 shingle are ever materialized). For 100 TB, add a
-    prefix filter (sort shingles by global frequency, keep the rarest k) —
-    left as the LSH path above, which subsumes it.
+    Scale shape (``prefix_filter=True``, the default): classic prefix
+    filtering. Sort each doc's shingles by (global document frequency,
+    shingle); if J(A,B) >= t then the first ``floor(|S|*(1-t))+1``
+    shingles of each side must intersect, so ONLY those prefix shingles
+    feed the inverted-index candidate join — the frequent boilerplate
+    shingles that make a naive shingle self-join quadratic ("the" appears
+    in every doc) land at the END of the order and mostly stay out of the
+    join. Candidates are then verified exactly via ``array_intersect`` on
+    the full shingle sets, so the result is IDENTICAL to the naive plan —
+    the DuckDB oracle needs no cap modeling — while the join volume is
+    bounded by rare-shingle collisions.
+
+    ``prefix_filter=False`` keeps the naive inverted-index join (fine for
+    small corpora; the candidate stage degrades to O(df²) per hot shingle).
     """
     sh = exploded_shingles(docs, text_col, shingle_n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), "sh")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("doc_id_a"),
-            F.col(f"r.{id_col}").alias("doc_id_b"),
+
+    if not prefix_filter:
+        inter = (
+            sh.alias("l")
+            .join(sh.alias("r"), "sh")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .groupBy(
+                F.col(f"l.{id_col}").alias("doc_id_a"),
+                F.col(f"r.{id_col}").alias("doc_id_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
         )
-        .agg(F.count("*").alias("n_common"))
-    )
+    else:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+        ranked = (
+            sh.join(freq, "sh")
+            .withColumn(
+                "__rank",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("__df").asc(), F.col("sh").asc()
+                    )
+                ),
+            )
+            .join(sizes, id_col)
+            # prefix length floor(n*(1-t))+1 >= n - ceil(t*n) + 1: any pair
+            # at jaccard >= t shares a shingle within both prefixes
+            .filter(
+                F.col("__rank")
+                <= F.floor(F.col("n_sh") * F.lit(1.0 - threshold)) + 1
+            )
+            .select(id_col, "sh")
+        )
+        cand = (
+            ranked.alias("l")
+            .join(ranked.alias("r"), "sh")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("doc_id_a"),
+                F.col(f"r.{id_col}").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("__set"))
+        inter = (
+            cand.join(
+                sets.select(
+                    F.col(id_col).alias("doc_id_a"), F.col("__set").alias("__sa")
+                ),
+                "doc_id_a",
+            )
+            .join(
+                sets.select(
+                    F.col(id_col).alias("doc_id_b"), F.col("__set").alias("__sb")
+                ),
+                "doc_id_b",
+            )
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
+            )
+        )
+
     sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -200,3 +200,31 @@ def test_lsh_bucket_cap_drops_degenerate_boilerplate(spark):
     assert sim_capped.count() == 0
     sim_uncapped = simhash_near_pairs(docs, shingle_n=2, max_bucket_size=None)
     assert sim_uncapped.count() == n * (n - 1) // 2
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark, near_dup_docs):
+    """Prefix filtering must be a pure optimization: identical pairs and
+    jaccard values vs the naive inverted-index join, at several
+    thresholds, including a boilerplate-heavy corpus."""
+    docs = near_dup_docs.unionByName(
+        spark.createDataFrame(
+            [(100 + i, "common header text shared by every appended doc "
+              + f"unique tail {i}") for i in range(8)],
+            "doc_id int, text string",
+        )
+    )
+    for t in (0.2, 0.5, 0.8):
+        fast = {
+            (r.doc_id_a, r.doc_id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, shingle_n=2, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        naive = {
+            (r.doc_id_a, r.doc_id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, shingle_n=2, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == naive, (t, fast, naive)
+    assert naive  # the corpus must actually produce pairs at the last t
