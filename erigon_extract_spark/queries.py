@@ -672,10 +672,9 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    """
-    WITH words AS (
+# Shared DuckDB CTE chain: documents → 3-gram shingles → exact-jaccard
+# pairs at threshold 0.2 (reused by the pair query and the cluster oracle).
+_NGRAM_PAIR_CTES = """words AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM documents
@@ -690,13 +689,22 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, COUNT(*) AS n_common
       FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
       GROUP BY l.doc_id, r.doc_id
-    )
-    SELECT doc_id_a, doc_id_b,
-           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-    FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_id_a
-      JOIN sizes sb ON sb.doc_id = doc_id_b
-    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    jpairs AS (
+      SELECT doc_id_a, doc_id_b,
+             ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    )"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT doc_id_a, doc_id_b, jaccard FROM jpairs
     """,
 )
 def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,6 +713,43 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@query(
+    "dedup_connected_clusters",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM jpairs
+      UNION
+      SELECT doc_id_b AS u, doc_id_a AS v FROM jpairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster FROM comp
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS cluster
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the near-dup pair graph: every doc labeled
+    with the smallest doc id reachable through jaccard>=0.2 pairs
+    (singletons label themselves). Spark side: iterative min-label
+    propagation (operators/graph.py); oracle: recursive transitive
+    closure — same fixpoint, independently computed."""
+    from erigon_extract_spark.operators.graph import dedup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return dedup_clusters(pairs, all_ids=docs).select("doc_id", "cluster")
 
 
 @query("dedup_minhash_lsh")  # murmur3 sigs aren't SQL-expressible → rows-only check
@@ -3215,7 +3260,8 @@ _GATE_PRIORITY = [
     "j3_index_range_join",
     "w1_delta_encode",
     "w4_rekey_first_block",
-    "w6_dedup_first",
+    # w6_dedup_first sits past the window — the same dedup_keep_first path
+    # runs hash-gated inside erigon_tx_bodies (fork dedup)
     "u256_arithmetic",
     "asof_state_at",
     "asof_join",
@@ -3245,6 +3291,7 @@ _GATE_PRIORITY = [
     # training-data / LLM pipeline operators
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_connected_clusters",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_embedding_cosine",

@@ -228,3 +228,27 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark, near_dup_docs):
         }
         assert fast == naive, (t, fast, naive)
     assert naive  # the corpus must actually produce pairs at the last t
+
+
+def test_connected_components_chain_and_islands(spark):
+    from erigon_extract_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 (diameter 3), island pair 10-11, singleton 99 via all_ids
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_id_a int, doc_id_b int"
+    )
+    comp = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    all_ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                    "doc_id int")
+    clusters = {
+        r.doc_id: r.cluster
+        for r in dedup_clusters(pairs, all_ids=all_ids).collect()
+    }
+    assert clusters[99] == 99 and clusters[4] == 1 and clusters[11] == 10
