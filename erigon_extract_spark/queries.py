@@ -2753,6 +2753,34 @@ def window_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from erigon_extract_spark.operators.zorder import zorder_sql
+
+    z = zorder_sql("user_id", "event_id % 1024")
+    return f"""
+    SELECT user_id, event_id, {z} AS zval
+    FROM events
+    """
+
+
+@query("zorder_curve", _zorder_oracle_sql())
+def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes over (user_id, event_id mod 1024) — the
+    multi-dimensional layout key (operators/zorder.py) whose bit-interleave
+    arithmetic the oracle reproduces verbatim in SQL. write_zordered sorts
+    parquet by this code so row-group min/max stats prune on BOTH columns;
+    tests/test_zorder.py measures the pruning win against a single-column
+    sort."""
+    from erigon_extract_spark.operators.zorder import zvalue
+
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        zvalue(F.col("user_id"), F.col("event_id") % 1024).alias("zval"),
+    )
+
+
 @query(
     "session_window_agg",
     """
