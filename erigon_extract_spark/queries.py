@@ -672,12 +672,17 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id")
 
 
-# Shared DuckDB CTE chain: documents → 3-gram shingles → exact-jaccard
-# pairs at threshold 0.2 (reused by the pair query and the cluster oracle).
-_NGRAM_PAIR_CTES = """words AS (
+# Shared DuckDB CTE chain: source table → 3-gram shingles → exact-jaccard
+# pairs at threshold 0.2 (reused by the pair query, the cluster oracle, and
+# the end-to-end curation oracle — parameterized on the source relation).
+def _ngram_pair_ctes(src: str = "documents") -> str:
+    return _NGRAM_PAIR_CTES_TMPL.replace("__SRC__", src)
+
+
+_NGRAM_PAIR_CTES_TMPL = """words AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-      FROM documents
+      FROM __SRC__
     ),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -703,7 +708,7 @@ _NGRAM_PAIR_CTES = """words AS (
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH {_NGRAM_PAIR_CTES}
+    WITH {_ngram_pair_ctes()}
     SELECT doc_id_a, doc_id_b, jaccard FROM jpairs
     """,
 )
@@ -718,7 +723,7 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_connected_clusters",
     f"""
-    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    WITH RECURSIVE {_ngram_pair_ctes()},
     edges AS (
       SELECT doc_id_a AS u, doc_id_b AS v FROM jpairs
       UNION
@@ -750,6 +755,64 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
     return dedup_clusters(pairs, all_ids=docs).select("doc_id", "cluster")
+
+
+@query(
+    "corpus_curation_keep_list",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    docs_e AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN e USING (doc_id)
+    ),
+    {_ngram_pair_ctes("docs_e")},
+    edges AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM jpairs
+      UNION
+      SELECT doc_id_b AS u, doc_id_a AS v FROM jpairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    ),
+    kept AS (
+      SELECT e.doc_id FROM e LEFT JOIN comp c USING (doc_id)
+      WHERE c.doc_id IS NULL OR c.cluster = e.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept
+    """,
+)
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline as ONE composed
+    plan: exact dedup (md5 winner) → near-dup pair graph (exact jaccard,
+    prefix-filtered) → connected-component cluster resolution → keep the
+    smallest-id representative per cluster → stable train/val/test split.
+    Every stage's semantics are independently re-derived by the oracle
+    (md5 grouping, recursive closure, hash-bucket split), so the COMPOSED
+    keep-list membership — what a 100 TB curation job actually ships — is
+    value-hash-verified, not just the stages in isolation."""
+    from erigon_extract_spark.operators.graph import dedup_clusters
+    from erigon_extract_spark.operators.sampling import stable_split
+
+    docs = _load(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs)
+    pairs = ngram_jaccard_pairs(survivors, shingle_n=3, threshold=0.2)
+    clusters = dedup_clusters(pairs, all_ids=survivors)
+    kept = clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id")
+    return stable_split(kept, "doc_id").select("doc_id", "split")
 
 
 @query("dedup_minhash_lsh")  # murmur3 sigs aren't SQL-expressible → rows-only check
@@ -3330,7 +3393,9 @@ _GATE_PRIORITY = [
     "text_lang_id_vote",
     "text_quality_score",
     "text_fingerprint",
-    "sample_stable_split",
+    # sample_stable_split sits past the window — the composed curation
+    # query verifies the same split assignment per kept doc
+    "corpus_curation_keep_list",
     "multimodal_probe",
     "range_interval_join",
     # streaming semantics in batch mode
