@@ -151,3 +151,36 @@ def test_seam_violation_detected_on_gapped_batch(spark, fx, frames):
     gapped_stor = stor.filter(F.col("block") > T_SPLIT + 40)
     n = seam_violations(old, gapped_acct, gapped_stor).count()
     assert n > 0
+
+
+def test_chained_increments_equal_full_rebuild(spark, fx, frames):
+    """Two successive increments (T1, then T1->T2, then T2->tip) must land
+    on exactly the full rebuild — the steady-state maintenance loop, not
+    just one seam."""
+    acct, stor = frames
+    t1, t2, tip = 80, 160, fx.latest_block
+
+    def span(lo, hi):
+        return (
+            acct.filter((F.col("block") > lo) & (F.col("block") <= hi)),
+            stor.filter((F.col("block") > lo) & (F.col("block") <= hi)),
+        )
+
+    psa1, pss1 = _snapshot_frames(spark, fx, stor.filter(F.col("block") <= t1), t1)
+    store = build_state_history(
+        acct.filter(F.col("block") <= t1),
+        stor.filter(F.col("block") <= t1),
+        psa1, pss1, num_partitions=4,
+    ).localCheckpoint()
+
+    for lo, hi in ((t1, t2), (t2, tip)):
+        a_new, s_new = span(lo, hi)
+        psa_h, pss_h = _snapshot_frames(
+            spark, fx, stor.filter(F.col("block") <= hi), hi
+        )
+        delta = incremental_history_delta(store, a_new, s_new, psa_h, pss_h)
+        store = apply_increment(store, delta, num_partitions=4).localCheckpoint()
+
+    psa_t, pss_t = _snapshot_frames(spark, fx, stor, tip)
+    full = build_state_history(acct, stor, psa_t, pss_t, num_partitions=4)
+    assert _canon(store) == _canon(full)
