@@ -141,6 +141,11 @@ def minhash_signatures(
     n_hashes-wide row per (doc, partition), not the shingle set.
     """
     sh = exploded_shingles(docs, text_col, shingle_n, id_col)
+    # One murmur3 evaluation of the shingle string PER SEED. A cheaper
+    # hash-once-then-affine-permute family was measured (round 2): zero
+    # wall-clock win (the explode+shuffle dominates, not hashing) and a
+    # 2.7x candidate false-positive blowup from the weaker mixing — so the
+    # independent-hashes formulation stays.
     aggs = [
         F.min(
             F.hash(F.col("sh"), F.lit(i * 2654435761 + 1)).bitwiseAND(
@@ -187,6 +192,8 @@ def minhash_lsh_candidates(
     # (Materializing an array column and indexing it here re-evaluates the
     # array constructor per index — measured 25× slower than flat columns.)
     sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
+    # independent murmur3 per seed — see minhash_signatures for why the
+    # affine-permutation shortcut was rejected
     aggs = [
         F.min(
             F.hash(F.col("sh"), F.lit(i * 2654435761 + 1)).bitwiseAND(
