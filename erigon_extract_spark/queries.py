@@ -921,9 +921,62 @@ def sim_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@query("sim_lsh_topk")  # LSH bucketing (approximate) → rows-only check
+def _lsh_topk_oracle_sql(dim: int = 64, n_planes: int = 6) -> str:
+    """The hyperplane-LSH search is fully deterministic (LCG planes), so
+    the WHOLE approximate path — sign-bit bucketing, bucket equi-join,
+    in-bucket cosine top-k — is SQL-expressible: the plane constants embed
+    as DOUBLE[] literals (Python repr round-trips to the identical float64
+    in DuckDB)."""
+    from erigon_extract_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, p + 1)) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product(v, {plane}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    bucket = "\n             + ".join(bits)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             ({bucket}) AS bucket
+      FROM vecs
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, v AS pvec, bucket
+      FROM sig WHERE vec_id < 5
+    ),
+    pairs AS (
+      SELECT p.probe_id, s.vec_id,
+             list_dot_product(s.v, p.pvec)
+               / (sqrt(list_dot_product(s.v, s.v))
+                  * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_raw
+      FROM sig s JOIN probes p USING (bucket)
+    )
+    SELECT probe_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM (
+      SELECT probe_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 10
+    """
+
+
+@query("sim_lsh_topk", _lsh_topk_oracle_sql())
 def sim_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _load(spark, sf_dir, "embeddings")
+    """Approximate top-k via hyperplane-LSH bucketing — the sublinear scale
+    path for similarity search, now under the hash gate end to end (the
+    oracle reproduces the plane projections, bucket assignment, bucket
+    join, and in-bucket ranking)."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        # float64 products to match the oracle's DOUBLE[] accumulation
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -3341,8 +3394,8 @@ _GATE_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # q6 sits past the window (its scan+conditional-agg shape is inside q1)
-    "q10_returned_items",
+    # q6 and q10 sit past the window (scan+conditional-agg inside q1;
+    # join+agg inside q3/q5)
     # reference operator surface (SURVEY.md §2)
     "s1_point_lookup",
     "s2_range_scan",
@@ -3387,6 +3440,7 @@ _GATE_PRIORITY = [
     "dedup_simhash_portable",
     "dedup_embedding_cosine",
     "sim_bruteforce_topk",
+    "sim_lsh_topk",
     "text_stats",
     # text_lang_quality sits past the window — the text family keeps three
     # gate representatives (stats, lang-id vote, quality score)
