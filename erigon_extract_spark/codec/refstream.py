@@ -819,3 +819,32 @@ def write_ref_files(df, out_dir: str, strategy: int = 1) -> list[dict]:
         encode_partition, "path string, n_items long, n_bytes long"
     ).collect()
     return [r.asDict() for r in manifest]
+
+
+def read_ref_dir_df(spark, path_glob: str, strategy: int = 1):
+    """Decode a DIRECTORY of reference-dialect files (the reference shards
+    its extract/transpose output one file per 100k-block range,
+    erigon_extract.c:2534-2543) — one decode task per file via
+    ``binaryFile``; same unified item schema as ``read_ref_file_df``.
+    Headerless sequential streams only (the sharded intermediates); use
+    ``read_ref_file_df`` for the paged merged layout."""
+    import pandas as pd
+
+    out_schema = (
+        "is_storage boolean, block long, address binary, nonce long, "
+        "balance binary, incarnation long, code_hash binary, slot binary, "
+        "value binary"
+    )
+    cols = [f.split()[0] for f in out_schema.split(", ")]
+
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def decode_files(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for it in RefReader(strategy).items(bytes(blob)):
+                    rows.append(it.astuple())
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(decode_files, out_schema)

@@ -295,3 +295,38 @@ def test_property_roundtrip_paged_file(items):
     data = rs.encode_full_history_file(items, 0, 2**40)
     _, back = rs.decode_full_history_file(data)
     assert [i.astuple() for i in back] == [i.astuple() for i in items]
+
+
+def test_ref_dir_reader_roundtrips_sharded_sink(spark, tmp_path):
+    """write_ref_files (one .dat per partition) then read_ref_dir_df (one
+    decode task per file) must reproduce the exact item set — the sharded
+    archive round trip."""
+    items = _fixture_items()
+    rows = [i.astuple() for i in items]
+    schema = (
+        "is_storage boolean, block long, address binary, nonce long, "
+        "balance binary, incarnation long, code_hash binary, slot binary, "
+        "value binary"
+    )
+    df = (
+        spark.createDataFrame(rows, schema)
+        .repartitionByRange(4, "address", "is_storage", "incarnation", "slot")
+        .sortWithinPartitions(
+            "address", "is_storage", "incarnation", "slot", "block"
+        )
+    )
+    out = str(tmp_path / "shards")
+    rs.write_ref_files(df, out, strategy=1)
+    back = rs.read_ref_dir_df(spark, out, strategy=1)
+    got = sorted(
+        (
+            r.is_storage, r.block, bytes(r.address), r.nonce,
+            None if r.balance is None else bytes(r.balance),
+            r.incarnation,
+            None if r.code_hash is None else bytes(r.code_hash),
+            None if r.slot is None else bytes(r.slot),
+            None if r.value is None else bytes(r.value),
+        )
+        for r in back.collect()
+    )
+    assert got == sorted(rows)

@@ -176,3 +176,62 @@ def test_stream_dedup_within_watermark_drops_replays(spark, sf_dir, events_dir):
         assert n == base.count()
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_changeset_ingest_matches_batch_state(spark, tmp_path):
+    """The DOMAIN pipeline in streaming form: account changesets arrive as
+    a file stream, the Arrow decode UDF + code-hash recovery run inside
+    the stream, and stream_latest_state maintains the running account
+    state — which must equal the batch as-of state at the tip."""
+    from erigon_extract_spark import fixture_store
+    from erigon_extract_spark.plans.extract import (
+        decode_account_changesets,
+        recover_code_hashes,
+    )
+    from erigon_extract_spark.schemas import ACCOUNT_CHANGESETS, PLAIN_CODE_HASH
+    from erigon_extract_spark.streaming import stream_latest_state
+
+    d = str(fixture_store.ensure())
+    pch = spark.read.schema(PLAIN_CODE_HASH).parquet(f"{d}/plain_code_hash.parquet")
+
+    # the file stream source needs a DIRECTORY
+    stream_dir = tmp_path / "acs_stream"
+    stream_dir.mkdir()
+    shutil.copy(
+        f"{d}/account_changesets.parquet",
+        str(stream_dir / "account_changesets.parquet"),
+    )
+    stream = spark.readStream.schema(ACCOUNT_CHANGESETS).parquet(str(stream_dir))
+    decoded = recover_code_hashes(
+        decode_account_changesets(stream).drop("decode_error"), pch
+    )
+    out = stream_latest_state(
+        decoded,
+        key_cols=["address"],
+        version_col="block",
+        value_cols=["nonce", "balance", "incarnation", "code_hash"],
+    )
+    _run_available_now(out, "changeset_state_t", "complete")
+    got = {
+        bytes(r.address): (r.block, r.nonce, bytes(r.balance), r.incarnation,
+                           bytes(r.code_hash))
+        for r in spark.sql("SELECT * FROM changeset_state_t").collect()
+    }
+
+    batch = spark.read.schema(ACCOUNT_CHANGESETS).parquet(
+        f"{d}/account_changesets.parquet"
+    )
+    bdec = recover_code_hashes(
+        decode_account_changesets(batch).drop("decode_error"), pch
+    )
+    from erigon_extract_spark.operators.asof import state_at
+
+    expect = {
+        bytes(r.address): (r.block, r.nonce, bytes(r.balance), r.incarnation,
+                           bytes(r.code_hash))
+        for r in state_at(
+            bdec, ["address"], "block", as_of=10**9,
+            value_cols=["nonce", "balance", "incarnation", "code_hash"],
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
