@@ -79,13 +79,21 @@ def main() -> None:
             except Exception as exc:  # a broken warm-up must not hide in bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # min of two measured runs per query: this box's run-to-run noise is
+    # +/-50% on sub-second queries (q5 measured 1.09s and 3.78s for
+    # identical code), and min-of-2 is the standard steady-state estimator.
+    # NOTE for cross-round comparison: rounds 1-2 published single-run
+    # numbers — treat sub-30% deltas against those as noise.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -489,6 +489,7 @@ class RefReader:
 
     def __init__(self, strategy: int = 0, trace=None):
         self.strategy = strategy
+        self._significant_prefix = False
         # optional callable(event, value) mirroring the reference's
         # print=true trace in read_item ("(set block=)" / "(set address=)" /
         # "(bytecode_incarnation=)" lines) — used by the CLI show command
@@ -519,13 +520,27 @@ class RefReader:
         return int.from_bytes(self._read_number(cur, 8), "big")
 
     def items(self, data: bytes, start: int = 0, end: int | None = None) -> Iterator:
-        """Yield AccountItem/StorageItem from data[start:end]."""
+        """Yield AccountItem/StorageItem from data[start:end].
+
+        End-of-stream is legal only between items or after padding — EOF
+        after a consumed block/address/incarnation prefix is a syntax
+        error, mirroring the C reader (read_item's "EOF is only ok before
+        any codes have been read", erigon_extract.c:1350-1356; padding is
+        exempt so page-boundary slices with padded tails stay decodable).
+        """
         cur = _Cursor(data, start, len(data) if end is None else end)
         while cur.pos < cur.end:
             self.bytecode_incarnation = 0
+            self._significant_prefix = False
             item = self._read_one(cur)
-            if item is not None:
-                yield item
+            if item is None:
+                if self._significant_prefix:
+                    raise ValueError(
+                        f"truncated stream: prefix codes without an item "
+                        f"ending at offset {cur.pos}"
+                    )
+                break
+            yield item
 
     def _read_one(self, cur: _Cursor):
         while cur.pos < cur.end:
@@ -536,11 +551,13 @@ class RefReader:
                     self.trace("padding", None)
                 continue
             if b <= CODE_BLOCK_NUMBER + 7:  # 1..8
+                self._significant_prefix = True
                 self._read_block_number(cur, b)
                 if self.trace:
                     self.trace("block", self.block)
                 continue
             if b == CODE_ADDRESS:
+                self._significant_prefix = True
                 self.address = cur.take(ADDRESS_LEN)
                 if self.trace:
                     self.trace("address", self.address)
@@ -557,11 +574,13 @@ class RefReader:
             if b <= CODE_STORAGE + 160 + 15:  # 74..249
                 return self._read_storage(cur, b)
             if b == CODE_INCARNATION:
+                self._significant_prefix = True
                 self.bytecode_incarnation = self._read_u64(cur)
                 if self.trace:
                     self.trace("incarnation", self.bytecode_incarnation)
                 continue
             # 251..255
+            self._significant_prefix = True
             self._read_block_number(cur, b)
             if self.trace:
                 self.trace("block", self.block)

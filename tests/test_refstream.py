@@ -330,3 +330,27 @@ def test_ref_dir_reader_roundtrips_sharded_sink(spark, tmp_path):
         for r in back.collect()
     )
     assert got == sorted(rows)
+
+
+def test_truncated_stream_raises_with_offset():
+    items = [acct(3, A1, 1, 5, 0), stor(3, A1, 1, 2, 7)]
+    blob = rs.encode_items(items, strategy=1)
+    with pytest.raises(ValueError, match="truncated"):
+        rs.decode_items(blob[: len(blob) - 1], strategy=1)
+    with pytest.raises(ValueError, match="truncated"):
+        rs.decode_items(blob[:22], strategy=1)  # mid-address
+
+
+@settings(max_examples=300, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200), strategy=st.sampled_from([0, 1]))
+def test_fuzz_decode_never_hangs_or_crashes(junk, strategy):
+    """Arbitrary bytes either decode to items or raise ValueError — the
+    reader's error model (the C reader's EINVAL/EIO paths), never an
+    uncontrolled exception or infinite loop. Every opcode byte is covered
+    by the dispatch, so failures come only from truncation."""
+    try:
+        items = rs.decode_items(junk, strategy=strategy)
+    except ValueError:
+        return
+    for it in items:
+        assert isinstance(it, (rs.AccountItem, rs.StorageItem))
