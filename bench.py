@@ -51,6 +51,7 @@ HEADLINE = [
     "erigon_state_history",
     "ref_dialect_decode",
     "session_window_agg",
+    "erigon_transpose_scale",  # 3M-row synthetic transpose+rekey throughput
 ]
 
 

@@ -1498,6 +1498,55 @@ def _hex_history(sh: DataFrame) -> DataFrame:
     )
 
 
+@query("erigon_transpose_scale")  # synthetic-volume perf probe → rows-only
+def erigon_transpose_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core ETL at benchmark volume: 2M account versions + 1M storage
+    writes synthesized DISTRIBUTIVELY (spark.range + hash expressions — no
+    driver-side data, no fixture collect), pushed through the real
+    build_state_history (range shuffle + window re-key) and reduced to a
+    checksum row. This is the measured-throughput witness that the
+    transpose scales with rows, independent of the tiny correctness
+    fixtures; bench.py tracks it per round."""
+    from erigon_extract_spark.plans.transpose import build_state_history
+
+    n_acct, n_keys = 2_000_000, 50_000
+    acct = spark.range(n_acct).select(
+        F.expr("substring(unhex(md5(cast(id % 50000 as string))), 1, 20)").alias(
+            "address"
+        ),
+        (F.col("id") / n_keys).cast("long").alias("block"),
+        (F.col("id") % 97).alias("nonce"),
+        F.expr(
+            "unhex(concat(md5(cast(id as string)), md5(cast(id + 1 as string))))"
+        ).alias("balance"),
+        F.lit(0).cast("long").alias("incarnation"),
+        F.lit(b"\x00" * 32).alias("code_hash"),
+    )
+    n_stor, n_slots = 1_000_000, 20_000
+    stor = spark.range(n_stor).select(
+        F.expr("substring(unhex(md5(cast(id % 20000 as string))), 1, 20)").alias(
+            "address"
+        ),
+        F.lit(1).cast("long").alias("incarnation"),
+        F.expr("unhex(md5(cast(id % 20000 as string)))").alias("__slot16"),
+        (F.col("id") / n_slots).cast("long").alias("block"),
+        F.expr("unhex(concat(md5(cast(id as string)), md5(cast(id * 7 as string))))").alias(
+            "value"
+        ),
+    ).select(
+        "address",
+        "incarnation",
+        F.concat(F.col("__slot16"), F.col("__slot16")).alias("slot"),
+        "block",
+        "value",
+    )
+    sh = build_state_history(acct, stor, num_partitions=32)
+    return sh.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.sum("block_from").alias("block_from_checksum"),
+    )
+
+
 @query("erigon_state_history", _ERIGON_HISTORY_SQL)
 def erigon_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship domain pipeline end-to-end on the deterministic fixture
