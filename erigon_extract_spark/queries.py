@@ -3075,6 +3075,52 @@ def multimodal_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_framesample",
+    """
+    WITH payload AS (
+      SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   regexp_split_to_array(substring(s, 1, 64), ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) & 2147483647) AS hv
+      FROM payload
+    ),
+    durations AS (
+      SELECT doc_id, (hv // 65536) % 60000 AS duration_ms FROM h
+      WHERE (hv // 65536) % 60000 > 0
+    )
+    SELECT doc_id, u.frame_ts_ms
+    FROM durations,
+         UNNEST(generate_series(0, CAST(duration_ms AS BIGINT) - 1, 1000))
+           AS u(frame_ts_ms)
+    """,
+)
+def multimodal_framesample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling WORK PLAN through the real metadata path: one row per
+    (doc, frame timestamp) at 1 fps over the probed duration — the
+    explode that turns opaque media into independently-schedulable work
+    items. The oracle re-derives the stub probe's duration fold and the
+    series expansion in SQL."""
+    from erigon_extract_spark.operators.multimodal import frame_sample_plan
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.lit("image/png").alias("mime"),
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+@query(
     "sample_stable_split",
     """
     WITH b AS (
