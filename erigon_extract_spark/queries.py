@@ -815,6 +815,52 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_split(kept, "doc_id").select("doc_id", "split")
 
 
+@query(
+    "multimodal_resize",
+    """
+    WITH payload AS (
+      SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   regexp_split_to_array(substring(s, 1, 64), ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) & 2147483647) AS hv
+      FROM payload
+    )
+    SELECT doc_id, 'image/png' AS mime,
+           CAST(224 AS INTEGER) AS target_w, CAST(224 AS INTEGER) AS target_h,
+           '000000E0' || '000000E0' || lpad(to_hex(hv), 8, '0') AS payload_hex
+    FROM h
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing through the real Arrow-batched kernel
+    (payload-in/payload-out mapInPandas): the stubbed pixel op emits
+    dims-header + content digest, which the oracle rebuilds byte-for-byte
+    as hex — so batching, schema, and the digest fold are value-verified;
+    swapping PIL in changes only the inner function."""
+    from erigon_extract_spark.operators.multimodal import resize_images
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.lit("image/png").alias("mime"),
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
+    )
+    out = resize_images(media, target_w=224, target_h=224, fake_decode=True)
+    return out.select(
+        "doc_id", "mime", "target_w", "target_h",
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
 @query("dedup_minhash_lsh")  # murmur3 sigs aren't SQL-expressible → rows-only check
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
