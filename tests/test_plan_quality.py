@@ -213,3 +213,45 @@ def test_ref_dialect_decode_parallel_tasks(spark):
                           pages_per_task=1)
     # page-split ingest: multiple independent decode tasks, not one stream
     assert df.rdd.getNumPartitions() > 1
+
+
+def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
+    """Blanket audit: EVERY registered query's physical plan is checked for
+    the three scale-killers — CartesianProduct, BroadcastNestedLoopJoin,
+    and monotonically_increasing_id-keyed processing. Queries that are
+    quadratic BY DESIGN (brute-force oracle baselines over a bounded side)
+    are allowlisted explicitly so a new accidental cartesian can't hide."""
+    bnlj_by_design = {
+        # exact-cosine pair/topk baselines: bounded broadcast side, the
+        # quadratic scan IS the documented algorithm (oracle baselines)
+        "dedup_embedding_cosine",
+        "sim_bruteforce_topk",
+        # scalar-subquery shapes: BNLJ against a ONE-ROW global aggregate
+        # (avg threshold / scalar combine) — linear by construction
+        "erigon_txbodies_stats",
+        "p6_prune_filter",
+        "q11_important_stock",
+        "q22_dormant_rich_customers",
+    }
+    # iterative/checkpointing queries EXECUTE work at plan-build time;
+    # their component plans are covered by their own tests
+    skip_build = {
+        "erigon_incremental_update",
+        "dedup_connected_clusters",
+        "corpus_curation_keep_list",
+    }
+    offenders = {}
+    for name, fn in q.QUERIES.items():
+        if name in skip_build:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_by_design:
+            bad.append("BroadcastNestedLoopJoin")
+        if "monotonically_increasing_id" in plan:
+            bad.append("monotonically_increasing_id")
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
