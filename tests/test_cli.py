@@ -58,3 +58,28 @@ def test_print_number_trims_leading_zero_nibbles():
     assert cli._print_number(bytes(32)) == "0"
     assert cli._print_number((0xF5E).to_bytes(32, "big")) == "f5e"
     assert cli._print_number((0x10).to_bytes(4, "big")) == "10"
+
+
+def test_cli_build_dump_state_at_roundtrip(spark, tmp_path, capsys):
+    """The Spark-side CLI chain: build writes the sorted store + manifest,
+    dump emits canonical lines for every row, state-at answers an as-of
+    query against the written store."""
+    store = str(tmp_path / "store")
+    rc = cli.main(["build", "--out", store, "--partitions", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "'total': 429" in out
+
+    rc = cli.main(["dump", store])
+    dump_out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in dump_out.splitlines() if l]
+    assert len(lines) == 429
+    assert any(l.startswith("A ") for l in lines)
+    assert any(l.startswith("S ") for l in lines)
+
+    rc = cli.main(["state-at", store, "--block", "100"])
+    sa_out = capsys.readouterr().out
+    assert rc == 0
+    sa_lines = [l for l in sa_out.splitlines() if l]
+    assert 0 < len(sa_lines) <= 8  # one row per address alive at block 100
+    assert all(l.startswith("A ") and "@" in l for l in sa_lines)
