@@ -52,6 +52,7 @@ HEADLINE = [
     "ref_dialect_decode",
     "session_window_agg",
     "erigon_transpose_scale",  # 3M-row synthetic transpose+rekey throughput
+    "dedup_scale",  # 200k-doc synthetic minhash-LSH throughput
 ]
 
 

@@ -1593,6 +1593,32 @@ def erigon_transpose_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_scale")  # synthetic-volume perf probe → rows-only
+def dedup_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash LSH at benchmark volume: 200k documents synthesized
+    distributively (10 hash-words each; 25% exact duplicates of earlier
+    seeds, plus a 10% near-dup band differing in the final word), pushed
+    through the real banded-LSH candidate pipeline and reduced to a
+    count row. The LLM-pipeline throughput witness at ~2M shingle rows —
+    independent of the 5k-doc correctness table."""
+    n_docs, n_uniq = 200_000, 150_000
+    words = [
+        F.md5(F.concat((F.col("id") % n_uniq).cast("string"), F.lit(f"_{i}")))
+        for i in range(9)
+    ]
+    last = F.when(
+        F.col("id") % 10 == 0, F.md5(F.concat(F.col("id").cast("string"), F.lit("_x")))
+    ).otherwise(
+        F.md5(F.concat((F.col("id") % n_uniq).cast("string"), F.lit("_9")))
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *words, last).alias("text"),
+    )
+    cand = minhash_lsh_candidates(docs, n_hashes=16, bands=4, shingle_n=3)
+    return cand.groupBy().agg(F.count("*").alias("n_candidates"))
+
+
 @query("erigon_state_history", _ERIGON_HISTORY_SQL)
 def erigon_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship domain pipeline end-to-end on the deterministic fixture
