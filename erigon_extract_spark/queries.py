@@ -1593,6 +1593,26 @@ def erigon_transpose_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_topk")  # trained KMeans quantizer → rows-only check
+def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer, probes scan only
+    their n_probe nearest cells (operators/similarity.py::ivf_topk). The
+    trained quantizer isn't SQL-expressible, so this is a rows-only check;
+    tests/test_similarity.py pins recall against the exact brute force."""
+    from erigon_extract_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = ivf_topk(emb, probes, k=10, n_lists=8, n_probe=3)
+    return out.select(
+        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 @query("dedup_scale")  # synthetic-volume perf probe → rows-only
 def dedup_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minhash LSH at benchmark volume: 200k documents synthesized
