@@ -226,6 +226,9 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # quadratic scan IS the documented algorithm (oracle baselines)
         "dedup_embedding_cosine",
         "sim_bruteforce_topk",
+        # probes x centroids: the broadcast side is the n_lists centroid
+        # table (8 rows) — the cell-selection step of IVF, linear in probes
+        "sim_ivf_topk",
         # scalar-subquery shapes: BNLJ against a ONE-ROW global aggregate
         # (avg threshold / scalar combine) — linear by construction
         "erigon_txbodies_stats",
