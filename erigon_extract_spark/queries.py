@@ -1593,6 +1593,19 @@ def erigon_transpose_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scalar_keccak256")  # no keccak in DuckDB → rows-only check
+def scalar_keccak_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keccak-256 over document bytes (F8; pytest pins the algorithm to
+    the Keccak spec vectors incl. EMPTY_CODE_HASH == keccak256(''))."""
+    from erigon_extract_spark.functions.keccak import keccak256
+
+    docs = _load(spark, sf_dir, "documents").limit(200)
+    return docs.select(
+        "doc_id",
+        F.hex(keccak256(F.encode(F.col("text"), "utf-8"))).alias("keccak"),
+    )
+
+
 @query("sim_ivf_topk")  # trained KMeans quantizer → rows-only check
 def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer, probes scan only
