@@ -94,6 +94,56 @@ def delta_decode(
     return df.withColumn(out_col, F.sum(delta_col).over(w))
 
 
+def session_tick_micros(df: DataFrame, time_col: str) -> Column:
+    """Event-time as integer epoch microseconds, computed WITHOUT ever
+    passing through a session-timezone-dependent cast.
+
+    - ``timestamp_ntz``: ``timestampdiff(MICROSECOND, NTZ epoch, ts)`` —
+      pure wall-clock arithmetic on the stored value; a ``cast(ntz as
+      timestamp)`` instead would shift the epoch by the SESSION timezone
+      (and non-uniformly across DST transitions), making results depend on
+      driver config. That exact sensitivity produced two rounds of
+      driver-only sessionize hash mismatches.
+    - ``timestamp``: ``unix_micros`` reads the internal epoch directly —
+      already timezone-independent.
+    - integral: taken as epoch micros as-is (exact integer math; a double
+      cast at 2024 epoch magnitudes carries ~µs quantization).
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[time_col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{time_col}`)"
+        )
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(time_col))
+    return F.col(time_col).cast("long")
+
+
+def sessionize_marks(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    gap_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+    tick_col: str = "tick_micros",
+    mark_col: str = "is_new",
+) -> DataFrame:
+    """The observable intermediates of sessionization: integer-µs tick and
+    the session-start mark per row. Split out so a correctness gate can
+    pin down WHERE a divergence enters (tick vs mark vs running sum)."""
+    tick = session_tick_micros(df, time_col)
+    df = df.withColumn(tick_col, tick)
+    order = [F.col(tick_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    gap = F.lit(int(gap_seconds) * 1_000_000)
+    prev = F.lag(tick_col).over(w)
+    is_new = F.when(prev.isNull() | (F.col(tick_col) - prev > gap), 1).otherwise(0)
+    return df.withColumn(mark_col, is_new)
+
+
 def sessionize(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -106,35 +156,31 @@ def sessionize(
     since the previous event of the same key exceeds ``gap_seconds``.
     session_id is the running count of session starts per key (1-based).
 
-    Two windows over the SAME partitioning (key, ordered by time +
+    Two windows over the SAME partitioning (key, ordered by tick +
     tiebreaks) — one shuffle total; the lag and the running sum pipeline
     in one stage. Pass tiebreak_cols when time values can collide, so the
-    assignment is deterministic.
-    """
-    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    # Gap math on integer microseconds, never float seconds: double epochs at
-    # 2024 magnitudes carry ~µs quantization, so a gap of exactly
-    # `gap_seconds` can flip between engines depending on rounding. Integer
-    # micros are exact on both Spark and any ANSI oracle
-    # (epoch_us / date_diff('microsecond', ...)).
-    from pyspark.sql import types as T
-
-    dt = df.schema[time_col].dataType
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        tick = F.unix_micros(F.col(time_col).cast("timestamp"))
-        gap = F.lit(int(gap_seconds) * 1_000_000)
-    else:
-        tick = F.col(time_col).cast("double")
-        gap = F.lit(gap_seconds)
-    prev = F.lag(tick).over(w)
-    is_new = F.when(prev.isNull() | (tick - prev > gap), 1).otherwise(0)
+    assignment is deterministic. All gap math is integer microseconds via
+    ``session_tick_micros`` — exact and session-config-independent on both
+    Spark and any ANSI oracle (epoch_us)."""
+    marked = sessionize_marks(
+        df,
+        key_cols,
+        time_col,
+        gap_seconds,
+        tiebreak_cols,
+        tick_col="__tick",
+        mark_col="__is_new",
+    )
+    order = [F.col("__tick").asc()] + [F.col(c).asc() for c in tiebreak_cols]
     run = (
         Window.partitionBy(*key_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn(out_col, F.sum(is_new).over(run))
+    return (
+        marked.withColumn(out_col, F.sum("__is_new").over(run))
+        .drop("__tick", "__is_new")
+    )
 
 
 def dedup_keep_first(

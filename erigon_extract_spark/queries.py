@@ -63,6 +63,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts left in its STORAGE form: ntz stays ntz; a legacy
+    ns-bigint column becomes a timestamp via ``timestamp_micros`` (an
+    epoch-valued constructor — timezone-independent). Unlike ``_events``,
+    the value NEVER passes through a ``cast(ntz as timestamp)``, whose
+    epoch shifts with ``spark.sql.session.timeZone``. Queries whose output
+    depends on epoch DIFFERENCES (sessionize) must read through this
+    loader so their results cannot vary with driver session config."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        from erigon_extract_spark.sources.tables import normalize_event_ts
+
+        df = normalize_event_ts(df)  # bigint branch is TZ-independent
+    return df
+
+
 def _dsum(col) -> F.Column:
     """Order-independent float sum: per-row cast to DECIMAL(18,6), exact
     decimal addition, result back to double. Large double sums rounded to
@@ -1251,24 +1271,38 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sessionize_events",
-    """
+# Both sides of the sessionize pair work on integer epoch-MICROSECONDS
+# computed straight from the stored value: Spark via timestampdiff on the
+# ntz column (never a session-TZ cast — see session_tick_micros), DuckDB
+# via epoch_us on the naive timestamp. A µs tick is exact integer math on
+# both engines and invariant to any driver session configuration.
+_SESSIONIZE_TICK_SQL = """
     WITH e AS (
-      -- truncate to µs to match the Spark read (ns parquet → `ts div 1000`)
-      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      -- epoch_us(naive TIMESTAMP) = the stored µs value, no TZ anywhere;
+      -- CAST truncates a legacy ns file to µs exactly like the Spark read
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tick_micros
+      FROM events
     ),
     g AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+      SELECT user_id, event_id, tick_micros,
+             CASE WHEN LAG(tick_micros) OVER w IS NULL
+                       OR tick_micros - LAG(tick_micros) OVER w
                           > CAST(3600 AS BIGINT) * 1000000
                   THEN 1 ELSE 0 END AS is_new
       FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tick_micros, event_id)
     )
+"""
+
+
+@query(
+    "sessionize_events",
+    _SESSIONIZE_TICK_SQL
+    + """
     SELECT user_id, event_id,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY tick_micros, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
     FROM g
     """,
@@ -1276,11 +1310,32 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erigon_extract_spark.operators.windows import sessionize
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _events_raw(spark, sf_dir)
     out = sessionize(
         ev, ["user_id"], "ts", gap_seconds=3600, tiebreak_cols=["event_id"]
     )
     return out.select("user_id", "event_id", "session_id")
+
+
+@query(
+    "sessionize_debug",
+    _SESSIONIZE_TICK_SQL
+    + """
+    SELECT user_id, event_id, tick_micros, is_new FROM g
+    """,
+)
+def sessionize_debug_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-localizing companion to sessionize_events: emits the raw tick
+    and the session-start mark so a gate mismatch pins down WHICH stage
+    diverges (tick extraction vs gap comparison vs running sum) in the
+    correctness file itself, rather than needing a repro session."""
+    from erigon_extract_spark.operators.windows import sessionize_marks
+
+    ev = _events_raw(spark, sf_dir)
+    out = sessionize_marks(
+        ev, ["user_id"], "ts", gap_seconds=3600, tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "event_id", "tick_micros", "is_new")
 
 
 @query(
@@ -1955,8 +2010,8 @@ _ERIGON_TX_BODIES_SQL = f"""
     SELECT block,
            first(tx_amount) AS tx_amount,
            hex(first(uncles)) AS uncles,
-           COALESCE(list(hex(tx_rlp) ORDER BY tx_id)
-                    FILTER (WHERE tx_id IS NOT NULL), []) AS txs
+           COALESCE(string_agg(hex(tx_rlp), '' ORDER BY tx_id)
+                    FILTER (WHERE tx_id IS NOT NULL), '') AS txs
     FROM joined
     GROUP BY block
     """
@@ -1979,11 +2034,16 @@ def erigon_tx_bodies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{d}/block_transactions.parquet"
     )
     out = assemble_tx_bodies(bodies, txs, dedup_forks=True)
+    # Gate-facing projection is SCALAR-ONLY: the driver's canonicalizer
+    # (pandas sort_values/factorize) cannot hash list cells, so the txs
+    # array collapses to one hex string per block (order preserved by the
+    # array_sort upstream). The array-shaped K4 sink stays the library API
+    # (plans.txbodies.assemble_tx_bodies).
     return out.select(
         "block",
         "tx_amount",
         F.hex("uncles").alias("uncles"),
-        F.transform("txs", lambda x: F.hex(x)).alias("txs"),
+        F.concat_ws("", F.transform("txs", lambda x: F.hex(x))).alias("txs"),
     )
 
 

@@ -27,8 +27,12 @@ def norm(v):
         return round(v, 9)
     if isinstance(v, (bytes, bytearray, memoryview)):
         return bytes(v)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+    if isinstance(v, (list, dict)):
+        # The driver's canonicalizer (pandas sort_values -> factorize over
+        # object cells) dies on list/dict cells; tolerating them here is
+        # exactly what hid the erigon_tx_bodies red row in r1/r2. Mirror the
+        # driver: non-scalar cells are an error, not a comparable value.
+        raise TypeError(f"non-scalar cell {type(v).__name__}: driver rejects")
     return v
 
 
@@ -36,6 +40,18 @@ def run_one(spark, sf_dir: str, name: str) -> tuple[str, bool, str]:
     t0 = time.perf_counter()
     try:
         df = q.QUERIES[name](spark, sf_dir)
+        from pyspark.sql import types as T
+
+        bad_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad_cols:
+            return name, False, (
+                f"non-scalar output columns {bad_cols} — the driver's "
+                "canonicalizer cannot hash list cells; project to scalars"
+            )
         scols = df.columns
         srows = sorted(
             (tuple(norm(r[c]) for c in scols) for r in df.collect()), key=repr
