@@ -3649,49 +3649,56 @@ def stream_latest_state_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # burning gate slots.
 # ---------------------------------------------------------------------------
 
+# ROUND-3 ROTATION: the window is a scarce verification resource, so its
+# composition rotates across rounds to ACCUMULATE driver evidence. Queries
+# hash-green in BOTH r1 and r2 with unchanged code rest outside the window
+# this round (their green rows in CORRECTNESS_r01/r02 are durable
+# evidence): q1/q3/q5, j2, w1, w4, a1, a3, o2, p6, set_ops_nations,
+# rollup_order_stats, join_semi, scalar_surface, pivot_status_qty,
+# window_ranking_surface, agg_percentiles, stream_latest_state_batch.
+# Entering in their place: every family representative that has never had
+# a driver row — the erigon dump/manifest/storage/stats quartet,
+# erigon_latest_state, zorder, sampling splits, anti join, grouping sets,
+# topk, w6/w_running window shapes, the scalar-surface variants, the two
+# remaining multimodal kernels — plus the two freshly-fixed red rows
+# (erigon_tx_bodies, sessionize_events) and the new self-localizing
+# sessionize_debug.
 _GATE_PRIORITY = [
-    # TPC-H core shapes (scan/agg, join-agg, broadcast star, conditional agg)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    # q6 and q10 sit past the window (scan+conditional-agg inside q1;
-    # join+agg inside q3/q5)
     # reference operator surface (SURVEY.md §2)
     "s1_point_lookup",
     "s2_range_scan",
     "j1_lookup_join",
-    "j2_ordered_union",
     "j3_index_range_join",
-    "w1_delta_encode",
-    "w4_rekey_first_block",
-    # w6_dedup_first sits past the window — the same dedup_keep_first path
-    # runs hash-gated inside erigon_tx_bodies (fork dedup)
     "u256_arithmetic",
     "asof_state_at",
     "asof_join",
-    "a1_counters",
-    "a3_uniqueness_check",
-    "o2_multi_column_sort",
-    "p6_prune_filter",
     # flagship domain pipeline (decode → recovery → transpose → rekey → asof)
     "erigon_state_history",
     "erigon_incremental_update",
     "erigon_state_at",
     "ref_dialect_decode",
     "erigon_tx_bodies",
-    # generic analytics surface (topk_per_group sits past the window — its
-    # row_number shape is covered by window_ranking_surface)
-    "set_ops_nations",
-    "rollup_order_stats",
-    "join_semi",
-    # join_anti sits past the window: q21 (LeftAnti in-plan) and join_semi
-    # keep the family's two directions covered between gate + pytest
-    "scalar_surface",
-    "pivot_status_qty",
-    "window_ranking_surface",
-    "agg_percentiles",
+    "erigon_latest_state",
+    # domain sinks/aggregates entering for first-time driver evidence
+    "erigon_canonical_dump",
+    "erigon_manifest_counts",
+    "erigon_storage_state_at",
+    "erigon_txbodies_stats",
+    # sessionization (fixed this round) + SQL entry point
     "sessionize_events",
+    "sessionize_debug",
     "sql_entrypoint",
+    # generic analytics: first-time rows for the resting families' cousins
+    "join_anti",
+    "grouping_sets_stats",
+    "topk_per_group",
+    "w6_dedup_first",
+    "w_running_sum",
+    "zorder_curve",
+    "sample_stable_split",
+    "text_explode_sentences",
+    "array_scalar_surface",
+    "date_scalar_surface",
     # training-data / LLM pipeline operators
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -3702,21 +3709,18 @@ _GATE_PRIORITY = [
     "sim_bruteforce_topk",
     "sim_lsh_topk",
     "text_stats",
-    # text_lang_quality sits past the window — the text family keeps three
-    # gate representatives (stats, lang-id vote, quality score)
     "text_lang_id_vote",
     "text_quality_score",
     "text_fingerprint",
-    # sample_stable_split sits past the window — the composed curation
-    # query verifies the same split assignment per kept doc
     "corpus_curation_keep_list",
     "multimodal_probe",
+    "multimodal_resize",
+    "multimodal_framesample",
     "range_interval_join",
     # streaming semantics in batch mode
     "window_tumbling_agg",
     "window_hopping_agg",
     "session_window_agg",
-    "stream_latest_state_batch",
 ]
 
 
