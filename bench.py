@@ -98,6 +98,16 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # BASELINE.md's one quantitative size target: sorted+zstd parquet vs
+    # the ad-hoc encodings on a fixed corpus (tools/measure_compression).
+    try:
+        from tools.measure_compression import measure
+
+        compression = measure(spark)
+    except Exception as exc:  # a broken measurement must not hide in bench
+        print(f"# compression measure failed: {exc}", file=sys.stderr)
+        compression = None
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -107,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "compression": compression,
             }
         )
     )

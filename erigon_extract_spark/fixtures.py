@@ -359,3 +359,36 @@ def account_state_at_oracle(fx: Fixtures, block: int) -> dict[bytes, AccountVers
         if eligible:
             out[addr] = eligible[-1]
     return out
+
+
+def realistic_state_history_rows(n_addrs: int = 150, seed: int = 7) -> list[tuple]:
+    """State history with real-data-shaped redundancy, for compression
+    measurement: per-address runs of versions, small block gaps,
+    incrementing nonces, near-constant balances, storage values with few
+    significant bytes. Rows are shaped like schemas.STATE_HISTORY. Shared
+    by tests/test_compression.py and tools/measure_compression.py so the
+    committed ratio and the regression guard measure the same corpus."""
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_addrs):
+        addr = rng.randbytes(20)
+        code_hash = rng.randbytes(32) if rng.random() < 0.3 else b"\x00" * 32
+        block, nonce, bal = 0, 0, rng.randint(0, 10**12)
+        for _ in range(rng.randint(5, 60)):
+            block += rng.randint(1, 300)
+            nonce += rng.randint(0, 2)
+            bal = max(0, bal + rng.randint(-(10**9), 10**9))
+            out.append(
+                (addr, 0, 1, None, block,
+                 nonce, bal.to_bytes(32, "big"), code_hash, None)
+            )
+        for _ in range(rng.randint(0, 3)):
+            slot = rng.randint(0, 50).to_bytes(32, "big")
+            block = 0
+            for _ in range(rng.randint(1, 20)):
+                block += rng.randint(1, 500)
+                val = rng.randint(0, 10**9).to_bytes(32, "big")
+                out.append((addr, 1, 1, slot, block, None, None, None, val))
+    return out

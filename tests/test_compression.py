@@ -13,40 +13,12 @@ holds and that sorting is what buys it.
 from __future__ import annotations
 
 import pathlib
-import random
 
 from pyspark.sql import functions as F
 
 from erigon_extract_spark.codec import encode_state_history
+from erigon_extract_spark.fixtures import realistic_state_history_rows as _realistic_rows
 from erigon_extract_spark.schemas import STATE_HISTORY
-
-
-def _realistic_rows(n_addrs=150, seed=7):
-    """State history with real-data-shaped redundancy: per-address runs of
-    versions, small block gaps, incrementing nonces, near-constant balances,
-    storage values with few significant bytes."""
-    rng = random.Random(seed)
-    out = []
-    for _ in range(n_addrs):
-        addr = rng.randbytes(20)
-        code_hash = rng.randbytes(32) if rng.random() < 0.3 else b"\x00" * 32
-        block, nonce, bal = 0, 0, rng.randint(0, 10**12)
-        for _ in range(rng.randint(5, 60)):
-            block += rng.randint(1, 300)
-            nonce += rng.randint(0, 2)
-            bal = max(0, bal + rng.randint(-(10**9), 10**9))
-            out.append(
-                (addr, 0, 1, None, block,
-                 nonce, bal.to_bytes(32, "big"), code_hash, None)
-            )
-        for _ in range(rng.randint(0, 3)):
-            slot = rng.randint(0, 50).to_bytes(32, "big")
-            block = 0
-            for _ in range(rng.randint(1, 20)):
-                block += rng.randint(1, 500)
-                val = rng.randint(0, 10**9).to_bytes(32, "big")
-                out.append((addr, 1, 1, slot, block, None, None, None, val))
-    return out
 
 
 def _dir_bytes(path: str) -> int:
@@ -79,6 +51,17 @@ def test_sorted_parquet_within_2x_of_opcode_stream(spark, tmp_path):
         f"sorted parquet {sorted_bytes}B vs codec {codec_bytes}B "
         f"(ratio {sorted_bytes / codec_bytes:.2f} > 2.0)"
     )
+
+
+def test_sorted_parquet_within_2x_of_reference_dialect(spark):
+    """The stronger claim: within 2x of what the REFERENCE itself would
+    write (byte-exact full-history file, header + strategy-0 stream +
+    restart pages). Measured r3: parquet is ~0.60x — it wins outright."""
+    from tools.measure_compression import measure
+
+    m = measure(spark)
+    assert m["parquet_zstd_sorted_bytes"] <= 2.0 * m["ref_dialect_bytes"], m
+    assert m["parquet_zstd_sorted_bytes"] <= 2.0 * m["opcode_stream_bytes"], m
 
 
 def test_sorting_is_load_bearing_for_compression(spark, tmp_path):
