@@ -81,16 +81,17 @@ def main() -> None:
             except Exception as exc:  # a broken warm-up must not hide in bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    # min of two measured runs per query: this box's run-to-run noise is
-    # +/-50% on sub-second queries (q5 measured 1.09s and 3.78s for
-    # identical code), and min-of-2 is the standard steady-state estimator.
-    # NOTE for cross-round comparison: rounds 1-2 published single-run
-    # numbers — treat sub-30% deltas against those as noise.
+    # min of three measured runs per query: this box's run-to-run noise is
+    # +/-50% and worse under driver co-tenancy (r3 observed a FIRST run of
+    # 9.4s settle to 1.8s warm on identical code), and min-of-k is the
+    # standard steady-state estimator. NOTE for cross-round comparison:
+    # rounds 1-2 published single-run/min-of-2 numbers — treat sub-30%
+    # deltas against those as noise.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
