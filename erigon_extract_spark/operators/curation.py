@@ -1,0 +1,126 @@
+"""Corpus-curation signals a large-scale training-data pipeline needs
+beyond dedup: PII scrubbing, benchmark decontamination, and repetition-
+based quality scoring (the C4/Gopher class of rules). All three are pure
+JVM column expressions or broadcast joins — no Python in the hot path.
+
+Scale shapes:
+
+- ``scrub_pii``: three ``regexp_replace``/``regexp_count`` expressions in
+  one projection — whole-stage codegen, zero shuffles, linear scan.
+- ``decontaminate_against``: the benchmark side is always tiny (a few
+  thousand eval documents) while the corpus is the 100 TB side, so the
+  benchmark's distinct shingle set is BROADCAST and the corpus is never
+  shuffled except for its own per-doc aggregate (map-side combined).
+  This is the join direction that matters: a shuffle join keyed on
+  shingles would move the whole corpus.
+- ``repetition_ratio``: per-row array math (split → window transform →
+  distinct) — codegen'd, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.dedup import exploded_shingles
+from erigon_extract_spark.operators.text import normalize_text
+
+# Patterns are deliberately written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB/Go): no backreferences, no lookaround, explicit
+# classes — so the SQL oracle mirrors them verbatim.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# anchored on a literal '+' so free-running digit sequences in prose never
+# match (and the engines' greedy-match details can't diverge)
+PHONE_RE = r"\+\d[\d\- ]{7,}\d"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Redact emails → IPv4s → phones (in that order, so earlier
+    replacement tokens are never re-matched) and count each redaction.
+    Counts are taken on the ORIGINAL text."""
+    col = F.col(text_col)
+    scrubbed = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            out_col: scrubbed,
+            "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"),
+            "n_ips": F.regexp_count(col, F.lit(IPV4_RE)).cast("long"),
+            "n_phones": F.regexp_count(col, F.lit(PHONE_RE)).cast("long"),
+        }
+    )
+
+
+def decontaminate_against(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the count and
+    fraction of its distinct word ``shingle_n``-grams that appear anywhere
+    in the benchmark set, plus a ``contaminated`` flag at ``threshold``.
+
+    Documents whose text yields no shingles (empty after normalization)
+    have no overlap to measure and drop out — mirroring the SQL oracle.
+    """
+    bench_sh = (
+        exploded_shingles(benchmark, text_col, shingle_n, id_col)
+        .select("sh")
+        .distinct()
+    )
+    corp_sh = exploded_shingles(corpus, text_col, shingle_n, id_col)
+    total = corp_sh.groupBy(id_col).agg(F.count("*").alias("total_shingles"))
+    shared = (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    joined = total.join(shared, id_col, "left").na.fill({"shared_shingles": 0})
+    ratio = F.col("shared_shingles") * F.lit(1.0) / F.col("total_shingles")
+    return joined.select(
+        id_col,
+        "shared_shingles",
+        "total_shingles",
+        F.round(ratio, 6).alias("overlap_ratio"),
+        (ratio >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Duplicate word-``n``-gram fraction: 1 - distinct/total over the full
+    sliding windows (docs shorter than ``n`` words score 0). High values
+    flag boilerplate/spam — the Gopher-style repetition filter."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    pre = df.select(id_col, words.alias("__w"))
+    nw = F.size(F.col("__w"))
+    total = F.greatest(nw - (n - 1), F.lit(0)).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(0), nw - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, n)),
+    )
+    distinct = F.when(nw >= n, F.size(F.array_distinct(grams))).otherwise(
+        F.lit(0)
+    ).cast("long")
+    ratio = F.when(
+        total > 0, F.lit(1.0) - distinct * F.lit(1.0) / total
+    ).otherwise(F.lit(0.0))
+    return pre.select(
+        id_col,
+        total.alias(f"total_{n}grams"),
+        distinct.alias(f"distinct_{n}grams"),
+        F.round(ratio, 6).alias("repetition_ratio"),
+    )

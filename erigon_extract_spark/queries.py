@@ -1338,6 +1338,152 @@ def sessionize_debug_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "tick_micros", "is_new")
 
 
+# --- corpus curation signals (C4/Gopher-class rules) ----------------------
+
+# The synthetic documents carry no PII, so both engines append the SAME
+# deterministic contact suffix before scrubbing — the redaction is then
+# demonstrably active and the whole transform sits under the hash gate.
+_PII_SYNTH_SQL = (
+    "concat(COALESCE(text, ''), ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com from 10.0.', CAST(doc_id % 256 AS VARCHAR), "
+    "'.7 call +1 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))"
+)
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_PII_SYNTH_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+             '\\+\\d[\\d\\- ]{{7,}}\\d', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(text,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ips,
+           len(regexp_extract_all(text, '\\+\\d[\\d\\- ]{{7,}}\\d')) AS n_phones
+    FROM synth
+    """,
+)
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4s, phones) as pure codegen'd regexp
+    expressions — the curation pass every corpus release runs. Patterns
+    live in the common Java-regex/RE2 subset so the oracle mirrors them
+    verbatim (operators/curation.py)."""
+    from erigon_extract_spark.operators.curation import scrub_pii
+
+    docs = _load(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(synth)
+    return out.select("doc_id", "scrubbed", "n_emails", "n_ips", "n_phones")
+
+
+# word → distinct 5-gram shingle fragment, identical to the (twice
+# hash-verified) minhash-portable oracle's construction
+_SHINGLE5_SQL = """
+    words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+      FROM words,
+           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+      WHERE length(array_to_string(list_slice(w, i, i + 4), ' ')) > 0
+    )
+"""
+
+
+@query(
+    "curation_decontaminate",
+    f"""
+    WITH {_SHINGLE5_SQL},
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+    corp AS (SELECT * FROM sh WHERE doc_id >= 25),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS total_shingles FROM corp GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT c.doc_id, COUNT(*) AS shared_shingles
+      FROM corp c JOIN bench b USING (sh) GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(s.shared_shingles, 0) AS shared_shingles,
+           t.total_shingles,
+           ROUND(COALESCE(s.shared_shingles, 0) * 1.0 / t.total_shingles, 6)
+             AS overlap_ratio,
+           CAST(COALESCE(s.shared_shingles, 0) * 1.0 / t.total_shingles >= 0.2
+                AS INTEGER) AS contaminated
+    FROM tot t LEFT JOIN shared s ON s.doc_id = t.doc_id
+    """,
+)
+def curation_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-24 stand in for the eval set, the
+    rest are the corpus; per corpus doc, the fraction of its distinct
+    5-gram shingles that appear in the benchmark. The benchmark shingle
+    set broadcasts (it is always the tiny side at 100 TB) — the corpus is
+    never shuffled on shingles."""
+    from erigon_extract_spark.operators.curation import decontaminate_against
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return decontaminate_against(corpus, bench, shingle_n=5, threshold=0.2)
+
+
+@query(
+    "text_repetition_ratio",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(w) AS nw,
+             CASE WHEN len(w) >= 3 THEN
+               len(list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' '))))
+             ELSE 0 END AS nd
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(greatest(nw - 2, 0) AS BIGINT) AS total_3grams,
+           CAST(nd AS BIGINT) AS distinct_3grams,
+           ROUND(CASE WHEN nw >= 3 THEN 1.0 - nd * 1.0 / (nw - 2)
+                      ELSE 0.0 END, 6) AS repetition_ratio
+    FROM g
+    """,
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 3-gram fraction per document (Gopher-style repetition
+    filter) — per-row array math, codegen'd, shuffle-free."""
+    from erigon_extract_spark.operators.curation import repetition_ratio
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_ratio(docs, n=3)
+
+
 @query(
     "dedup_embedding_cosine",
     """
@@ -3699,8 +3845,13 @@ _GATE_PRIORITY = [
     "text_explode_sentences",
     "array_scalar_surface",
     "date_scalar_surface",
-    # training-data / LLM pipeline operators
-    "dedup_exact",
+    # training-data / LLM pipeline operators (dedup_exact,
+    # text_lang_id_vote, text_quality_score rest — green r1 AND r2 — in
+    # favor of the new curation signals: PII scrub, benchmark
+    # decontamination, repetition ratio)
+    "text_pii_scrub",
+    "curation_decontaminate",
+    "text_repetition_ratio",
     "dedup_ngram_jaccard",
     "dedup_connected_clusters",
     "dedup_minhash_portable",
@@ -3709,8 +3860,6 @@ _GATE_PRIORITY = [
     "sim_bruteforce_topk",
     "sim_lsh_topk",
     "text_stats",
-    "text_lang_id_vote",
-    "text_quality_score",
     "text_fingerprint",
     "corpus_curation_keep_list",
     "multimodal_probe",

@@ -1,0 +1,98 @@
+"""Curation signals: PII scrub, benchmark decontamination, repetition
+ratio — semantics on crafted rows plus the plan shapes that matter at
+100 TB (benchmark side broadcast, no corpus shuffle on shingles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.curation import (
+    decontaminate_against,
+    repetition_ratio,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "mail a.b-c_d@ex-ample.org and 192.168.0.1 or call +44 20 7946 0958."),
+        (2, "no pii here, just 3.14 and 1234567 plain digits"),
+        (3, None),
+        (4, "two mails x@y.io z@w.ai one ip 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_ips"] == 1 and got[1]["n_phones"] == 1
+    assert "<EMAIL>" in got[1]["scrubbed"]
+    assert "<IP>" in got[1]["scrubbed"]
+    assert "<PHONE>" in got[1]["scrubbed"]
+    assert "a.b-c_d@ex-ample.org" not in got[1]["scrubbed"]
+    # 3.14 must NOT look like an IP; free digit runs must NOT look like phones
+    assert got[2]["scrubbed"] == rows[1][1]
+    assert got[2]["n_emails"] == got[2]["n_ips"] == got[2]["n_phones"] == 0
+    assert got[3]["scrubbed"] is None
+    assert got[4]["n_emails"] == 2 and got[4]["n_ips"] == 1
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy of a benchmark span → fully contaminated
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # disjoint text → zero overlap
+            (11, "completely different words about spark shuffles and parquet files"),
+            # empty after normalization → drops out (no shingles)
+            (12, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_against(corpus, bench, shingle_n=5).collect()
+    }
+    assert set(out) == {10, 11}
+    assert out[10]["contaminated"] == 1
+    assert out[10]["shared_shingles"] == out[10]["total_shingles"] > 0
+    assert out[11]["contaminated"] == 0 and out[11]["shared_shingles"] == 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The 100 TB property: the benchmark shingle set must BROADCAST so
+    the corpus is never shuffled on shingles. A shuffled hash join here
+    moves the whole corpus."""
+    bench = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    corpus = spark.range(100, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("one two three four five six seven "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    plan = decontaminate_against(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_repetition_ratio_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 windows, 3 distinct → 4/7 repeated
+            (2, "all words here are unique tokens"),  # no repeats → 0
+            (3, "one two"),  # shorter than n → 0 by definition
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_ratio(df, n=3).collect()}
+    assert got[1]["total_3grams"] == 7 and got[1]["distinct_3grams"] == 3
+    assert abs(got[1]["repetition_ratio"] - round(1 - 3 / 7, 6)) < 1e-9
+    assert got[2]["repetition_ratio"] == 0.0
+    assert got[3]["total_3grams"] == 0 and got[3]["repetition_ratio"] == 0.0
+    assert got[4]["repetition_ratio"] == 0.0
