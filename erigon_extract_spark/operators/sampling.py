@@ -25,6 +25,27 @@ def stable_hash_bucket(col, n_buckets: int = 100) -> F.Column:
     return (F.conv(hex8, 16, 10).cast("long") % n_buckets).alias("bucket")
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_permille,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Source-mixing subsample: keep a row when its stable hash bucket
+    falls under a PER-ROW per-mille rate (a column expression — typically
+    derived from the row's source). The standard corpus-mixing primitive:
+    deterministic membership (same doc always kept or dropped, any engine,
+    any partitioning), weights tunable per source without reshuffling
+    prior decisions. Pure column expressions — the filter pushes to the
+    scan."""
+    bucket = stable_hash_bucket(F.col(key_col), n_buckets)
+    return (
+        df.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < rate_permille)
+        .drop("__bucket")
+    )
+
+
 def stable_split(
     df: DataFrame,
     key_col: str,

@@ -1485,6 +1485,80 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_excl
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_excl // 2048 AS chunk_id,
+           cum_excl % 2048 AS chunk_offset
+    FROM c
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): per doc,
+    the 2048-token context chunk and offset where its tokens begin, packed
+    per shard in doc_id order — the loader-side contract for building
+    fixed-length training examples."""
+    from erigon_extract_spark.operators.packing import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, context_tokens=2048, n_shards=8)
+
+
+@query(
+    "corpus_mixture_sample",
+    """
+    WITH rated AS (
+      SELECT doc_id, source,
+             100 + 50 * (CAST(substr(source, 4) AS INTEGER) % 10)
+               AS rate_permille,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           first(rate_permille) AS rate_permille,
+           COUNT(*) AS n_kept,
+           SUM(doc_id) AS id_checksum
+    FROM rated
+    WHERE bucket < rate_permille
+    GROUP BY source
+    """,
+)
+def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing subsample (operators/sampling.mixture_sample): each
+    source gets a per-mille keep rate (derived from its name here; a real
+    run supplies trained mixture weights), membership decided by the same
+    stable md5 bucket the split operator uses. The id_checksum puts the
+    MEMBERSHIP under the hash gate, not just the counts."""
+    from erigon_extract_spark.operators.sampling import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    rate = 100 + 50 * (F.substring("source", 4, 10).cast("int") % 10)
+    kept = mixture_sample(
+        docs.withColumn("rate_permille", rate), "doc_id", F.col("rate_permille")
+    )
+    return kept.groupBy("source").agg(
+        F.first("rate_permille").cast("int").alias("rate_permille"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     """
     WITH vecs AS (
@@ -3852,11 +3926,12 @@ _GATE_PRIORITY = [
     "text_pii_scrub",
     "curation_decontaminate",
     "text_repetition_ratio",
-    "dedup_ngram_jaccard",
+    "pack_sequences",
+    "corpus_mixture_sample",
+    # dedup_ngram_jaccard + dedup_embedding_cosine rest (green r1 AND r2)
     "dedup_connected_clusters",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
-    "dedup_embedding_cosine",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
     "text_stats",

@@ -1,0 +1,65 @@
+"""Sequence packing + mixture sampling: hand-checked semantics and the
+determinism/stability properties that make them usable at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.packing import pack_sequences
+from erigon_extract_spark.operators.sampling import mixture_sample
+
+
+def test_pack_sequences_hand_checked(spark):
+    # one shard (n_shards=1), budget 5 tokens; docs in id order with
+    # 3, 4, 2, 6 tokens → exclusive cumsums 0, 3, 7, 9
+    rows = [
+        (1, "a b c"),
+        (2, "d e f g"),
+        (3, "h i"),
+        (4, "j k l m n o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, context_tokens=5, n_shards=1).collect()
+    }
+    assert (got[1]["chunk_id"], got[1]["chunk_offset"]) == (0, 0)
+    assert (got[2]["chunk_id"], got[2]["chunk_offset"]) == (0, 3)
+    assert (got[3]["chunk_id"], got[3]["chunk_offset"]) == (1, 2)
+    assert (got[4]["chunk_id"], got[4]["chunk_offset"]) == (1, 4)
+    assert got[4]["n_tokens"] == 6
+
+
+def test_pack_sequences_append_only_stability(spark):
+    """Adding documents with LARGER ids must not move any existing
+    assignment — the property that lets an incremental corpus build reuse
+    yesterday's packed chunks."""
+    base = [(i, "w " * (i % 7 + 1)) for i in range(1, 40)]
+    df1 = spark.createDataFrame(base, "doc_id long, text string")
+    df2 = spark.createDataFrame(
+        base + [(i, "x y z") for i in range(40, 60)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+         for r in pack_sequences(df1, context_tokens=16, n_shards=4).collect()}
+    b = {r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+         for r in pack_sequences(df2, context_tokens=16, n_shards=4).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_mixture_sample_is_deterministic_subset(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(100) + (F.col("id") % 5) * 100).alias("rate"),
+    )
+    kept1 = {r["doc_id"] for r in mixture_sample(docs, "doc_id", F.col("rate")).collect()}
+    kept2 = {r["doc_id"] for r in mixture_sample(
+        docs.repartition(7), "doc_id", F.col("rate")).collect()}
+    assert kept1 == kept2  # partitioning-independent membership
+    # doubling every rate keeps a superset
+    kept_hi = {r["doc_id"] for r in mixture_sample(
+        docs.withColumn("rate", F.col("rate") * 2), "doc_id", F.col("rate")
+    ).collect()}
+    assert kept1 <= kept_hi
+    # rough rate sanity: mean keep rate is sum(rates)/1000 per-mille
+    expected = sum(100 + (i % 5) * 100 for i in range(1000)) / 1000 / 1000
+    assert abs(len(kept1) / 1000 - expected) < 0.08
