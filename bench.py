@@ -53,6 +53,10 @@ HEADLINE = [
     "session_window_agg",
     "erigon_transpose_scale",  # 3M-row synthetic transpose+rekey throughput
     "dedup_scale",  # 200k-doc synthetic minhash-LSH throughput
+    # --- round-3 additions ---
+    "curation_decontaminate",  # broadcast-benchmark shingle overlap
+    "pack_sequences",  # concat-and-chunk packing window
+    "keccak_scale",  # 200k-key batched numpy keccak throughput
 ]
 
 

@@ -1881,6 +1881,31 @@ def scalar_keccak_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("keccak_scale")  # no keccak in DuckDB → rows-only throughput probe
+def keccak_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-state throughput probe: 200k synthetic 32-byte keys through
+    the batched numpy Keccak lane (functions/keccak.py::keccak256_batch) —
+    the map stage a hashed-trie layout job runs per address/slot. The
+    aggregate output keeps the gate surface scalar; pytest pins the
+    algorithm to the spec vectors."""
+    from erigon_extract_spark.functions.keccak import keccak256
+
+    n = 200_000
+    keys = spark.range(n).select(
+        F.unhex(
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5(F.concat(F.lit("x"), F.col("id").cast("string"))),
+            )
+        ).alias("key")
+    )
+    hashed = keys.select(keccak256(F.col("key")).alias("h"))
+    return hashed.agg(
+        F.count("*").alias("n_hashed"),
+        F.max(F.hex("h")).alias("max_hash"),
+    )
+
+
 @query("sim_ivf_topk")  # trained KMeans quantizer → rows-only check
 def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer, probes scan only
