@@ -1278,10 +1278,11 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines and invariant to any driver session configuration.
 _SESSIONIZE_TICK_SQL = """
     WITH e AS (
-      -- epoch_us(naive TIMESTAMP) = the stored µs value, no TZ anywhere;
-      -- CAST truncates a legacy ns file to µs exactly like the Spark read
+      -- epoch_ns // 1000 is EXPLICIT truncation: exact for µs files, and
+      -- for a legacy ns file it matches Spark's `ts div 1000` regardless
+      -- of whether the engine's ns→µs CAST truncates or rounds
       SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS tick_micros
+             epoch_ns(ts) // 1000 AS tick_micros
       FROM events
     ),
     g AS (
