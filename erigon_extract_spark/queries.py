@@ -3323,7 +3323,7 @@ def window_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming tests execute."""
     from erigon_extract_spark.streaming.latest_state import stream_windowed_counts
 
-    events = _events(spark, sf_dir)
+    events = _events_raw(spark, sf_dir)
     return stream_windowed_counts(
         events, "ts", window_duration="15 minutes", group_cols=["event_type"]
     )
@@ -3398,7 +3398,7 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_session_windows,
     )
 
-    events = _events(spark, sf_dir)
+    events = _events_raw(spark, sf_dir)
     return stream_session_windows(
         events, "ts", gap="5 minutes", key_cols=["user_id"], value_col="value"
     )
@@ -3429,7 +3429,7 @@ def window_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     performs physically."""
     from erigon_extract_spark.streaming.latest_state import stream_windowed_counts
 
-    events = _events(spark, sf_dir)
+    events = _events_raw(spark, sf_dir)
     return stream_windowed_counts(
         events,
         "ts",

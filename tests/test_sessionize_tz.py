@@ -29,7 +29,19 @@ def _collect_under_tz(spark, sf_dir, name, tz):
         spark.conf.set("spark.sql.session.timeZone", old)
 
 
-@pytest.mark.parametrize("name", ["sessionize_events", "sessionize_debug"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sessionize_events",
+        "sessionize_debug",
+        # streaming-window gate queries read the ntz column directly
+        # (Spark 3.4+ time windows accept timestamp_ntz), so their window
+        # boundaries are wall-clock arithmetic — same invariance class
+        "window_tumbling_agg",
+        "window_hopping_agg",
+        "session_window_agg",
+    ],
+)
 def test_sessionize_is_session_tz_invariant(spark, sf_dir, name):
     base = _collect_under_tz(spark, sf_dir, name, "UTC")
     assert len(base) > 0
