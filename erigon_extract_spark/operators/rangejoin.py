@@ -43,8 +43,9 @@ def band_self_join(
         # deltas distorted by the offset change. Diffing NTZ values against
         # a fixed NTZ epoch is pure wall-clock arithmetic: timezone- and
         # DST-independent by construction.
-        us = F.timestampdiff(
-            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
         )
     else:
         us = F.unix_micros(ts)

@@ -539,7 +539,11 @@ def asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # As-of join: each click gets the user's latest not-after purchase.
-    ev = _load(spark, sf_dir, "events")
+    # Raw loader: the emitted ts column stays ntz, so collection yields the
+    # stored wall-clock under ANY session config — structural parity with
+    # the oracle's naive TIMESTAMP instead of relying on cast/render
+    # round-tripping.
+    ev = _events_raw(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -3294,7 +3298,10 @@ def range_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed equi-join from operators/rangejoin.py (linear, shuffle-
     partitionable — the 100 TB path where a theta-join would be a
     cartesian product)."""
-    events = _events(spark, sf_dir)
+    # raw loader: ts stays ntz so band_self_join's timestampdiff branch
+    # engages — micros deltas become pure wall-clock arithmetic,
+    # session-config-independent
+    events = _events_raw(spark, sf_dir)
     pairs = band_self_join(
         events, ["event_type"], "ts", band_us=5_000_000, id_col="event_id"
     )
@@ -3878,7 +3885,7 @@ def stream_latest_state_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream maintains — O(#live keys) state at any input size."""
     from erigon_extract_spark.streaming.latest_state import stream_latest_state
 
-    ev = _events(spark, sf_dir)
+    ev = _events_raw(spark, sf_dir)  # ntz out: wall-clock parity, any session
     return stream_latest_state(
         ev, ["user_id"], version_col="ts", value_cols=["event_type", "value"]
     ).select("user_id", "ts", "event_type", "value")

@@ -40,9 +40,14 @@ def _collect_under_tz(spark, sf_dir, name, tz):
         "window_tumbling_agg",
         "window_hopping_agg",
         "session_window_agg",
+        "range_interval_join",
     ],
 )
 def test_sessionize_is_session_tz_invariant(spark, sf_dir, name):
+    if name == "range_interval_join":
+        # the +-5s band finds no pairs in the sparse sf0.001 events —
+        # use the next SF up so the invariance check covers real rows
+        sf_dir = sf_dir.replace("sf0.001", "sf0.01")
     base = _collect_under_tz(spark, sf_dir, name, "UTC")
     assert len(base) > 0
     for tz in TZS[1:]:
