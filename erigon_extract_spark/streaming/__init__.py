@@ -4,3 +4,6 @@ from erigon_extract_spark.streaming.latest_state import (  # noqa: F401
     stream_session_windows,
     stream_windowed_counts,
 )
+from erigon_extract_spark.streaming.sessionize import (  # noqa: F401
+    stream_sessionize,
+)
