@@ -495,8 +495,9 @@ def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W6: canonical-chain dedup — keep first row per key by deterministic
-    # order (fork blocks, erigon_extract.c:1852-1871).
-    ev = _load(spark, sf_dir, "events")
+    # order (fork blocks, erigon_extract.c:1852-1871). Raw loader: the
+    # emitted ts stays ntz (stored wall-clock under any session config).
+    ev = _events_raw(spark, sf_dir)
     return dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
         "user_id", "event_type", "event_id", "ts"
     )
@@ -1102,7 +1103,8 @@ def p6_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P6: pruned mode keeps only the trailing window of history
     # (latest - 90000 + 1, erigon_extract.c:2721-2726) — here the trailing
     # 7 days of events. The scalar bound broadcasts; the filter pushes down.
-    ev = _load(spark, sf_dir, "events")
+    # Raw loader: ntz interval math + emitted ts, session-independent.
+    ev = _events_raw(spark, sf_dir)
     bound = ev.agg(
         (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("__cutoff")
     )

@@ -101,7 +101,14 @@ def main() -> None:
 
     from erigon_extract_spark.session import get_spark
 
-    spark = get_spark(app_name="gate")
+    # SPARK_GRAFT_TZ overrides the session timezone — run the mirror under
+    # e.g. Pacific/Auckland to flush out any query whose parity silently
+    # depends on the driver session being UTC (the r1/r2 sessionize class).
+    import os
+
+    tz = os.environ.get("SPARK_GRAFT_TZ")
+    extra = {"spark.sql.session.timeZone": tz} if tz else None
+    spark = get_spark(app_name="gate", extra_conf=extra)
     n_pass = n_fail = 0
     with ThreadPoolExecutor(max_workers=6) as pool:
         futs = {pool.submit(run_one, spark, sf_dir, n): n for n in names}
