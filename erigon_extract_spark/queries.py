@@ -3904,6 +3904,12 @@ def stream_latest_state_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # burning gate slots.
 # ---------------------------------------------------------------------------
 
+# ROUND-4 QUEUE (rotate in once the r3 entrants are hash-green, displacing
+# them and any remaining twice-green rows): the TPC-H part-2 shapes
+# (q2/q4/q7/q8/q9/q11-q22), cube_order_stats, json_extract_agg,
+# text_lang_quality, stream-side probes stay rows-only. See COVERAGE.md
+# for the per-query ledger.
+#
 # ROUND-3 ROTATION: the window is a scarce verification resource, so its
 # composition rotates across rounds to ACCUMULATE driver evidence. Queries
 # hash-green in BOTH r1 and r2 with unchanged code rest outside the window
