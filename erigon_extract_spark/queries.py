@@ -782,6 +782,8 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, all_ids=docs).select("doc_id", "cluster")
 
 
+
+
 @query(
     "corpus_curation_keep_list",
     f"""
@@ -1197,6 +1199,43 @@ def w_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-score oracle as a reusable CTE fragment: (doc_id, quality) in
+# ``tq``. Float op order mirrors the Spark expressions exactly — ratio
+# first, then scale ((a/n)*k, not (a*k)/n) — so doubles match to the last
+# bit; shared by text_quality_score and dedup_keep_best_quality.
+_QUALITY_CTES = """
+    tq_t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    tq_c AS (
+      SELECT doc_id,
+        least(length(text) / 500.0, 1.0) AS length_ok,
+        1.0 - least(((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                    * 1.0 / length(text)) * 4, 1.0) AS low_punct,
+        1.0 - least(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                    * 1.0 / length(text)) * 5, 1.0) AS low_digit,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                  * 1.0 / len(w) END AS wl,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE least((len(list_filter(w, t2 -> list_contains(
+               ['the','and','of','to','in','is','that','it','for','was'], t2)))
+               * 1.0 / len(w)) * 3, 1.0) END AS sw
+      FROM tq_t
+    ),
+    tq AS (
+      SELECT doc_id,
+             length_ok * 0.3 + low_punct * 0.2 + low_digit * 0.2
+             + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.15
+             + sw * 0.15 AS quality
+      FROM tq_c
+    )
+"""
+
+
 @query(
     "text_lang_id_vote",
     """
@@ -1238,42 +1277,86 @@ def text_lang_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
-    """
-    WITH t AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
-                         x -> len(x) > 0) AS w
-      FROM documents
-    ),
-    c AS (
-      -- float op order mirrors the Spark expressions exactly: ratio first,
-      -- then scale ((a/n)*k, not (a*k)/n) so doubles match to the last bit
-      SELECT doc_id,
-        least(length(text) / 500.0, 1.0) AS length_ok,
-        1.0 - least(((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-                    * 1.0 / length(text)) * 4, 1.0) AS low_punct,
-        1.0 - least(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                    * 1.0 / length(text)) * 5, 1.0) AS low_digit,
-        CASE WHEN len(w) = 0 THEN 0.0
-             ELSE list_aggregate(list_transform(w, x -> len(x)), 'sum')
-                  * 1.0 / len(w) END AS wl,
-        CASE WHEN len(w) = 0 THEN 0.0
-             ELSE least((len(list_filter(w, t2 -> list_contains(
-               ['the','and','of','to','in','is','that','it','for','was'], t2)))
-               * 1.0 / len(w)) * 3, 1.0) END AS sw
-      FROM t
-    )
-    SELECT doc_id,
-           ROUND(length_ok * 0.3 + low_punct * 0.2 + low_digit * 0.2
-                 + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.15
-                 + sw * 0.15, 6) AS quality
-    FROM c
+    f"""
+    WITH {_QUALITY_CTES}
+    SELECT doc_id, ROUND(quality, 6) AS quality FROM tq
     """,
 )
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@query(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {_ngram_pair_ctes()},
+    edges AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM jpairs
+      UNION
+      SELECT doc_id_b AS u, doc_id_a AS v FROM jpairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    ),
+    clusters AS (
+      SELECT doc_id, cluster FROM comp
+      UNION ALL
+      SELECT d.doc_id, d.doc_id AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    ),
+    {_QUALITY_CTES},
+    ranked AS (
+      SELECT cl.cluster, cl.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster
+                                ORDER BY q.quality DESC, cl.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members
+      FROM clusters cl JOIN tq q ON q.doc_id = cl.doc_id
+    )
+    SELECT cluster, doc_id AS keep_doc_id,
+           ROUND(quality, 6) AS quality,
+           n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: resolve near-dup
+    clusters (graph.py min-label propagation), then keep the HIGHEST-
+    quality member per cluster (ties → smallest doc_id) — what a real
+    curation pass does, vs the keep-first policy of
+    corpus_curation_keep_list. Ordering uses the unrounded quality double
+    (bit-identical expressions on both engines)."""
+    from erigon_extract_spark.operators.graph import dedup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    cl = dedup_clusters(pairs, all_ids=docs).select("doc_id", "cluster")
+    quality = docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("__q")
+    )
+    j = cl.join(quality, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.round("__q", 6).alias("quality"),
+            "n_members",
+        )
     )
 
 
