@@ -460,29 +460,18 @@ def portable_shingle_hash(col) -> F.Column:
     )
 
 
-def minhash_lsh_pairs_portable(
+def portable_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 16,
-    bands: int = 4,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """Banded minhash LSH with md5-derived permutation hashes, plus the
-    signature-agreement fraction per candidate pair.
-
-    Same plan shape as ``minhash_lsh_candidates`` (one shuffle to
-    signatures, bucket-local pair generation) but every number is
-    reproducible in ANSI SQL, so the WHOLE algorithm — shingling,
-    signatures, banding, candidate pairs, agreement — sits under the
-    DuckDB oracle gate. The xxhash64 variant stays the fast path; this is
-    the correctness witness that the minhash machinery computes what it
-    claims.
-    """
-    rows_per_band = n_hashes // bands
+    """(id, __s0..__s{n-1}) — md5-derived minhash signature as flat
+    columns: ONE map-side-combined aggregate over exploded shingles."""
     sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
     hv = sh.select(id_col, portable_shingle_hash(F.col("sh")).alias("hv"))
-    flat = hv.groupBy(id_col).agg(
+    return hv.groupBy(id_col).agg(
         *[
             F.min(
                 (F.lit(PORTABLE_AS[i]) * F.col("hv") + F.lit(PORTABLE_BS[i]))
@@ -491,7 +480,18 @@ def minhash_lsh_pairs_portable(
             for i in range(n_hashes)
         ]
     )
-    banded = flat.select(
+
+
+def portable_band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) rows from flat signatures — the STORED artifact
+    of an incremental dedup store: append-only, one row per (doc, band)."""
+    rows_per_band = n_hashes // bands
+    return signatures.select(
         id_col,
         F.explode(
             F.array(
@@ -515,6 +515,67 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Continuous-ingestion dedup: candidate (new_doc_id, corpus_doc_id)
+    pairs where a NEW document shares any LSH band bucket with the
+    EXISTING corpus — without ever re-pairing the corpus against itself.
+
+    At 100 TB the corpus side is the PRECOMPUTED band-bucket table
+    (portable_band_buckets output, stored append-only and bucketed by
+    (band, bucket)); only the new batch is shingled per run, and the join
+    shuffles ∝ new-batch bands + matched corpus rows — never ∝ corpus.
+    Here both sides derive from scratch so the whole path sits under the
+    DuckDB oracle."""
+    nb = portable_band_buckets(
+        portable_signatures(new_docs, text_col, id_col, n_hashes, shingle_n),
+        id_col, n_hashes, bands,
+    ).select(
+        F.col(id_col).alias("new_doc_id"), "band", "bucket"
+    )
+    cb = portable_band_buckets(
+        portable_signatures(corpus_docs, text_col, id_col, n_hashes, shingle_n),
+        id_col, n_hashes, bands,
+    ).select(
+        F.col(id_col).alias("corpus_doc_id"), "band", "bucket"
+    )
+    return (
+        nb.join(cb, ["band", "bucket"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Banded minhash LSH with md5-derived permutation hashes, plus the
+    signature-agreement fraction per candidate pair.
+
+    Same plan shape as ``minhash_lsh_candidates`` (one shuffle to
+    signatures, bucket-local pair generation) but every number is
+    reproducible in ANSI SQL, so the WHOLE algorithm — shingling,
+    signatures, banding, candidate pairs, agreement — sits under the
+    DuckDB oracle gate. The xxhash64 variant stays the fast path; this is
+    the correctness witness that the minhash machinery computes what it
+    claims.
+    """
+    flat = portable_signatures(docs, text_col, id_col, n_hashes, shingle_n)
+    banded = portable_band_buckets(flat, id_col, n_hashes, bands)
     pairs = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))

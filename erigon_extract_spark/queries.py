@@ -3720,6 +3720,80 @@ def _minhash_portable_oracle_sql() -> str:
     """
 
 
+def _minhash_incremental_oracle_sql(split: int = 400) -> str:
+    """Incremental dedup oracle: same md5-minhash sig/band CTEs as the
+    portable variant, but candidates join NEW docs (id >= split) against
+    the EXISTING corpus (id < split) only — never corpus-vs-corpus."""
+    from erigon_extract_spark.operators.dedup import (
+        PORTABLE_AS,
+        PORTABLE_BS,
+        PORTABLE_P,
+    )
+
+    n, bands, rpb = 16, 4, 4
+    mins = ",\n             ".join(
+        f"MIN(({PORTABLE_AS[i]} * hv + {PORTABLE_BS[i]}) % {PORTABLE_P})"
+        f" AS s{i}"
+        for i in range(n)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"s{b * rpb + r}" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+      FROM words,
+           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+      WHERE length(array_to_string(list_slice(w, i, i + 4), ' ')) > 0
+    ),
+    hv AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+               % {PORTABLE_P} AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.bucket = c.bucket
+    WHERE n.doc_id >= {split} AND c.doc_id < {split}
+    """
+
+
+@query("dedup_incremental", _minhash_incremental_oracle_sql())
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: documents with id >= 400 stand in for
+    the newly arrived batch; candidates are (new, corpus) band-bucket
+    collisions only (operators/dedup.incremental_minhash_candidates) — at
+    scale the corpus side is the stored append-only band table, so per-run
+    cost follows the batch, not the corpus."""
+    from erigon_extract_spark.operators.dedup import (
+        incremental_minhash_candidates,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 400)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    return incremental_minhash_candidates(new, corpus)
+
+
 @query("dedup_minhash_portable", _minhash_portable_oracle_sql())
 def dedup_minhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-matched minhash LSH: md5-derived permutation hashes make
