@@ -85,6 +85,122 @@ def brute_force_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization top-k by inner product (ADC — asymmetric
+    distance computation): the corpus vector is replaced by ``m`` byte
+    codes (one per subvector, each the id of its nearest sub-codebook
+    centroid); a probe scores a corpus row by summing m table lookups
+    instead of a d-dim dot product.
+
+    The 100 TB memory path that completes brute→LSH→IVF: a 64-dim float
+    vector (256 B) becomes m=4 codes (4 B) — the codes table for 2B
+    vectors fits where raw embeddings cannot, and scan cost per probe is
+    m array lookups. Train the m KMeans sub-codebooks on a sample;
+    encoding is a map pass; scoring is pure Catalyst (the probe's lookup
+    table rides a broadcast, the aggregate is a JVM HOF fold — no Python
+    anywhere). Compose with IVF cells for sublinear scans.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    d = len(corpus.select(vec_col).first()[0])
+    dsub = d // m
+    assert m * dsub == d, f"dim {d} not divisible by m={m}"
+
+    def subvec(col, j):
+        return F.slice(col, j * dsub + 1, dsub)
+
+    # train one sub-codebook per subspace; encode via nearest centroid
+    encoded = corpus.select(id_col, vec_col)
+    books = []  # flat python: [(j, code, centroid floats)]
+    for j in range(m):
+        train = corpus.select(
+            array_to_vector(subvec(F.col(vec_col), j)).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + j, featuresCol="features").fit(
+            train
+        )
+        books.extend(
+            (j, c, [float(x) for x in cen])
+            for c, cen in enumerate(model.clusterCenters())
+        )
+        pred = model.transform(
+            encoded.withColumn(
+                "features", array_to_vector(subvec(F.col(vec_col), j))
+            )
+        )
+        encoded = pred.select(
+            *encoded.columns, F.col("prediction").alias(f"__c{j}")
+        )
+    codes = encoded.select(
+        id_col, F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes")
+    )
+
+    # per-probe ADC lookup table: flat array indexed [j * n_codes + code]
+    # holding dot(probe_subvec_j, centroid_{j,code}) — built on the driver
+    # ONLY for the centroids (m*n_codes rows), then broadcast per probe
+    books_df = spark.createDataFrame(
+        books, "j int, code int, centroid array<double>"
+    )
+    p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
+    table = (
+        p.crossJoin(F.broadcast(books_df))
+        .select(
+            probe_id_col,
+            (F.col("j") * n_codes + F.col("code")).alias("slot"),
+            F.aggregate(
+                F.zip_with(
+                    subvec(F.col("__pvec"), F.col("j")),
+                    F.col("centroid"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("partial"),
+        )
+        .groupBy(probe_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("slot", "partial"))
+            ).getField("partial").alias("table")
+        )
+    )
+
+    scored = codes.crossJoin(F.broadcast(table)).select(
+        probe_id_col,
+        id_col,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.element_at(
+                    F.col("table"), (j * n_codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -1996,6 +1996,30 @@ def keccak_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_pq_topk")  # trained sub-codebooks → rows-only check
+def sim_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): vectors
+    L2-normalized then encoded as 8 byte-codes (32x memory compression at
+    64 dims); probes score by ADC table lookups — pure Catalyst HOFs.
+    tests/test_similarity.py pins recall@10 against exact brute force."""
+    from erigon_extract_spark.operators.similarity import l2_norm, pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    probes = norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = norm.filter(F.col("vec_id") >= 5)
+    return pq_topk(corpus, probes, k=10, m=8, n_codes=64)
+
+
 @query("sim_ivf_topk")  # trained KMeans quantizer → rows-only check
 def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer, probes scan only

@@ -229,6 +229,10 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # probes x centroids: the broadcast side is the n_lists centroid
         # table (8 rows) — the cell-selection step of IVF, linear in probes
         "sim_ivf_topk",
+        # PQ ADC: corpus codes x broadcast per-probe lookup tables (5 rows)
+        # and probes x sub-codebooks (m*n_codes rows) — both broadcast
+        # sides are constant-size; the scan is linear in the corpus
+        "sim_pq_topk",
         # scalar-subquery shapes: BNLJ against a ONE-ROW global aggregate
         # (avg threshold / scalar combine) — linear by construction
         "erigon_txbodies_stats",

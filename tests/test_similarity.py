@@ -47,6 +47,37 @@ def test_bruteforce_self_is_top1(exact):
         assert ids[0] == pid  # a vector's nearest neighbor is itself
 
 
+def test_pq_recall_vs_exact(spark, emb):
+    """Product quantization at 8 codes x 64 centroids (32x compression of
+    a 64-dim float vector): mean recall@10 vs exact cosine must be far
+    above the ~0.02 random baseline on these unstructured synthetic
+    embeddings (real embedding manifolds cluster and do much better)."""
+    from erigon_extract_spark.operators.similarity import l2_norm, pq_topk
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    norm = base.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    probes = norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = norm.filter(F.col("vec_id") >= 5)
+    approx = pq_topk(corpus, probes, k=10, m=8, n_codes=64)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    ex = {}
+    for r in brute_force_topk(corpus, probes, k=10).collect():
+        ex.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(got[p] & ex[p]) / 10 for p in ex]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
 def test_ivf_recall_vs_exact(emb, probes, exact):
     approx = ivf_topk(emb, probes, k=10, n_lists=8, n_probe=4)
     got = {
