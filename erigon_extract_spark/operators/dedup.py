@@ -678,3 +678,95 @@ def simhash_pairs_portable(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Substring-level (span) duplicate detection across documents — the
+    distributed analogue of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022), which
+    removes REGIONS repeated verbatim across a corpus rather than whole
+    near-duplicate documents.
+
+    A suffix array is inherently sequential to build; the scalable Spark
+    shape replaces it with strided fixed-width gram fingerprints:
+
+      1. normalize text, fingerprint a ``width``-char gram every ``stride``
+         chars (explode factor = len/stride — linear in corpus bytes);
+      2. one hash-shuffle groupBy finds grams occurring in >= 2 distinct
+         documents (map-side partial agg keeps the shuffle small: the
+         payload per gram is a count, not the doc list);
+      3. join hits back on the gram hash (same key as step 2 — AQE reuses
+         the shuffle partitioning);
+      4. per-document gaps-and-islands window merges overlapping/touching
+         gram positions into maximal duplicated spans.
+
+    No pairwise or all-pairs work anywhere: cost is O(corpus grams) through
+    three linear shuffles, so the plan survives 100 TB (the reference
+    pipelines run this over trillions of tokens).
+
+    Approximation contract: grams are sampled on the stride grid, so a
+    duplicated region is detected when a width-gram inside it starts on the
+    grid in BOTH copies; regions >= width + stride - 1 chars always contain
+    a grid-aligned gram in one copy, and alignment in the other copy is
+    guaranteed only when the copies' offsets agree mod stride (always true
+    for stride=1, the exact-but-denser setting; the plan is identical,
+    stride only scales the explode factor).
+
+    Returns one row per maximal duplicated span:
+    ``(doc_id, span_start, span_end, span_len)`` (1-based inclusive char
+    offsets into the NORMALIZED text).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("t")
+    ).filter(F.length("t") >= width)
+    grams = (
+        widen_if_narrow(base)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("t") - F.lit(width - 1), F.lit(stride)
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.expr(f"substring(t, pos, {width})")).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("doc_id", "pos")
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(order) <= width, F.lit(0)
+    ).otherwise(F.lit(1))
+    return (
+        hits.withColumn("brk", brk)
+        .withColumn("gid", F.sum("brk").over(run))
+        .groupBy("doc_id", "gid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(width - 1)).cast("long").alias("span_end"),
+            (F.max("pos") + F.lit(width) - F.min("pos")).cast("long").alias(
+                "span_len"
+            ),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )

@@ -4074,6 +4074,54 @@ def stream_latest_state_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "event_type", "value")
 
 
+@query(
+    "dedup_substring_spans",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos, md5(substr(t, i, 40)) AS h
+      FROM base, UNNEST(generate_series(1, length(t) - 39, 10)) AS u(i)
+      WHERE length(t) >= 40
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= 40
+                  THEN 0 ELSE 1 END AS b
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS gid
+      FROM brk
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 39 AS span_end,
+           MAX(pos) + 40 - MIN(pos) AS span_len
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def dedup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-LEVEL dedup (duplicate spans, not duplicate documents):
+    the Spark analogue of suffix-array substring dedup (Lee et al. 2022),
+    via strided gram fingerprints + gaps-and-islands merge
+    (operators/dedup.duplicate_spans). Completes the dedup family:
+    exact doc (md5), near-dup doc (minhash/simhash/jaccard/embedding),
+    and now within-doc duplicated REGIONS across the corpus."""
+    from erigon_extract_spark.operators.dedup import duplicate_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    return duplicate_spans(docs, width=40, stride=10)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

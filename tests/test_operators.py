@@ -252,3 +252,51 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup_clusters(pairs, all_ids=all_ids).collect()
     }
     assert clusters[99] == 99 and clusters[4] == 1 and clusters[11] == 10
+
+
+def test_duplicate_spans_finds_shared_region(spark):
+    """Two docs share a 135-char verbatim region (at different, unaligned
+    offsets); a third doc repeats text only WITHIN itself. At stride=1
+    (the exact setting) the shared region must come back as ONE maximal
+    merged span per sharing doc with exact boundaries, and the
+    self-repeating doc must produce no spans (duplication is cross-doc)."""
+    from erigon_extract_spark.operators.dedup import duplicate_spans
+
+    # leading space inside `shared` + prefixes ending in DIFFERENT non-space
+    # chars ('1' vs '2') + suffixes differing at their first char: the
+    # maximal cross-doc substring is exactly `shared`, nothing more
+    shared = " " + "the quick brown fox jumps over the lazy dog " * 3
+    uniq_a = "alpha bravo charlie delta echo foxtrot golf hotel india1"
+    uniq_b = "zulu yankee xray whiskey victor uniform tango sierra2"
+    docs = spark.createDataFrame(
+        [
+            (1, uniq_a + shared + "end marker one"),
+            (2, uniq_b + shared + "closing words two"),
+            (3, "completely distinct text with no shared content here "
+                "repeated only within itself never across " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    width = 40
+    spans = duplicate_spans(docs, width=width, stride=1).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    for prefix, doc_id in ((uniq_a, 1), (uniq_b, 2)):
+        rows = by_doc[doc_id]
+        assert len(rows) == 1, rows
+        start = len(prefix) + 1  # 1-based offset of the shared region
+        # last matching gram starts at region_end - width + 1
+        assert rows[0].span_start == start
+        assert rows[0].span_end == start + len(shared) - 1
+        assert rows[0].span_len == len(shared)
+
+
+def test_duplicate_spans_short_docs_no_grams(spark):
+    from erigon_extract_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "short")], "doc_id long, text string"
+    )
+    assert duplicate_spans(docs, width=40, stride=10).count() == 0
