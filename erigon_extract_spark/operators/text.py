@@ -169,3 +169,63 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fingerprint", fingerprint64(c))
     )
+
+
+# Hashed-feature linear classifier (fasttext-style scoring head). The
+# feature hash and weight table are derived arithmetically from md5 so the
+# EXACT same model is expressible in ANSI SQL for the oracle gate; a real
+# pipeline drops trained weights into the same column contract (a broadcast
+# weight table joined on bucket instead of the derived expression).
+CLASSIFIER_BUCKETS = 1024
+CLASSIFIER_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def hashed_linear_quality(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality scoring as a distributed linear classifier:
+    token → hash bucket → weight, mean weight squashed to a [0,1] score.
+
+    Plan shape (the part that survives trained weights and 100 TB):
+    explode tokens → integer weight per token (pure JVM expression; with
+    trained weights, a broadcast join against a BUCKETS-row table) → one
+    groupBy(doc) SUM/COUNT with map-side combine. Weights are INTEGERS and
+    the per-doc reduction is an exact BIGINT sum, so the result is
+    independent of accumulation order — the classic float-sum
+    nondeterminism of distributed scoring is designed out. The single
+    float division + rational squash (x/(1+|x|), no exp) happens once per
+    doc after aggregation, giving bit-identical scores on any engine.
+
+    Returns (doc_id, n_tokens, weight_sum, quality_score, keep).
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+        "long"
+    ) % CLASSIFIER_BUCKETS
+    weight = (bucket * F.lit(CLASSIFIER_MULT)) % 2001 - F.lit(1000)
+    agg = tok.select("doc_id", weight.alias("w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w").alias("weight_sum"),
+    )
+    raw = F.col("weight_sum").cast("double") / (
+        F.col("n_tokens") * F.lit(1000)
+    ).cast("double")
+    score = F.round(
+        F.lit(0.5) + (F.lit(0.5) * raw) / (F.lit(1.0) + F.abs(raw)), 6
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "weight_sum",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

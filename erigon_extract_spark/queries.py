@@ -4122,6 +4122,57 @@ def dedup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, width=40, stride=10)
 
 
+@query(
+    "text_quality_classifier",
+    """
+    WITH tok AS (
+      SELECT doc_id, tok
+      FROM (
+        SELECT doc_id,
+               UNNEST(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+               )) AS tok
+        FROM documents
+      )
+      WHERE length(tok) > 0
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024)
+               * 2654435761 % 2001 - 1000 AS w
+      FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS weight_sum
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, weight_sum,
+           ROUND(0.5 + (0.5 * (CAST(weight_sum AS DOUBLE)
+                               / CAST(n_tokens * 1000 AS DOUBLE)))
+                       / (1.0 + abs(CAST(weight_sum AS DOUBLE)
+                                    / CAST(n_tokens * 1000 AS DOUBLE))), 6)
+             AS quality_score,
+           ROUND(0.5 + (0.5 * (CAST(weight_sum AS DOUBLE)
+                               / CAST(n_tokens * 1000 AS DOUBLE)))
+                       / (1.0 + abs(CAST(weight_sum AS DOUBLE)
+                                    / CAST(n_tokens * 1000 AS DOUBLE))), 6)
+             >= 0.5 AS keep
+    FROM agg
+    """,
+)
+def text_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext-classifier stage of
+    CCNet/RefinedWeb-style curation) as a hashed-feature linear scorer
+    whose integer weight table is md5-derived, so the IDENTICAL model runs
+    in DuckDB for the hash gate (operators/text.hashed_linear_quality).
+    Integer weight sums make the score independent of accumulation order —
+    no float-reduction nondeterminism at any parallelism."""
+    from erigon_extract_spark.operators.text import hashed_linear_quality
+
+    docs = _load(spark, sf_dir, "documents")
+    return hashed_linear_quality(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

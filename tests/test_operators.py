@@ -300,3 +300,26 @@ def test_duplicate_spans_short_docs_no_grams(spark):
         [(1, "short"), (2, "short")], "doc_id long, text string"
     )
     assert duplicate_spans(docs, width=40, stride=10).count() == 0
+
+
+def test_hashed_linear_quality_order_independent(spark):
+    """Integer weight sums ⇒ the score is bit-identical regardless of
+    partitioning/accumulation order (the claim the operator is built on)."""
+    from erigon_extract_spark.operators.text import hashed_linear_quality
+
+    docs = spark.createDataFrame(
+        [(i, f"token{j} common word filler text number {i * j % 7}")
+         for i in range(1, 21) for j in (i,)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r for r in hashed_linear_quality(docs).collect()}
+    b = {
+        r.doc_id: r
+        for r in hashed_linear_quality(docs.repartition(13)).collect()
+    }
+    assert set(a) == set(b) and len(a) == 20
+    for k in a:
+        assert a[k].weight_sum == b[k].weight_sum
+        assert a[k].quality_score == b[k].quality_score
+        assert 0.0 <= a[k].quality_score <= 1.0
+        assert a[k].keep == (a[k].quality_score >= 0.5)
