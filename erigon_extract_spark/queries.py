@@ -4173,6 +4173,54 @@ def text_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_quality(docs)
 
 
+@query(
+    "agg_cms_heavy_hitters",
+    """
+    WITH r AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, i
+      FROM events, UNNEST(generate_series(0, 3)) AS u(i)
+    ),
+    cells AS (
+      SELECT i,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || k), 1, 8)
+                  AS BIGINT) % 64 AS b,
+             COUNT(*) AS cnt
+      FROM r GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+    ),
+    probes AS (
+      SELECT e.user_id, u.i,
+             CAST('0x' || substr(md5(CAST(u.i AS VARCHAR) || '_'
+                                     || CAST(e.user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 64 AS b
+      FROM exact e, UNNEST(generate_series(0, 3)) AS u(i)
+    ),
+    est AS (
+      SELECT p.user_id, MIN(c.cnt) AS est_count
+      FROM probes p JOIN cells c ON p.i = c.i AND p.b = c.b
+      GROUP BY p.user_id
+    )
+    SELECT e.user_id, est_count, true_count,
+           est_count - true_count AS overestimate
+    FROM est JOIN exact e USING (user_id)
+    ORDER BY est_count DESC, user_id LIMIT 20
+    """,
+)
+def agg_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a count-min sketch (operators/sketch):
+    the frequency summary is a constant 4x64 cell table regardless of key
+    cardinality — the sketch aggregate a 100 TB job keeps INSTEAD of the
+    full groupBy. md5-derived hash rows make sketch + estimates exactly
+    reproducible in the DuckDB oracle; the exact counts ride along to
+    exhibit the one-sided (overestimate-only) error bound."""
+    from erigon_extract_spark.operators.sketch import cms_heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    return cms_heavy_hitters(ev, "user_id", depth=4, width=64, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

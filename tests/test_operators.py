@@ -323,3 +323,23 @@ def test_hashed_linear_quality_order_independent(spark):
         assert a[k].quality_score == b[k].quality_score
         assert 0.0 <= a[k].quality_score <= 1.0
         assert a[k].keep == (a[k].quality_score >= 0.5)
+
+
+def test_cms_one_sided_error_and_exact_when_wide(spark):
+    """CMS guarantees est >= true for every key; with width >> keys the
+    probability of any collision is tiny, making estimates exact."""
+    from erigon_extract_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [(k,) for k in range(30) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, "user_id long")
+    # tight sketch: collisions guaranteed (30 keys into 8 buckets)
+    tight = cms_heavy_hitters(df, "user_id", depth=2, width=8, top_k=30).collect()
+    assert len(tight) == 30
+    assert all(r.overestimate >= 0 for r in tight)
+    assert any(r.overestimate > 0 for r in tight)  # collisions happened
+    assert all(r.est_count == r.true_count + r.overestimate for r in tight)
+    # wide sketch: no collisions in practice -> exact
+    wide = cms_heavy_hitters(df, "user_id", depth=4, width=4096, top_k=30).collect()
+    assert all(r.overestimate == 0 for r in wide)
+    got = {r.user_id: r.true_count for r in wide}
+    assert got == {k: k + 1 for k in range(30)}
