@@ -360,3 +360,92 @@ def lsh_bucket_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate removal
+    that only compares vectors WITHIN k-means clusters, making corpus-scale
+    semantic dedup sub-quadratic — pairwise work is Σ |cell|², not N².
+
+    Plan: train a coarse quantizer (on a sample at 100 TB), assign each
+    vector a cell in one map pass, self-equi-join on the cell id (shuffle
+    ∝ corpus — never an all-pairs product), keep pairs with cosine >=
+    threshold, and drop every vector that has a LOWER-id near-duplicate in
+    its cell. ``max_cell_size`` excludes degenerate cells (the embedding
+    analogue of the LSH bucket cap): a cell bigger than the cap keeps all
+    its members rather than paying |cell|² — at scale you re-cluster such
+    cells with a larger k instead.
+
+    Returns (vec_id, cell, dup_of, keep): ``dup_of`` = smallest-id
+    near-duplicate in the same cell (null ⇒ representative), ``keep`` =
+    dup_of is null. Trained quantizer ⇒ not SQL-expressible; correctness is
+    pinned by pytest against brute-force cosine on the same cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    assigned = (
+        model.transform(
+            corpus.select(
+                id_col, vec_col, array_to_vector(F.col(vec_col)).alias("features")
+            )
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.col("prediction").alias("cell"),
+        )
+        .withColumn("__norm", l2_norm(F.col("__vec")))
+    )
+    if max_cell_size is not None:
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("__n"))
+        assigned = assigned.join(
+            F.broadcast(sizes.filter(F.col("__n") <= max_cell_size)), "cell"
+        ).drop("__n")
+    x = assigned.select(
+        "cell",
+        F.col("__id").alias("__xid"),
+        F.col("__vec").alias("__xvec"),
+        F.col("__norm").alias("__xnorm"),
+    )
+    y = assigned.select(
+        "cell",
+        F.col("__id").alias("__yid"),
+        F.col("__vec").alias("__yvec"),
+        F.col("__norm").alias("__ynorm"),
+    )
+    dup_of = (
+        x.join(y, "cell")
+        .filter(F.col("__xid") < F.col("__yid"))
+        .filter(
+            cosine_prenorm(
+                F.col("__xvec"),
+                F.col("__yvec"),
+                F.col("__xnorm"),
+                F.col("__ynorm"),
+            )
+            >= threshold
+        )
+        .groupBy(F.col("__yid"))
+        .agg(F.min("__xid").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, assigned["__id"] == dup_of["__yid"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

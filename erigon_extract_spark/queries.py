@@ -4221,6 +4221,18 @@ def agg_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(ev, "user_id", depth=4, width=64, top_k=20)
 
 
+@query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
+# rows-only here, semantics pinned vs brute-force cosine in pytest
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means cells bound the pairwise
+    cosine work (operators/similarity.semantic_dedup). Output is scalar-only
+    (vec_id, cell, dup_of, keep)."""
+    from erigon_extract_spark.operators.similarity import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_lists=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

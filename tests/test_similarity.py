@@ -97,3 +97,50 @@ def test_lsh_returns_subset_scores_match(emb, probes, exact):
     # candidates, never alters scores): self-match cosine == 1
     self_rows = [r for r in rows if r["probe_id"] == r["vec_id"]]
     assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in self_rows)
+
+
+def test_semantic_dedup_pins_brute_force_within_cells(spark, emb):
+    """SemDeDup semantics vs a brute-force python check: (a) every dropped
+    vector's dup_of is its SMALLEST same-cell neighbor with cosine >=
+    threshold; (b) every kept vector has NO lower-id same-cell neighbor
+    above threshold; (c) exact duplicate vectors always dedup (same point
+    -> same cell)."""
+    import math
+
+    from erigon_extract_spark.operators.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 120)
+    # plant exact duplicates of vec 0 and 1
+    clones = base.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(clones)
+    thr = 0.92
+    out = {r.vec_id: r for r in semantic_dedup(
+        corpus, threshold=thr, n_lists=6
+    ).collect()}
+    assert len(out) == 122
+
+    vecs = {r.vec_id: r.embedding for r in corpus.collect()}
+    cells = {vid: out[vid].cell for vid in out}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for vid, r in out.items():
+        lower_dups = sorted(
+            o for o in out
+            if o < vid and cells[o] == cells[vid]
+            and cos(vecs[o], vecs[vid]) >= thr
+        )
+        if lower_dups:
+            assert r.dup_of == lower_dups[0] and not r.keep, (vid, r)
+        else:
+            assert r.dup_of is None and r.keep, (vid, r)
+
+    # exact clones: same cell as their source, deduped against it
+    assert not out[10_000].keep and out[10_000].dup_of == 0
+    assert not out[10_001].keep and out[10_001].dup_of == 1
