@@ -229,3 +229,67 @@ def hashed_linear_quality(
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    sep: str = ". ",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb frequent-
+    paragraph filter): a sentence that appears verbatim in >= ``min_docs``
+    DISTINCT documents is template noise (headers, license blurbs, nav
+    text) and is stripped from every document, which is a different
+    operation from dedup — no document is dropped, text is rewritten.
+
+    Shape at 100 TB: explode sentences (linear) → one hash-shuffle groupBy
+    to find frequent sentences (map-side combine; payload per sentence is
+    a count) → the frequent set is SMALL by construction (it crossed the
+    min_docs bar), so membership is a broadcast join, not a shuffle → one
+    groupBy(doc) rebuilds the text order-preserved via sort-by-position
+    aggregation.
+
+    Returns (doc_id, kept_text, n_sentences, n_removed).
+    """
+    sentences = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "s"),
+        )
+        .filter(F.length("s") > 0)
+        .withColumn("h", F.md5(F.col("s")))
+    )
+    frequent = (
+        sentences.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    marked = sentences.join(F.broadcast(frequent), "h", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"),
+                                F.struct(F.col("pos"), F.col("s")),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("kept_text"),
+            F.count("*").alias("n_sentences"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+        )
+        .select("doc_id", "kept_text", "n_sentences", "n_removed")
+    )

@@ -4233,6 +4233,42 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.35, n_lists=8)
 
 
+@query(
+    "text_strip_boilerplate",
+    """
+    WITH s AS (
+      SELECT doc_id, i AS pos, parts[i] AS s, md5(parts[i]) AS h
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+           UNNEST(generate_series(1, len(parts))) AS u(i)
+      WHERE length(parts[i]) > 0
+    ),
+    freq AS (
+      SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    m AS (
+      SELECT s.doc_id, s.pos, s.s, (f.h IS NOT NULL) AS is_boiler
+      FROM s LEFT JOIN freq f ON s.h = f.h
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT is_boiler THEN s END,
+                               '. ' ORDER BY pos), '') AS kept_text,
+           COUNT(*) AS n_sentences,
+           SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_removed
+    FROM m GROUP BY doc_id
+    """,
+)
+def text_strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate strip (CCNet frequent-paragraph filter):
+    sentences verbatim-shared by >= 3 docs are template noise removed from
+    every doc, text rebuilt order-preserved
+    (operators/text.strip_boilerplate). Distinct from dedup: documents are
+    rewritten, not dropped."""
+    from erigon_extract_spark.operators.text import strip_boilerplate
+
+    docs = _load(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, min_docs=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -343,3 +343,31 @@ def test_cms_one_sided_error_and_exact_when_wide(spark):
     assert all(r.overestimate == 0 for r in wide)
     got = {r.user_id: r.true_count for r in wide}
     assert got == {k: k + 1 for k in range(30)}
+
+
+def test_strip_boilerplate_removes_frequent_keeps_order(spark):
+    from erigon_extract_spark.operators.text import strip_boilerplate
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha. {boiler}. unique beta"),
+            (2, f"{boiler}. middle text two. closing two"),
+            (3, f"opening three. {boiler}. done three"),
+            (4, "no template here. just content. nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(docs, min_docs=3).collect()}
+    assert out[1].kept_text == "unique alpha. unique beta"
+    assert out[2].kept_text == "middle text two. closing two"
+    assert out[3].kept_text == "opening three. done three"
+    assert out[4].kept_text == "no template here. just content. nothing shared"
+    assert out[1].n_sentences == 3 and out[1].n_removed == 1
+    assert out[4].n_removed == 0
+    # all-boilerplate doc -> empty string, not a dropped row
+    docs2 = docs.union(
+        spark.createDataFrame([(5, boiler)], "doc_id long, text string")
+    )
+    out2 = {r.doc_id: r for r in strip_boilerplate(docs2, min_docs=3).collect()}
+    assert out2[5].kept_text == "" and out2[5].n_removed == 1
