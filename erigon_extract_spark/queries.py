@@ -4301,11 +4301,9 @@ def text_strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (erigon_tx_bodies, sessionize_events) and the new self-localizing
 # sessionize_debug.
 _GATE_PRIORITY = [
-    # reference operator surface (SURVEY.md §2)
-    "s1_point_lookup",
-    "s2_range_scan",
-    "j1_lookup_join",
-    "j3_index_range_join",
+    # reference operator surface (SURVEY.md §2). s1/s2/j1/j3 rest this
+    # round (hash-green r1 AND r2, unchanged code — durable evidence) in
+    # favor of the four new oracle-backed curation operators below.
     "u256_arithmetic",
     "asof_state_at",
     "asof_join",
@@ -4345,6 +4343,12 @@ _GATE_PRIORITY = [
     "text_repetition_ratio",
     "pack_sequences",
     "corpus_mixture_sample",
+    # new this round: substring-span dedup, model-based quality scoring,
+    # sketch heavy hitters, cross-doc boilerplate strip (first driver rows)
+    "dedup_substring_spans",
+    "text_quality_classifier",
+    "agg_cms_heavy_hitters",
+    "text_strip_boilerplate",
     # dedup_ngram_jaccard + dedup_embedding_cosine rest (green r1 AND r2)
     "dedup_connected_clusters",
     "dedup_minhash_portable",
