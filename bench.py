@@ -57,6 +57,10 @@ HEADLINE = [
     "curation_decontaminate",  # broadcast-benchmark shingle overlap
     "pack_sequences",  # concat-and-chunk packing window
     "keccak_scale",  # 200k-key batched numpy keccak throughput
+    # --- late round-3 additions ---
+    "dedup_substring_spans",  # strided-gram duplicate-span detection
+    "text_strip_boilerplate",  # cross-doc frequent-sentence strip
+    "agg_cms_heavy_hitters",  # count-min sketch build + probe
 ]
 
 

@@ -98,3 +98,17 @@ def cms_heavy_hitters(
         .orderBy(F.desc("est_count"), F.asc(key_col))
         .limit(top_k)
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches cell-wise. Sketches over the SAME hash
+    family (depth, width, salt) are linear: sketch(A ∪ B) ==
+    merge(sketch(A), sketch(B)) EXACTLY — the property that lets shards,
+    days, or streaming micro-batches each sketch locally and combine with
+    a 256-row union instead of re-scanning history."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "b").agg(F.sum("cnt").alias("cnt"))

@@ -371,3 +371,24 @@ def test_strip_boilerplate_removes_frequent_keeps_order(spark):
     )
     out2 = {r.doc_id: r for r in strip_boilerplate(docs2, min_docs=3).collect()}
     assert out2[5].kept_text == "" and out2[5].n_removed == 1
+
+
+def test_cms_merge_is_exact_union(spark):
+    """Sketch linearity: merging per-shard sketches equals sketching the
+    union — cell-for-cell, not approximately."""
+    from erigon_extract_spark.operators.sketch import cms_build, cms_merge
+
+    a = spark.createDataFrame([(k % 7,) for k in range(100)], "user_id long")
+    b = spark.createDataFrame([(k % 11,) for k in range(80)], "user_id long")
+    merged = {
+        (r.i, r.b): r.cnt
+        for r in cms_merge(
+            cms_build(a, "user_id", depth=3, width=16),
+            cms_build(b, "user_id", depth=3, width=16),
+        ).collect()
+    }
+    whole = {
+        (r.i, r.b): r.cnt
+        for r in cms_build(a.union(b), "user_id", depth=3, width=16).collect()
+    }
+    assert merged == whole
