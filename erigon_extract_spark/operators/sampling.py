@@ -64,3 +64,44 @@ def stable_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo += pct
     return df.withColumn("split", expr)
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: str = "shuf1",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment.
+
+    Training runs need the corpus in a pseudorandom order that is
+    REPRODUCIBLE (same seed -> same order, any engine, any cluster size) —
+    `df.orderBy(rand(seed))` is not (rand is partitioning-dependent).
+    The shuffle hash md5(seed || key) is a pure function of the row, so
+    the permutation is fixed by (seed, corpus).
+
+    Scale shape: a GLOBAL rank would funnel everything through one
+    partition (a global row_number window has no partition key), so the
+    operator instead emits (shard, shard_pos): shard = stable hash bucket
+    of the shuffle hash, shard_pos = rank within shard — a PARALLEL
+    window, one shuffle on shard. A training job writes each shard as its
+    own sorted file and readers interleave shards round-robin; every
+    shard is an unbiased corpus sample (the property batch-sequential
+    sharding lacks), and the within-shard order is the hash order.
+
+    Returns (key, shard, shard_pos); 1-based shard_pos.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed + "_"), F.col(key_col).cast("string")))
+    hashed = df.select(F.col(key_col), h.alias("__h"))
+    shard = (F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+             % n_shards)
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(),
+                                            F.col(key_col).asc())
+    return (
+        hashed.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select(key_col, "shard", "shard_pos")
+    )

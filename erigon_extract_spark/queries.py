@@ -4269,6 +4269,34 @@ def text_strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(docs, min_docs=3)
 
 
+@query(
+    "corpus_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('shuf1_' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 8 AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 8
+             ORDER BY hh, doc_id
+           ) AS shard_pos
+    FROM h
+    """,
+)
+def corpus_shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: reproducible pseudorandom
+    shard + within-shard position from a seed-keyed content hash
+    (operators/sampling.shuffle_order). Parallel window (partitioned by
+    shard) — deliberately NOT a global row_number, which would funnel
+    100 TB through one partition."""
+    from erigon_extract_spark.operators.sampling import shuffle_order
+
+    docs = _load(spark, sf_dir, "documents")
+    return shuffle_order(docs, "doc_id", seed="shuf1", n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

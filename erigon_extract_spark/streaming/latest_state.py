@@ -138,3 +138,35 @@ def stream_dedup_within_watermark(
     return stream.withWatermark(
         watermark_col, watermark_delay
     ).dropDuplicatesWithinWatermark(dedup_cols)
+
+
+def stream_cms(
+    stream: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Streaming count-min sketch: running heavy-hitter state whose size is
+    CONSTANT in both stream length and key cardinality.
+
+    A streaming ``groupBy(key).count()`` holds one state row per distinct
+    key — unbounded on an open key domain. Hashing each event into the
+    sketch's (row, bucket) cells first makes the streaming aggregation's
+    state exactly ``depth x width`` rows forever; estimates come from
+    probing the in-memory sketch table (operators/sketch.cms_estimate) at
+    any time. Because the sketch is linear (see cms_merge), the streaming
+    cell counts equal the batch sketch of everything seen — verified in
+    tests against cms_build on the same data.
+    """
+    from erigon_extract_spark.operators.sketch import _bucket
+
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+    )
+    return (
+        rows.select("i", _bucket(F.col("i"), F.col("k"), width).alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -392,3 +392,28 @@ def test_cms_merge_is_exact_union(spark):
         for r in cms_build(a.union(b), "user_id", depth=3, width=16).collect()
     }
     assert merged == whole
+
+
+def test_shuffle_order_is_deterministic_permutation(spark):
+    from erigon_extract_spark.operators.sampling import shuffle_order
+
+    docs = spark.createDataFrame([(i, "x") for i in range(500)],
+                                 "doc_id long, text string")
+    a = {(r.shard, r.shard_pos): r.doc_id
+         for r in shuffle_order(docs, "doc_id").collect()}
+    b = {(r.shard, r.shard_pos): r.doc_id
+         for r in shuffle_order(docs.repartition(17), "doc_id").collect()}
+    assert a == b  # partitioning-independent
+    assert len(a) == 500  # (shard, pos) is a bijection onto the corpus
+    assert sorted(a.values()) == list(range(500))
+    # every shard non-degenerate and positions contiguous from 1
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in a)
+    assert set(per_shard) == set(range(8))
+    for s, n in per_shard.items():
+        assert {p for sh, p in a if sh == s} == set(range(1, n + 1))
+    # a different seed produces a different permutation
+    c = {(r.shard, r.shard_pos): r.doc_id
+         for r in shuffle_order(docs, "doc_id", seed="shuf2").collect()}
+    assert c != a

@@ -235,3 +235,26 @@ def test_streaming_changeset_ingest_matches_batch_state(spark, tmp_path):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_cms_equals_batch_sketch(spark, sf_dir, events_dir):
+    """Sketch linearity under streaming: the running (i, b, cnt) state
+    after an availableNow pass equals the batch sketch of the same data —
+    and the state is depth x width cells regardless of key cardinality."""
+    from erigon_extract_spark.operators.sketch import cms_build
+    from erigon_extract_spark.streaming.latest_state import stream_cms
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    out = stream_cms(stream, "user_id", depth=3, width=32)
+    _run_available_now(out, "cms_t", "complete")
+    got = {
+        (r.i, r.b): r.cnt for r in spark.sql("SELECT * FROM cms_t").collect()
+    }
+    expect = {
+        (r.i, r.b): r.cnt
+        for r in cms_build(batch, "user_id", depth=3, width=32).collect()
+    }
+    assert got == expect
+    assert len(got) <= 3 * 32
