@@ -124,3 +124,51 @@ def repetition_ratio(
         distinct.alias(f"distinct_{n}grams"),
         F.round(ratio, 6).alias("repetition_ratio"),
     )
+
+
+def length_band_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Distribution-based length trim: drop documents below the lo_pct-th
+    or above the hi_pct-th percentile of the corpus length distribution
+    (the relative variant of the Gopher length rules — cutoffs follow the
+    corpus instead of hand-tuned constants).
+
+    Percentiles are computed as DISCRETE cutoffs in pure integer
+    arithmetic — smallest value v whose cumulative count satisfies
+    ``cum * 100 >= pct * n`` — never float interpolation, so the cutoffs
+    (and therefore membership) are bit-identical on any engine. Two-pass
+    shape for scale: pass 1 aggregates the length HISTOGRAM (one shuffle;
+    the cumulative window runs over distinct length VALUES, a
+    domain-bounded frame, not the corpus); pass 2 filters by the broadcast
+    scalar cutoffs — the filter is a plain comparison that pushes to the
+    scan.
+
+    Returns kept rows: (doc_id, <length_col>, lo_cut, hi_cut).
+    """
+    from pyspark.sql import Window
+
+    hist = docs.groupBy(F.col(length_col).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wv)).crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n")))
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 100 >= F.lit(lo_pct) * F.col("n"), F.col("v"))).alias("lo_cut"),
+        F.min(F.when(F.col("cum") * 100 >= F.lit(hi_pct) * F.col("n"), F.col("v"))).alias("hi_cut"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .filter(
+            (F.col(length_col) >= F.col("lo_cut"))
+            & (F.col(length_col) <= F.col("hi_cut"))
+        )
+        .select(id_col, length_col, "lo_cut", "hi_cut")
+    )

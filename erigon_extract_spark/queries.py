@@ -4297,6 +4297,36 @@ def corpus_shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(docs, "doc_id", seed="shuf1", n_shards=8)
 
 
+@query(
+    "curation_length_band",
+    """
+    WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+    hist AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    cuts AS (
+      SELECT MIN(CASE WHEN cum * 100 >= 5 * tot.n THEN v END) AS lo_cut,
+             MIN(CASE WHEN cum * 100 >= 95 * tot.n THEN v END) AS hi_cut
+      FROM cum, tot
+    )
+    SELECT doc_id, n_chars, lo_cut, hi_cut
+    FROM documents, cuts
+    WHERE n_chars >= lo_cut AND n_chars <= hi_cut
+    """,
+)
+def curation_length_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative (percentile-band) length filter: trim the shortest 5% and
+    longest 5% by DISCRETE integer-arithmetic cutoffs
+    (operators/curation.length_band_filter) — no float interpolation, so
+    cutoffs and membership are engine-exact under the hash gate."""
+    from erigon_extract_spark.operators.curation import length_band_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    return length_band_filter(docs, lo_pct=5, hi_pct=95)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -96,3 +96,32 @@ def test_repetition_ratio_semantics(spark):
     assert got[2]["repetition_ratio"] == 0.0
     assert got[3]["total_3grams"] == 0 and got[3]["repetition_ratio"] == 0.0
     assert got[4]["repetition_ratio"] == 0.0
+
+
+def test_length_band_filter_discrete_cutoffs(spark):
+    """Cutoffs are the discrete percentile values (smallest v with
+    cum*100 >= pct*n) and membership matches a python recomputation."""
+    from erigon_extract_spark.operators.curation import length_band_filter
+
+    lengths = [10] * 5 + list(range(100, 195)) + [10_000] * 5  # n=105
+    docs = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lengths)], "doc_id long, n_chars long"
+    )
+    out = length_band_filter(docs, lo_pct=5, hi_pct=95).collect()
+    n = len(lengths)
+    sl = sorted(lengths)
+    cum, lo_cut, hi_cut = 0, None, None
+    seen = {}
+    for v in sl:
+        seen[v] = seen.get(v, 0) + 1
+    for v in sorted(seen):
+        cum += seen[v]
+        if lo_cut is None and cum * 100 >= 5 * n:
+            lo_cut = v
+        if hi_cut is None and cum * 100 >= 95 * n:
+            hi_cut = v
+    expect = {i for i, ln in enumerate(lengths) if lo_cut <= ln <= hi_cut}
+    assert {r.doc_id for r in out} == expect
+    assert all(r.lo_cut == lo_cut and r.hi_cut == hi_cut for r in out)
+    # the 10k outliers and the 10s are trimmed
+    assert all(lengths[r.doc_id] not in (10, 10_000) for r in out)
