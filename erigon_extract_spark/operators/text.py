@@ -293,3 +293,55 @@ def strip_boilerplate(
         )
         .select("doc_id", "kept_text", "n_sentences", "n_removed")
     )
+
+
+def bigram_familiarity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM familiarity signal: how typical each document's word
+    bigrams are of the corpus (the integer-exact skeleton of n-gram-LM
+    perplexity filtering a la CCNet — rare-bigram docs are gibberish,
+    boilerplate-mangled, or wrong-language).
+
+    Two passes, the train-then-score shape every model-based filter takes:
+    pass 1 aggregates the bigram frequency MODEL (one shuffle, map-side
+    combine); pass 2 joins each doc's bigram instances back to the model
+    on the bigram key (same-key shuffle) and reduces per doc. All counts
+    are integers, so the per-doc sum is exact at any parallelism; the one
+    float division happens after aggregation.
+
+    Returns (doc_id, n_bigrams, familiarity_sum, familiarity), where
+    familiarity = mean corpus frequency of the doc's bigram instances.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    ).filter(F.size("w") >= 2)
+    bg = words.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("bg"),
+    )
+    model = bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+    return (
+        bg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").alias("familiarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "familiarity_sum",
+            F.round(
+                F.col("familiarity_sum").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("familiarity"),
+        )
+    )

@@ -4327,6 +4327,42 @@ def curation_length_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_band_filter(docs, lo_pct=5, hi_pct=95)
 
 
+@query(
+    "text_bigram_familiarity",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      FROM words, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    model AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(cnt) AS familiarity_sum,
+           ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS familiarity
+    FROM bg JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM familiarity (integer-exact n-gram-LM-perplexity skeleton,
+    operators/text.bigram_familiarity): train the bigram frequency model in
+    pass 1, score every doc against it in pass 2 — the two-pass
+    train-then-score shape of CCNet perplexity filtering, with integer
+    counts so the gate hash is exact."""
+    from erigon_extract_spark.operators.text import bigram_familiarity
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_familiarity(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

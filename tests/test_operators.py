@@ -417,3 +417,25 @@ def test_shuffle_order_is_deterministic_permutation(spark):
     c = {(r.shard, r.shard_pos): r.doc_id
          for r in shuffle_order(docs, "doc_id", seed="shuf2").collect()}
     assert c != a
+
+
+def test_bigram_familiarity_hand_check(spark):
+    from erigon_extract_spark.operators.text import bigram_familiarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),       # bigrams: "a b", "b c"
+            (2, "a b"),         # bigram:  "a b"
+            (3, "z"),           # too short -> no row
+            (4, "q r q r"),     # "q r" x2, "r q" x1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_familiarity(docs).collect()}
+    assert 3 not in out
+    # model: "a b"->2, "b c"->1, "q r"->2, "r q"->1
+    assert (out[1].n_bigrams, out[1].familiarity_sum) == (2, 3)
+    assert out[1].familiarity == 1.5
+    assert (out[2].n_bigrams, out[2].familiarity_sum) == (1, 2)
+    assert (out[4].n_bigrams, out[4].familiarity_sum) == (3, 5)
+    assert out[4].familiarity == round(5 / 3, 6)
