@@ -239,6 +239,9 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "p6_prune_filter",
         "q11_important_stock",
         "q22_dormant_rich_customers",
+        # percentile-band filter: BNLJ against the ONE-ROW broadcast
+        # cutoff aggregate — a scalar crossJoin, linear by construction
+        "curation_length_band",
     }
     # iterative/checkpointing queries EXECUTE work at plan-build time;
     # their component plans are covered by their own tests
