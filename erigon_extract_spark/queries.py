@@ -4363,6 +4363,40 @@ def text_bigram_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_familiarity(docs)
 
 
+def _jsonl_oracle_sql() -> str:
+    from erigon_extract_spark.sources.jsonl import SAMPLE_PATH, ensure_sample
+
+    ensure_sample()
+    cols = (
+        "{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', "
+        "'source': 'VARCHAR', 'n_chars': 'BIGINT'}"
+    )
+    return f"""
+    SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+    FROM read_json('{SAMPLE_PATH}', format='newline_delimited',
+                   columns={cols})
+    """
+
+
+@query("source_jsonl_documents", _jsonl_oracle_sql())
+def source_jsonl_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest under the hash gate: explicit contract schema (no
+    inferSchema pass), PERMISSIVE corrupt-line quarantine
+    (sources/jsonl.py), values identical to DuckDB's read_json of the same
+    committed fixture. Corrupt-line routing is exercised in pytest."""
+    from erigon_extract_spark.sources.jsonl import (
+        ensure_sample,
+        read_documents_jsonl,
+        split_quarantine,
+    )
+
+    path = ensure_sample()
+    clean, _bad = split_quarantine(read_documents_jsonl(spark, str(path)))
+    return clean.select(
+        "doc_id", "lang", "source", "n_chars", F.length("text").alias("text_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one
