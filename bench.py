@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_substring_spans",  # strided-gram duplicate-span detection
     "text_strip_boilerplate",  # cross-doc frequent-sentence strip
     "agg_cms_heavy_hitters",  # count-min sketch build + probe
+    "text_bigram_familiarity",  # two-pass corpus-LM scoring
+    "curation_scale",  # 200k-doc classifier+familiarity throughput
 ]
 
 

@@ -4397,6 +4397,56 @@ def source_jsonl_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("curation_scale")  # synthetic-volume perf probe → rows-only
+def curation_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based scoring at benchmark volume: 200k documents (20
+    hash-derived tokens each, ~4M token rows) synthesized distributively
+    and pushed through BOTH train-then-score passes — the hashed linear
+    classifier and the corpus bigram-familiarity model — reduced to one
+    summary row. The throughput witness for the curation-scoring family,
+    independent of the 5k-doc correctness table (cf. dedup_scale)."""
+    from erigon_extract_spark.operators.text import (
+        bigram_familiarity,
+        hashed_linear_quality,
+    )
+
+    # token_i is a function of (id % n_uniq, i): 4M token rows but a
+    # Zipf-ish bounded bigram domain (19 * n_uniq keys) — real corpora
+    # REUSE bigrams heavily; an all-unique-bigram corpus would make the
+    # model join degenerate in a way no real dataset does
+    n_docs, n_uniq = 200_000, 10_000
+    words = [
+        F.substring(
+            F.md5(((F.col("id") % n_uniq) + F.lit(i * 131)).cast("string")),
+            1,
+            8,
+        )
+        for i in range(20)
+    ]
+    # materialize the synthetic corpus ONCE (eager, like the iterative
+    # probes): the generator is 4M md5 calls, and the two train-then-score
+    # branches would otherwise regenerate it per shuffle side — the probe
+    # should time the OPERATORS, not the data synthesis
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *words).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    q1 = hashed_linear_quality(docs).agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    q2 = bigram_familiarity(docs).agg(
+        F.count("*").alias("n_familiarity"),
+        F.round(F.avg("familiarity"), 2).alias("avg_familiarity"),
+    )
+    return q1.crossJoin(q2)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -249,6 +249,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "erigon_incremental_update",
         "dedup_connected_clusters",
         "corpus_curation_keep_list",
+        # localCheckpoints its synthetic corpus at build time (perf probe)
+        "curation_scale",
     }
     offenders = {}
     for name, fn in q.QUERIES.items():
