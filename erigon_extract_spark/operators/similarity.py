@@ -449,3 +449,36 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def random_projection(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dim → out_dim with
+    deterministic LCG planes (the dimensionality-reduction step embedding
+    pipelines run before storage/ANN when 4x fewer dims preserves enough
+    cosine geometry).
+
+    Pure map pass — one fold per output dim per row, no shuffle, no
+    training, nothing to broadcast but out_dim constant vectors baked into
+    the plan. The same plane constants embed as DOUBLE[] literals in the
+    oracle SQL (Python repr round-trips float64 exactly), so the entire
+    projection is value-gated. Returns (vec_id, p0..p{out_dim-1}).
+    """
+    planes = [_hyperplane(dim, seed * 1000 + j) for j in range(out_dim)]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(F.col(id_col), v.alias("__v"))
+    outs = [
+        F.round(
+            dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in planes[j]])),
+            6,
+        ).alias(f"p{j}")
+        for j in range(out_dim)
+    ]
+    return base.select(id_col, *outs)

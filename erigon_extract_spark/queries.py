@@ -4447,6 +4447,34 @@ def curation_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q1.crossJoin(q2)
 
 
+def _random_projection_oracle_sql(dim: int = 64, out_dim: int = 16) -> str:
+    from erigon_extract_spark.operators.similarity import _hyperplane
+
+    cols = ",\n           ".join(
+        "ROUND(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in _hyperplane(dim, 7 * 1000 + j))
+        + f"]), 6) AS p{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """
+
+
+@query("embedding_random_projection", _random_projection_oracle_sql())
+def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction 64→16 with LCG plane constants shared
+    verbatim between the Spark plan and the DuckDB oracle
+    (operators/similarity.random_projection) — the embedding-pipeline
+    storage/ANN precursor, fully value-gated, zero shuffles."""
+    from erigon_extract_spark.operators.similarity import random_projection
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return random_projection(emb, dim=64, out_dim=16)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -144,3 +144,32 @@ def test_semantic_dedup_pins_brute_force_within_cells(spark, emb):
     # exact clones: same cell as their source, deduped against it
     assert not out[10_000].keep and out[10_000].dup_of == 0
     assert not out[10_001].keep and out[10_001].dup_of == 1
+
+
+def test_random_projection_preserves_cosine_approximately(spark, emb):
+    """JL property on real vectors: 64->16 projection keeps cosine
+    neighborhoods roughly intact — projected cosine correlates with true
+    cosine across sampled pairs (loose bound; the exactness claim lives in
+    the oracle gate, this pins the geometry is sane)."""
+    import math
+
+    from erigon_extract_spark.operators.similarity import random_projection
+
+    sub = emb.filter(F.col("vec_id") < 40)
+    proj = {r.vec_id: [r[f"p{j}"] for j in range(16)]
+            for r in random_projection(sub, dim=64, out_dim=16).collect()}
+    orig = {r.vec_id: list(r.embedding) for r in sub.collect()}
+    assert set(proj) == set(orig) and len(proj[0]) == 16
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    pairs = [(i, j) for i in range(0, 40, 5) for j in range(i + 1, 40, 7)]
+    diffs = [abs(cos(orig[i], orig[j]) - cos(proj[i], proj[j])) for i, j in pairs]
+    # 16 random dims: expect rough preservation, not exactness
+    assert sum(diffs) / len(diffs) < 0.35
+    # projection is deterministic
+    again = {r.vec_id: [r[f"p{j}"] for j in range(16)]
+             for r in random_projection(sub, dim=64, out_dim=16).collect()}
+    assert again == proj
