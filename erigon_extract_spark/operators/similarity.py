@@ -482,3 +482,60 @@ def random_projection(
         for j in range(out_dim)
     ]
     return base.select(id_col, *outs)
+
+
+def quantize_int8(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector min/max int8 quantization — the 4x storage compressor
+    embedding stores apply before indexing (PQ's simpler sibling: no
+    codebook; scale 255 so mx lands exactly on code 255, reconstruction
+    mn + (code + 0.5) * (mx - mn) / 255, error <= one cell width).
+
+    Pure map pass, no shuffle. The min/max are projected as ATTRIBUTES
+    before the code transform: referencing a composed expression inside a
+    higher-order-function lambda re-evaluates it per element (the
+    measured 15-180x trap, NOTES.md). Codes are exact integer outputs of
+    one deterministic float expression, so the whole thing value-gates.
+
+    Returns one row per (vec_id, dim): (vec_id, dim, code, mn_r, mx_r).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(
+        F.col(id_col),
+        v.alias("__v"),
+    ).select(
+        id_col,
+        "__v",
+        F.array_min("__v").alias("__mn"),
+        F.array_max("__v").alias("__mx"),
+    )
+    code = F.when(
+        F.col("__mx") > F.col("__mn"),
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("x") - F.col("__mn"))
+                * F.lit(255.0)
+                / (F.col("__mx") - F.col("__mn"))
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        base.select(
+            id_col,
+            "__mn",
+            "__mx",
+            F.posexplode("__v").alias("dim", "x"),
+        )
+        .select(
+            id_col,
+            "dim",
+            code.cast("long").alias("code"),
+            F.round("__mn", 6).alias("mn_r"),
+            F.round("__mx", 6).alias("mx_r"),
+        )
+    )

@@ -4475,6 +4475,36 @@ def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return random_projection(emb, dim=64, out_dim=16)
 
 
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    mm AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM vecs
+    )
+    SELECT vec_id,
+           i - 1 AS dim,
+           CASE WHEN mx > mn
+                THEN LEAST(255, CAST(floor((v[i] - mn) * 255.0 / (mx - mn))
+                                     AS BIGINT))
+                ELSE 0 END AS code,
+           ROUND(mn, 6) AS mn_r,
+           ROUND(mx, 6) AS mx_r
+    FROM mm, UNNEST(generate_series(1, len(v))) AS u(i)
+    """,
+)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization codes under the hash gate
+    (operators/similarity.quantize_int8): 4x embedding storage compression
+    as a pure map pass; reconstruction error bound pinned in pytest."""
+    from erigon_extract_spark.operators.similarity import quantize_int8
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -173,3 +173,30 @@ def test_random_projection_preserves_cosine_approximately(spark, emb):
     again = {r.vec_id: [r[f"p{j}"] for j in range(16)]
              for r in random_projection(sub, dim=64, out_dim=16).collect()}
     assert again == proj
+
+
+def test_quantize_int8_codes_and_reconstruction_bound(spark, emb):
+    from erigon_extract_spark.operators.similarity import quantize_int8
+
+    sub = emb.filter(F.col("vec_id") < 30)
+    rows = quantize_int8(sub).collect()
+    orig = {r.vec_id: list(r.embedding) for r in sub.collect()}
+    assert len(rows) == 30 * 64
+    for r in rows:
+        assert 0 <= r.code <= 255
+        mn, mx = r.mn_r, r.mx_r
+        x = float(orig[r.vec_id][r.dim])
+        if mx > mn:
+            # scale is 255 (mx maps to code 255): cell width range/255,
+            # midpoint dequantization error bounded by one cell width
+            recon = mn + (r.code + 0.5) * (mx - mn) / 255.0
+            assert abs(x - recon) <= (mx - mn) / 255.0 + 1e-5, (r, x, recon)
+    # extremes map to the ends of the code range
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vid, rs in by_vec.items():
+        codes = {r.dim: r.code for r in rs}
+        v = [float(x) for x in orig[vid]]
+        assert codes[v.index(min(v))] == 0
+        assert codes[v.index(max(v))] == 255
