@@ -76,7 +76,7 @@ def write_documents_jsonl(df: DataFrame, path: str) -> None:
 
 SAMPLE_PATH = (
     Path(__file__).resolve().parent.parent.parent
-    / "fixtures_parquet"
+    / "fixtures_jsonl"
     / "documents_sample.jsonl"
 )
 
