@@ -317,23 +317,7 @@ def lsh_bucket_topk(
     recall, more compute)."""
 
     def signature(vec) -> F.Column:
-        bits = []
-        for p in range(n_planes):
-            plane = _hyperplane(dim, p + 1)
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        sig = bits[0]
-        for b in bits[1:]:
-            sig = sig.bitwiseOR(b)
-        return sig
+        return lsh_signature(vec, dim, n_planes)
 
     c = (
         corpus.select(id_col, vec_col)
@@ -538,4 +522,100 @@ def quantize_int8(
             F.round("__mn", 6).alias("mn_r"),
             F.round("__mx", 6).alias("mx_r"),
         )
+    )
+
+
+def lsh_signature(vec, dim: int, n_planes: int = 8) -> F.Column:
+    """Sign-bit hyperplane signature (shared by the in-memory bucket join
+    and the persisted index layout)."""
+    bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p + 1)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    *,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus PARTITIONED BY its LSH bucket, with the L2 norm
+    precomputed — the at-rest ANN index layout.
+
+    The point of materializing the layout: a probe's candidate set becomes
+    a PARTITION-PRUNED read. ``query_lsh_index`` filters on the bucket
+    values its probes hash to, Spark's file index drops every other
+    partition directory at PLANNING time, and a 100 TB corpus answers a
+    probe batch by reading only the matching buckets' files — the same
+    pruning mechanism the reference gets from its sorted page index
+    (O(log N) seeks), re-expressed as partitioned-columnar layout.
+    """
+    (
+        corpus.select(id_col, vec_col)
+        .withColumn("bucket", lsh_signature(F.col(vec_col), dim, n_planes))
+        .withColumn("cnorm", l2_norm(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    dim: int,
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Top-k against a persisted LSH index via partition-pruned scan.
+
+    The probe batch is small by regime (that's what makes ANN probing a
+    lookup, not a scan), so its bucket set collects to the driver and
+    becomes an ``isin`` partition filter — visible as PartitionFilters in
+    the scan node, asserted in tests. Scoring then matches
+    ``lsh_bucket_topk`` exactly: same signature, same prenormed cosine,
+    same deterministic tie-break."""
+    p = (
+        probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
+        .withColumn("bucket", lsh_signature(F.col("__pvec"), dim, n_planes))
+        .withColumn("__pnorm", l2_norm(F.col("__pvec")))
+    )
+    buckets = [r.bucket for r in p.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    scored = idx.join(F.broadcast(p), "bucket").select(
+        probe_id_col,
+        id_col,
+        cosine_prenorm(
+            F.col(vec_col), F.col("__pvec"), F.col("cnorm"), F.col("__pnorm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -4505,6 +4505,35 @@ def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb)
 
 
+@query("sim_lsh_index_topk", _lsh_topk_oracle_sql())
+def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index LSH path under the same oracle as the in-memory
+    bucket join: build the bucket-partitioned parquet index
+    (operators/similarity.build_lsh_index), then answer the probes via a
+    partition-pruned read (query_lsh_index). Identical results to
+    sim_lsh_topk — the layout changes WHERE candidates are read from (a
+    pruned directory subset), not what they are; pruning is asserted in
+    tests/test_similarity.py."""
+    import tempfile
+
+    from erigon_extract_spark.operators.similarity import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
+    build_lsh_index(emb, path, dim=64, n_planes=6)
+    out = query_lsh_index(spark, path, probes, dim=64, k=10, n_planes=6)
+    return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

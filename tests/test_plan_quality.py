@@ -251,6 +251,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "corpus_curation_keep_list",
         # localCheckpoints its synthetic corpus at build time (perf probe)
         "curation_scale",
+        # writes the bucket-partitioned index at build time
+        "sim_lsh_index_topk",
     }
     offenders = {}
     for name, fn in q.QUERIES.items():

@@ -200,3 +200,37 @@ def test_quantize_int8_codes_and_reconstruction_bound(spark, emb):
         v = [float(x) for x in orig[vid]]
         assert codes[v.index(min(v))] == 0
         assert codes[v.index(max(v))] == 255
+
+
+def test_lsh_index_persist_prunes_partitions_and_matches(spark, emb, probes, tmp_path):
+    """Persisted LSH index: (a) querying it returns the SAME top-k as the
+    in-memory bucket join; (b) the scan is partition-pruned — only the
+    probes' bucket directories are read."""
+    from erigon_extract_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_bucket_topk,
+        query_lsh_index,
+    )
+
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, path, dim=64, n_planes=4)
+
+    got = query_lsh_index(spark, path, probes, dim=64, k=10, n_planes=4)
+    expect = lsh_bucket_topk(emb, probes, dim=64, k=10, n_planes=4)
+    g = {(r.probe_id, r.vec_id): round(r.cosine, 9) for r in got.collect()}
+    e = {(r.probe_id, r.vec_id): round(r.cosine, 9) for r in expect.collect()}
+    assert g == e and len(g) > 0
+
+    # pruning: the scan node carries a non-trivial PartitionFilter on
+    # bucket (planning-time directory pruning), and the probes hit a
+    # strict subset of the bucket domain
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and any(
+        "bucket" in ln.split("PartitionFilters", 1)[1][:120] for ln in scan_lines
+    ), plan
+    import os
+
+    n_buckets = sum(1 for d in os.listdir(path) if d.startswith("bucket="))
+    probe_buckets = {r.probe_id for r in got.collect()}  # <=3 probes
+    assert len(probe_buckets) <= 3 < n_buckets
