@@ -1,0 +1,157 @@
+"""Byte-pair-encoding tokenizer training and encoding, Spark-native.
+
+BPE training is inherently iterative (each merge depends on the counts
+after the previous one), so the orchestration loop runs on the driver —
+but every round's WORK is distributed and the working set is the DISTINCT
+WORD table (vocab-sized, aggregated from the corpus in one shuffle), not
+the corpus itself:
+
+  round := one pair-count aggregation over the word table (explode
+  adjacent symbol pairs, groupBy(pair) weighted by word frequency,
+  map-side combine) + one driver-side argmax (a 1-row collect) + one
+  lazy map applying the merge to the symbol arrays.
+
+At 100 TB the corpus→word-table aggregation is the only corpus-sized
+shuffle; rounds then cost O(distinct words), which is why production BPE
+trainers (GPT-2's, SentencePiece) operate on word-count tables too. The
+merge application is a pure Catalyst fold (no UDF): a greedy left-to-right
+scan via ``F.aggregate`` with a (out, pending) struct accumulator —
+exactly the semantics of the reference python implementation pinned in
+tests. Lineage is cut with localCheckpoint every few rounds (the
+iterative-algorithm pattern used by operators/graph.py) so 30 rounds don't
+build a 30-deep nested plan.
+
+Convention: word-internal BPE over whitespace-pretokenized words, no
+end-of-word marker (documents are whitespace-normalized upstream); ties on
+pair frequency break lexicographically, so training is fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.text import normalize_text
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, syms): distinct corpus words with frequencies and their
+    initial character-symbol arrays."""
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+    )
+
+
+def _pair_counts(word_table: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies weighted by word count (pairs within each
+    word's current symbol sequence)."""
+    pairs = word_table.filter(F.size("syms") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(syms) - 2),"
+                " i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("freq"))
+
+
+def _apply_merge(syms_col: F.Column, a: str, b: str) -> F.Column:
+    """Greedy leftmost merge of adjacent (a, b) -> a||b as a Catalyst fold:
+    accumulator (out, pend); a merged token never re-merges in the same
+    round (pend resets), matching reference BPE."""
+    a_l, b_l = F.lit(a), F.lit(b)
+    folded = F.aggregate(
+        syms_col,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, s: F.when(
+            acc["pend"].isNull(), F.struct(acc["out"].alias("out"), s.alias("pend"))
+        )
+        .when(
+            (acc["pend"] == a_l) & (s == b_l),
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat(a_l, b_l))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+    return folded
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 30,
+    *,
+    text_col: str = "text",
+    checkpoint_every: int = 5,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge list [(a, b), ...] — the entire trained tokenizer state."""
+    wt = _word_table(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(wt)
+            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        wt = wt.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            wt = wt.localCheckpoint()
+    return merges
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with a trained merge list — one lazy map pass
+    (the merges fold into nested Catalyst expressions; no training state
+    is shuffled, the tokenizer is literally part of the plan).
+
+    Returns (doc_id, word_idx, word, n_word_tokens); summing
+    n_word_tokens per doc gives the BPE token count."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "word_idx", "w"
+        ),
+    ).filter(F.length("w") > 0)
+    syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return words.select(
+        "doc_id",
+        "word_idx",
+        F.col("w").alias("word"),
+        F.size(syms).alias("n_word_tokens"),
+    )

@@ -4534,6 +4534,25 @@ def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+@query("text_bpe_tokenize")  # iterative trained merges -> not SQL-expressible;
+# rows-only; merge sequence + encodings pinned vs a reference python BPE
+# implementation in tests/test_bpe.py
+def text_bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained ON the corpus (operators/bpe.py: distributed
+    pair counting over the distinct-word table, driver argmax per round,
+    Catalyst-fold merge application), then applied to count tokens per
+    document. The whitespace count rides along as the ratio baseline."""
+    from erigon_extract_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8, checkpoint_every=4)
+    enc = encode_bpe(docs, merges)
+    return enc.groupBy("doc_id").agg(
+        F.sum("n_word_tokens").alias("n_bpe_tokens"),
+        F.count("*").alias("n_words"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

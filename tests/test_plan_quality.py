@@ -253,6 +253,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "curation_scale",
         # writes the bucket-partitioned index at build time
         "sim_lsh_index_topk",
+        # trains merges (iterative jobs) at build time
+        "text_bpe_tokenize",
     }
     offenders = {}
     for name, fn in q.QUERIES.items():
