@@ -4553,6 +4553,33 @@ def text_bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle_sql() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_s,
+           CAST(MAX({c}) AS VARCHAR) AS max_s
+    FROM documents"""
+        for c in cols
+    ]
+    return "\n    UNION ALL".join(parts)
+
+
+@query("profile_documents", _profile_oracle_sql())
+def profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profiling report (operators/profile.py):
+    null counts, exact cardinalities, string-rendered ranges for every
+    documents column in ONE aggregation job — the ingest sanity gate a
+    pipeline runs before training on a new data drop."""
+    from erigon_extract_spark.operators.profile import profile_table
+
+    docs = _load(spark, sf_dir, "documents")
+    return profile_table(docs, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

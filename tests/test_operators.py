@@ -439,3 +439,24 @@ def test_bigram_familiarity_hand_check(spark):
     assert (out[2].n_bigrams, out[2].familiarity_sum) == (1, 2)
     assert (out[4].n_bigrams, out[4].familiarity_sum) == (3, 5)
     assert out[4].familiarity == round(5 / 3, 6)
+
+
+def test_profile_table_nulls_distincts_ranges(spark):
+    from erigon_extract_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "b", 7.5), (4, None, 7.5)],
+        "id long, s string, v double",
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert (prof["id"].n_nulls, prof["id"].n_distinct) == (0, 4)
+    assert (prof["s"].n_nulls, prof["s"].n_distinct) == (1, 2)
+    assert (prof["v"].n_nulls, prof["v"].n_distinct) == (1, 2)
+    assert prof["id"].min_s == "1" and prof["id"].max_s == "4"
+    assert prof["s"].min_s == "a" and prof["s"].max_s == "b"
+    # approx mode: same shape, cardinalities within HLL tolerance
+    approx = {r.col_name: r for r in profile_table(df, exact=False).collect()}
+    for c in prof:
+        assert abs(approx[c].n_distinct - prof[c].n_distinct) <= 1
