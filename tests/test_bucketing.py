@@ -81,3 +81,40 @@ def test_block_partitioned_layout_prunes_at_planning_time(
     assert scoped.count() == 200
     # same rows as the naive (unpruned) read
     assert naive.count() == 200
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    """64-way over-partitioned write -> compaction to a handful of sorted
+    files: same rows, far fewer files, and within-file sort restores
+    row-group min/max selectivity."""
+    from erigon_extract_spark.sources.compact import compact_parquet, data_files
+
+    src = str(tmp_path / "scattered")
+    dst = str(tmp_path / "compacted")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+    assert len(data_files(spark, src)) == 64
+
+    n_files = compact_parquet(
+        spark, src, dst, target_rows_per_file=200, sort_cols=["doc_id"]
+    )
+    files = data_files(spark, dst)
+    assert len(files) == n_files < 64
+
+    a = sorted(r.doc_id for r in spark.read.parquet(src).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(dst).collect())
+    assert a == b
+    # sorted rewrite: each file covers a disjoint doc_id range
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f.replace("file:", "")).metadata
+        ids = [
+            (md.row_group(i).column(0).statistics.min,
+             md.row_group(i).column(0).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        spans.append((min(x for x, _ in ids), max(y for _, y in ids)))
+    spans.sort()
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
