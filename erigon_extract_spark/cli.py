@@ -184,6 +184,39 @@ def _state_at(args) -> int:
     return 0
 
 
+def _profile(args) -> int:
+    from erigon_extract_spark.operators.profile import profile_table
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-profile")
+    df = spark.read.parquet(args.parquet)
+    for r in sorted(
+        profile_table(df, exact=not args.approx).collect(),
+        key=lambda r: r.col_name,
+    ):
+        print(
+            f"{r.col_name}: rows={r.n_rows} nulls={r.n_nulls} "
+            f"distinct={r.n_distinct} min={r.min_s} max={r.max_s}"
+        )
+    return 0
+
+
+def _compact(args) -> int:
+    from erigon_extract_spark.session import get_spark
+    from erigon_extract_spark.sources.compact import compact_parquet
+
+    spark = get_spark(app_name="cli-compact")
+    n = compact_parquet(
+        spark,
+        args.src,
+        args.dst,
+        target_rows_per_file=args.rows_per_file,
+        sort_cols=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(f"compacted {args.src} -> {args.dst} ({n} files)")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="erigon_extract_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -221,6 +254,19 @@ def main(argv=None) -> int:
     p.add_argument("--block", type=int, required=True)
     p.add_argument("--address", default=None, help="hex, no 0x")
     p.set_defaults(fn=_state_at)
+
+    p = sub.add_parser("profile", help="per-column stats of a parquet table")
+    p.add_argument("parquet")
+    p.add_argument("--approx", action="store_true",
+                   help="HLL cardinalities (the 100 TB mode)")
+    p.set_defaults(fn=_profile)
+
+    p = sub.add_parser("compact", help="rewrite a dataset into right-sized files")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--rows-per-file", type=int, default=1_000_000)
+    p.add_argument("--sort-by", default=None, help="comma-separated columns")
+    p.set_defaults(fn=_compact)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -83,3 +83,23 @@ def test_cli_build_dump_state_at_roundtrip(spark, tmp_path, capsys):
     sa_lines = [l for l in sa_out.splitlines() if l]
     assert 0 < len(sa_lines) <= 8  # one row per address alive at block 100
     assert all(l.startswith("A ") and "@" in l for l in sa_lines)
+
+
+def test_cli_profile_and_compact(spark, sf_dir, tmp_path, capsys):
+    from erigon_extract_spark import cli
+
+    rc = cli.main(["profile", f"{sf_dir}/documents.parquet"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l]
+    assert len(lines) == 5  # one per documents column
+    assert any(l.startswith("doc_id:") and "nulls=0" in l for l in lines)
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(16).write.parquet(src)
+    rc = cli.main(["compact", src, dst, "--rows-per-file", "1000",
+                   "--sort-by", "doc_id"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "files)" in out
+    assert (spark.read.parquet(dst).count()
+            == spark.read.parquet(src).count())
