@@ -4580,6 +4580,94 @@ def profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(docs, exact=True)
 
 
+@query(
+    "corpus_pipeline_v2",
+    """
+    WITH s AS (
+      SELECT doc_id, i AS pos, parts[i] AS sent, md5(parts[i]) AS h
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+           UNNEST(generate_series(1, len(parts))) AS u(i)
+      WHERE length(parts[i]) > 0
+    ),
+    freq AS (SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+    m AS (
+      SELECT s.doc_id, s.pos, s.sent, (f.h IS NOT NULL) AS is_boiler
+      FROM s LEFT JOIN freq f ON s.h = f.h
+    ),
+    stripped AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT is_boiler THEN sent END,
+                                 '. ' ORDER BY pos), '') AS kept_text,
+             SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_removed
+      FROM m GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(
+                 trim(regexp_replace(lower(kept_text), '\\s+', ' ', 'g')), ' '
+               )) AS tok
+        FROM stripped
+      ) WHERE length(tok) > 0
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024)
+               * 2654435761 % 2001 - 1000 AS w
+      FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS weight_sum
+      FROM w GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT a.doc_id, st.n_removed,
+             ROUND(0.5 + (0.5 * (CAST(weight_sum AS DOUBLE)
+                                 / CAST(n_tokens * 1000 AS DOUBLE)))
+                         / (1.0 + abs(CAST(weight_sum AS DOUBLE)
+                                      / CAST(n_tokens * 1000 AS DOUBLE))), 6)
+               AS quality_score
+      FROM agg a JOIN stripped st USING (doc_id)
+    ),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+    sharded AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('shuf1_' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 8 AS shard,
+             md5('shuf1_' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM kept
+    )
+    SELECT k.doc_id, k.n_removed, k.quality_score, sh.shard,
+           ROW_NUMBER() OVER (PARTITION BY sh.shard
+                              ORDER BY sh.hh, sh.doc_id) AS shard_pos
+    FROM kept k JOIN sharded sh USING (doc_id)
+    """,
+)
+def corpus_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation operators COMPOSED into one gated plan:
+    cross-doc boilerplate strip → model-based quality filter (hashed
+    linear classifier on the STRIPPED text) → deterministic training-order
+    shard assignment of the survivors. Each stage is independently gated
+    elsewhere; this query witnesses that they compose under one hash —
+    the corpus_curation_keep_list pattern for the new family."""
+    from erigon_extract_spark.operators.sampling import shuffle_order
+    from erigon_extract_spark.operators.text import (
+        hashed_linear_quality,
+        strip_boilerplate,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    stripped = strip_boilerplate(docs, min_docs=3)
+    scored = hashed_linear_quality(stripped, text_col="kept_text")
+    kept = scored.filter(F.col("keep")).join(
+        stripped.select("doc_id", "n_removed"), "doc_id"
+    )
+    shards = shuffle_order(kept.select("doc_id"), "doc_id")
+    return kept.join(shards, "doc_id").select(
+        "doc_id", "n_removed", "quality_score", "shard", "shard_pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one
