@@ -52,3 +52,53 @@ def test_jsonl_roundtrip_preserves_values(spark, sf_dir, tmp_path):
     b = {r.doc_id: (r.text, r.lang, r.source, r.n_chars)
          for r in clean.collect()}
     assert a == b
+
+
+def test_jsonl_streaming_ingest_with_quarantine(spark, tmp_path):
+    """The JSONL contract schema drives a STREAMING ingest too: corrupt
+    lines surface as quarantine rows in the same micro-batch flow instead
+    of killing the stream — the continuous-ingest path of the source."""
+    import json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    lines = [
+        json.dumps({"doc_id": i, "text": f"doc {i}", "lang": "en",
+                    "source": "s", "n_chars": 5}) for i in range(20)
+    ] + ["corrupt {line", "another bad one"]
+    (d / "batch1.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(d))
+    )
+    # reference a typed column alongside _corrupt: a plan touching ONLY the
+    # corrupt column is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN), in
+    # streaming just as in batch
+    counted = stream.groupBy(
+        F.col("_corrupt").isNotNull().alias("is_corrupt")
+    ).agg(F.count("*").alias("count"), F.count("doc_id").alias("n_ids"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_jsonl_")
+    try:
+        q = (
+            counted.writeStream.format("memory")
+            .queryName("jsonl_stream_t")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    got = {r.is_corrupt: r["count"]
+           for r in spark.sql("SELECT * FROM jsonl_stream_t").collect()}
+    assert got == {False: 20, True: 2}
