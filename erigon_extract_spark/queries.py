@@ -4668,6 +4668,59 @@ def corpus_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<null>'),
+                 COALESCE(o_orderstatus, chr(0) || '<null>'),
+                 COALESCE(o_orderpriority, chr(0) || '<null>'))) AS fp
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<null>'),
+                 COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                               ELSE o_orderstatus END, chr(0) || '<null>'),
+                 COALESCE(o_orderpriority, chr(0) || '<null>'))) AS fp
+      FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp = new.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    """,
+)
+def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-drop diff under the hash gate (operators/diff.snapshot_diff):
+    two deterministic synthetic snapshots of orders (different key filters;
+    every 3rd status mutated) produce per-key added/removed/changed/
+    unchanged labels via one fingerprint full-outer join. Compare columns
+    are string/int only — float→string rendering is not engine-portable,
+    per the operator contract."""
+    from erigon_extract_spark.operators.diff import snapshot_diff
+
+    orders = _load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -460,3 +460,28 @@ def test_profile_table_nulls_distincts_ranges(spark):
     approx = {r.col_name: r for r in profile_table(df, exact=False).collect()}
     for c in prof:
         assert abs(approx[c].n_distinct - prof[c].n_distinct) <= 1
+
+
+def test_snapshot_diff_statuses(spark):
+    from erigon_extract_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", None), (4, "d", None), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",       # value change
+        4: "changed",       # non-null -> null (sentinel distinguishes)
+        5: "added",
+    }
+    # restricting compare columns ignores the v difference for key 4
+    got2 = {r.k: r.status
+            for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
+    assert got2[4] == "unchanged" and got2[3] == "changed"
