@@ -4721,6 +4721,46 @@ def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 3) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def events_zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: one stats aggregate per
+    event_type (map-side combine), broadcast back onto the stream, flag
+    |z| > 3. The metric-anomaly primitive of event analytics; z rounded
+    to 3 (float aggregation tails differ across engines below that)."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 3).alias("z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one
