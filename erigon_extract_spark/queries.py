@@ -4773,10 +4773,16 @@ def events_zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ROUND-4 QUEUE (rotate in once the r3 entrants are hash-green, displacing
-# them and any remaining twice-green rows): the TPC-H part-2 shapes
-# (q2/q4/q7/q8/q9/q11-q22), cube_order_stats, json_extract_agg,
-# text_lang_quality, stream-side probes stay rows-only. See COVERAGE.md
-# for the per-query ledger.
+# them and any remaining twice-green rows) — priority order:
+#  1. the late-r3 oracle-backed operators that have never had a driver
+#     row: corpus_pipeline_v2, snapshot_diff_orders, events_zscore_outliers,
+#     corpus_shuffle_shards, curation_length_band, text_bigram_familiarity,
+#     source_jsonl_documents, embedding_random_projection,
+#     embedding_quantize_int8, sim_lsh_index_topk, profile_documents;
+#  2. the TPC-H part-2 shapes (q2/q4/q7/q8/q9/q11-q22), cube_order_stats,
+#     json_extract_agg, text_lang_quality.
+# Rows-only probes (text_bpe_tokenize, curation_scale, dedup_semantic,
+# *_scale) stay rows-only. See COVERAGE.md for the per-query ledger.
 #
 # ROUND-3 ROTATION: the window is a scarce verification resource, so its
 # composition rotates across rounds to ACCUMULATE driver evidence. Queries
