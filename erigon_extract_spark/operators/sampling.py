@@ -105,3 +105,35 @@ def shuffle_order(
         .withColumn("shard_pos", F.row_number().over(w))
         .select(key_col, "shard", "shard_pos")
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    n_per_group: int,
+    *,
+    seed: str = "bal1",
+) -> DataFrame:
+    """Deterministic balanced subset: at most ``n_per_group`` rows per
+    group, chosen by stable hash order of the key — the class-balancing
+    primitive (per-language / per-source caps) that keeps a dominant
+    source from swamping a training mix.
+
+    Unlike ``df.sampleBy`` (fraction-based, partitioning-dependent), the
+    selection is a pure function of (seed, key): re-running on a regrown
+    corpus keeps every previously selected row whose group hasn't
+    overflowed. One hash shuffle on the group key; the per-group rank is
+    a parallel window (groups are the partition key)."""
+    h = F.md5(F.concat(F.lit(seed + "_"), F.col(key_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__h", "__rk")
+    )

@@ -4761,6 +4761,81 @@ def events_zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w_rolling_time_window",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) // 1000000 AS tick_s,
+             value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(ROUND(value, 6)) OVER w, 4) AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tick_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_rolling_time_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per-user trailing-1-hour event count
+    and value sum at every event — the VALUE-bounded window frame (rows at
+    arbitrary density inside a fixed time span), the frame family the
+    rows-frame running sums can't express. Ticks derive from the stored
+    ntz value (timestampdiff), never the session timezone; the inner
+    ROUND(value, 6) fixes the summand so the oracle accumulates identical
+    doubles."""
+    ev = _events_raw(spark, sf_dir)
+    tick = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " ts) div 1000000"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tick_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", tick.alias("tick_s"), "value"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(F.sum(F.round("value", 6)).over(w), 4).alias("sum_1h"),
+        )
+    )
+
+
+@query(
+    "corpus_balanced_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('bal1_' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def corpus_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced subset: at most 10 docs per (lang, source) cell in
+    stable hash order (operators/sampling.balanced_sample) — deterministic
+    balancing that keeps dominant sources from swamping a mix, append-
+    stable across corpus regrowth."""
+    from erigon_extract_spark.operators.sampling import balanced_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return balanced_sample(docs, ["lang", "source"], "doc_id", 10).select(
+        "doc_id", "lang", "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

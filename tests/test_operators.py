@@ -485,3 +485,28 @@ def test_snapshot_diff_statuses(spark):
     got2 = {r.k: r.status
             for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
     assert got2[4] == "unchanged" and got2[3] == "changed"
+
+
+def test_balanced_sample_caps_and_append_stability(spark):
+    from erigon_extract_spark.operators.sampling import balanced_sample
+
+    rows = [(i, "en" if i % 4 else "de", f"s{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = balanced_sample(df, ["lang", "source"], "doc_id", 15).collect()
+    from collections import Counter
+
+    per = Counter((r.lang, r.source) for r in out)
+    assert all(n <= 15 for n in per.values())
+    assert per[("de", "s0")] == 15 and per[("en", "s1")] == 15
+    # append stability: grow the corpus; a group NOT at its cap keeps all
+    # prior picks, and every still-selected old row was selected before
+    bigger = df.union(spark.createDataFrame(
+        [(i, "fr", "s9") for i in range(1000, 1010)],
+        "doc_id long, lang string, source string",
+    ))
+    out2 = {r.doc_id for r in balanced_sample(
+        bigger, ["lang", "source"], "doc_id", 15
+    ).collect()}
+    first = {r.doc_id for r in out}
+    assert first <= out2  # old picks survive (no old group grew)
+    assert all(1000 <= d < 1010 for d in out2 - first)
