@@ -4836,6 +4836,109 @@ def corpus_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tick
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(tick) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.tick) AS t2
+      FROM e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.tick > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.tick) AS t3
+      FROM e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.tick > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+           (SELECT COUNT(*) FROM s2) AS n_step2,
+           (SELECT COUNT(*) FROM s3) AS n_step3
+    """,
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each stage is the MIN
+    event time strictly AFTER the user's previous stage — the sequential-
+    conversion primitive of event analytics. Per-stage min-aggregates with
+    map-side combine; joins are user-keyed (co-locatable by bucketing);
+    ticks are epoch integers from the stored ntz value."""
+    ev = _events_raw(spark, sf_dir)
+    tick = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    e = ev.select("user_id", "event_type", tick.alias("tick"))
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tick").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("tick") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("tick").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("tick") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tick").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_step1"))
+        .crossJoin(s2.agg(F.count("*").alias("n_step2")))
+        .crossJoin(s3.agg(F.count("*").alias("n_step3")))
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // (86400000000 * 7) AS BIGINT) AS week
+      FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(week) AS cohort FROM e GROUP BY user_id
+    )
+    SELECT f.cohort, e.week - f.cohort AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM e JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort, e.week - f.cohort
+    """,
+)
+def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, activity counted
+    per week offset — the long-format retention matrix. First-seen is a
+    min-agg (map-side combine) joined back on the user key; week derives
+    from integer epoch arithmetic so the bucketing is session-independent."""
+    ev = _events_raw(spark, sf_dir)
+    week = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(86400000000 * 7)
+    ).cast("long")
+    e = ev.select("user_id", week.alias("week"))
+    first_seen = e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one
