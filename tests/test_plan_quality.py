@@ -242,6 +242,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # percentile-band filter: BNLJ against the ONE-ROW broadcast
         # cutoff aggregate — a scalar crossJoin, linear by construction
         "curation_length_band",
+        # three ONE-ROW stage counts cross-combined into the summary row
+        "events_funnel",
     }
     # iterative/checkpointing queries EXECUTE work at plan-build time;
     # their component plans are covered by their own tests
