@@ -25,6 +25,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     context_tokens: int = 2048,
     n_shards: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its packed position: shard (hash of id),
     whitespace-token count, and the chunk id / in-chunk offset of its
@@ -34,7 +35,12 @@ def pack_sequences(
     mirrors it term for term), and append-only friendly: adding documents
     with larger ids never moves existing assignments."""
     shard = (F.col(id_col) % n_shards).alias("shard")
-    toks = F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long")
+    # tokens_col: pack under a PRECOMPUTED token count (e.g. the trained
+    # BPE tokenizer's) instead of the whitespace heuristic
+    if tokens_col is not None:
+        toks = F.coalesce(F.col(tokens_col), F.lit(0)).cast("long")
+    else:
+        toks = F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long")
     pre = df.select(F.col(id_col), shard, toks.alias("n_tokens"))
     w = (
         Window.partitionBy("shard")

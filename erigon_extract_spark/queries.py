@@ -4939,6 +4939,30 @@ def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pack_by_bpe_budget")  # trained tokenizer -> rows-only
+def pack_by_bpe_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the TRAINED tokenizer's budget: BPE token
+    counts per doc (operators/bpe.py) feed concat-and-chunk packing
+    (operators/packing.pack_sequences tokens_col) — the composition a real
+    pretraining assembly runs, where context budgets are tokenizer tokens,
+    not whitespace words."""
+    from erigon_extract_spark.operators.bpe import encode_bpe, train_bpe
+    from erigon_extract_spark.operators.packing import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8, checkpoint_every=4)
+    counts = (
+        encode_bpe(docs, merges)
+        .groupBy("doc_id")
+        .agg(F.sum("n_word_tokens").alias("n_bpe"))
+    )
+    return pack_sequences(
+        docs.join(counts, "doc_id"),
+        context_tokens=2048,
+        tokens_col="n_bpe",
+    ).select("doc_id", "shard", "n_tokens", "chunk_id", "chunk_offset")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

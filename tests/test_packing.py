@@ -63,3 +63,25 @@ def test_mixture_sample_is_deterministic_subset(spark):
     # rough rate sanity: mean keep rate is sum(rates)/1000 per-mille
     expected = sum(100 + (i % 5) * 100 for i in range(1000)) / 1000 / 1000
     assert abs(len(kept1) / 1000 - expected) < 0.08
+
+
+def test_pack_sequences_tokens_col_overrides_heuristic(spark):
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "one two three", 100), (8, "x", 2000), (16, "a b", 100)],
+        "doc_id long, text string, n_custom long",
+    )
+    # all ids ≡ 0 mod 8 -> same shard; packing must follow n_custom
+    out = {r.doc_id: r for r in pack_sequences(
+        docs, context_tokens=1024, tokens_col="n_custom"
+    ).collect()}
+    assert out[0].n_tokens == 100 and out[0].chunk_id == 0
+    assert out[8].n_tokens == 2000
+    assert out[8].chunk_offset == 100  # cumulative of doc 0
+    assert out[16].chunk_id == (100 + 2000) // 1024 == 2
+    # default path still the whitespace heuristic
+    ws = {r.doc_id: r.n_tokens for r in pack_sequences(docs).collect()}
+    assert ws == {0: 3, 8: 1, 16: 2}

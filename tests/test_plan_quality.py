@@ -257,6 +257,7 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "sim_lsh_index_topk",
         # trains merges (iterative jobs) at build time
         "text_bpe_tokenize",
+        "pack_by_bpe_budget",
     }
     offenders = {}
     for name, fn in q.QUERIES.items():
