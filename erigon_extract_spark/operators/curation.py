@@ -157,8 +157,14 @@ def length_band_filter(
         F.count("*").alias("c")
     )
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(wv)).crossJoin(
-        F.broadcast(docs.agg(F.count("*").alias("n")))
+    # total row count derives from the histogram itself (an unpartitioned
+    # window over the tiny domain-bounded frame) — a separate docs.agg
+    # would scan the corpus a second time just for n
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wv)).withColumn(
+        "n", F.sum("c").over(wall)
     )
     cuts = cum.agg(
         F.min(F.when(F.col("cum") * 100 >= F.lit(lo_pct) * F.col("n"), F.col("v"))).alias("lo_cut"),

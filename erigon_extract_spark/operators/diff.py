@@ -7,10 +7,12 @@ what disappeared, what changed in place. One full-outer join on the key
 are large and long-lived) comparing a single row fingerprint per side, so
 the compare cost is independent of column count after the map pass.
 
-Fingerprint: md5 over unit-separator-joined string renderings with an
-explicit null sentinel — deterministic and engine-portable for string/
-integer/decimal columns (float columns should be rounded/cast by the
-caller first: float→string formatting is not engine-portable).
+Fingerprint: md5 over FIXED-WIDTH per-column tokens — each column renders
+as 'n' (null) or 'v' + md5(value) (33 chars), so no value can collide with
+a column boundary or with null (separator-joined renderings are injectable:
+a value containing the separator shifts the boundaries). Engine-portable
+for string/integer/decimal columns; float columns should be rounded/cast
+by the caller first — float→string formatting is not engine-portable.
 """
 
 from __future__ import annotations
@@ -18,19 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-NULL_SENTINEL = "\x00<null>"
-
 
 def row_fingerprint(cols: list[str]) -> F.Column:
-    return F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
-                for c in cols
-            ],
+    tokens = [
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
         )
-    )
+        for c in cols
+    ]
+    return F.md5(F.concat(*tokens))
 
 
 def snapshot_diff(

@@ -392,18 +392,23 @@ def semantic_dedup(
         )
         .withColumn("__norm", l2_norm(F.col("__vec")))
     )
+    # the cap excludes oversized cells from PAIRING only — every vector
+    # stays in the output (an oversized cell's members all come back
+    # keep=True, per the contract above); filtering `assigned` itself
+    # would silently drop those rows from the result
+    paired = assigned
     if max_cell_size is not None:
         sizes = assigned.groupBy("cell").agg(F.count("*").alias("__n"))
-        assigned = assigned.join(
+        paired = assigned.join(
             F.broadcast(sizes.filter(F.col("__n") <= max_cell_size)), "cell"
         ).drop("__n")
-    x = assigned.select(
+    x = paired.select(
         "cell",
         F.col("__id").alias("__xid"),
         F.col("__vec").alias("__xvec"),
         F.col("__norm").alias("__xnorm"),
     )
-    y = assigned.select(
+    y = paired.select(
         "cell",
         F.col("__id").alias("__yid"),
         F.col("__vec").alias("__yvec"),

@@ -61,10 +61,14 @@ def cms_estimate(
     ).select(
         key_col, "i", _bucket(F.col("i"), F.col("k"), width).alias("b")
     )
+    # LEFT join: a probe cell the sketch never populated counts as 0 — an
+    # inner join would inflate (or for fully-unseen keys, drop) estimates
+    # for keys absent from the sketched data, breaking the CMS guarantee
+    # that an unseen key estimates as 0
     return (
-        probes.join(F.broadcast(sketch), ["i", "b"])
+        probes.join(F.broadcast(sketch), ["i", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
 
 

@@ -4514,6 +4514,8 @@ def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_lsh_topk — the layout changes WHERE candidates are read from (a
     pruned directory subset), not what they are; pruning is asserted in
     tests/test_similarity.py."""
+    import hashlib
+    import os
     import tempfile
 
     from erigon_extract_spark.operators.similarity import (
@@ -4528,8 +4530,13 @@ def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
-    build_lsh_index(emb, path, dim=64, n_planes=6)
+    # deterministic per-dataset path, built once and REUSED across calls
+    # (a mkdtemp per invocation leaked one full index copy per gate/plan
+    # run); the fixture tables are immutable, so staleness cannot occur
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lshidx_{tag}", "idx")
+    if not os.path.isdir(path):
+        build_lsh_index(emb, path, dim=64, n_planes=6)
     out = query_lsh_index(spark, path, probes, dim=64, k=10, n_planes=6)
     return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
@@ -4673,19 +4680,26 @@ def corpus_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH old AS (
       SELECT o_orderkey,
-             md5(concat_ws(chr(31),
-                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<null>'),
-                 COALESCE(o_orderstatus, chr(0) || '<null>'),
-                 COALESCE(o_orderpriority, chr(0) || '<null>'))) AS fp
+             md5(concat(
+                 CASE WHEN o_custkey IS NULL THEN 'n'
+                      ELSE 'v' || md5(CAST(o_custkey AS VARCHAR)) END,
+                 CASE WHEN o_orderstatus IS NULL THEN 'n'
+                      ELSE 'v' || md5(o_orderstatus) END,
+                 CASE WHEN o_orderpriority IS NULL THEN 'n'
+                      ELSE 'v' || md5(o_orderpriority) END)) AS fp
       FROM orders WHERE o_orderkey % 7 != 0
     ),
     new AS (
       SELECT o_orderkey,
-             md5(concat_ws(chr(31),
-                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<null>'),
-                 COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN 'X'
-                               ELSE o_orderstatus END, chr(0) || '<null>'),
-                 COALESCE(o_orderpriority, chr(0) || '<null>'))) AS fp
+             md5(concat(
+                 CASE WHEN o_custkey IS NULL THEN 'n'
+                      ELSE 'v' || md5(CAST(o_custkey AS VARCHAR)) END,
+                 CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                                 ELSE o_orderstatus END) IS NULL THEN 'n'
+                      ELSE 'v' || md5(CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                                           ELSE o_orderstatus END) END,
+                 CASE WHEN o_orderpriority IS NULL THEN 'n'
+                      ELSE 'v' || md5(o_orderpriority) END)) AS fp
       FROM orders WHERE o_orderkey % 5 != 0
     )
     SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
@@ -4735,7 +4749,7 @@ def snapshot_diff_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(e.value, 6) AS value,
            ROUND((e.value - s.mu) / s.sigma, 3) AS z
     FROM events e JOIN stats s USING (event_type)
-    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
+    WHERE s.sigma > 0 AND abs(ROUND((e.value - s.mu) / s.sigma, 3)) > 3
     """,
 )
 def events_zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4751,7 +4765,7 @@ def events_zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter((F.col("sigma") > 0) & (F.abs(z) > 3))
+        .filter((F.col("sigma") > 0) & (F.abs(F.round(z, 3)) > 3))
         .select(
             "event_id",
             "event_type",
@@ -4956,8 +4970,11 @@ def pack_by_bpe_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_word_tokens").alias("n_bpe"))
     )
+    # LEFT join: a whitespace-only doc yields no encode_bpe rows; it must
+    # still pack (n_tokens=0 via the tokens_col coalesce), matching the
+    # whitespace-count path's behavior
     return pack_sequences(
-        docs.join(counts, "doc_id"),
+        docs.join(counts, "doc_id", "left"),
         context_tokens=2048,
         tokens_col="n_bpe",
     ).select("doc_id", "shard", "n_tokens", "chunk_id", "chunk_offset")

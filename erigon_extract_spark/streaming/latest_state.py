@@ -159,14 +159,9 @@ def stream_cms(
     cell counts equal the batch sketch of everything seen — verified in
     tests against cms_build on the same data.
     """
-    from erigon_extract_spark.operators.sketch import _bucket
+    from erigon_extract_spark.operators.sketch import cms_build
 
-    rows = stream.select(
-        F.col(key_col).cast("string").alias("k"),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
-    )
-    return (
-        rows.select("i", _bucket(F.col("i"), F.col("k"), width).alias("b"))
-        .groupBy("i", "b")
-        .agg(F.count("*").alias("cnt"))
-    )
+    # the batch builder is pure DataFrame expressions, so it IS the
+    # streaming builder — one definition of the hash/cell layout keeps the
+    # streaming-equals-batch linearity structural, not maintained-by-hand
+    return cms_build(stream, key_col, depth=depth, width=width)

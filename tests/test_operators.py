@@ -510,3 +510,22 @@ def test_balanced_sample_caps_and_append_stability(spark):
     first = {r.doc_id for r in out}
     assert first <= out2  # old picks survive (no old group grew)
     assert all(1000 <= d < 1010 for d in out2 - first)
+
+
+def test_cms_estimate_unseen_key_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.sketch import cms_build, cms_estimate
+
+    data = spark.createDataFrame([(k % 5,) for k in range(50)], "user_id long")
+    sketch = cms_build(data, "user_id", depth=3, width=64)
+    probes = spark.createDataFrame(
+        [(0,), (999,), (12345,)], "user_id long"
+    )
+    est = {r.user_id: r.est_count
+           for r in cms_estimate(sketch, probes, "user_id",
+                                 depth=3, width=64).collect()}
+    assert set(est) == {0, 999, 12345}  # unseen keys are NOT dropped
+    assert est[0] >= 10  # true count of key 0
+    # wide sketch, tiny key set: unseen keys' cells are empty -> exactly 0
+    assert est[999] == 0 and est[12345] == 0

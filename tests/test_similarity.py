@@ -234,3 +234,22 @@ def test_lsh_index_persist_prunes_partitions_and_matches(spark, emb, probes, tmp
     n_buckets = sum(1 for d in os.listdir(path) if d.startswith("bucket="))
     probe_buckets = {r.probe_id for r in got.collect()}  # <=3 probes
     assert len(probe_buckets) <= 3 < n_buckets
+
+
+def test_semantic_dedup_oversized_cells_keep_all_members(spark, emb):
+    """max_cell_size bounds PAIRING cost only: vectors in oversized cells
+    must still appear in the output, all keep=True — not silently vanish."""
+    from erigon_extract_spark.operators.similarity import semantic_dedup
+
+    sub = emb.filter(F.col("vec_id") < 60)
+    out = semantic_dedup(sub, threshold=0.35, n_lists=4, max_cell_size=5)
+    rows = out.collect()
+    assert len(rows) == 60  # every vector present
+    from collections import Counter
+
+    per_cell = Counter(r.cell for r in rows)
+    big_cells = {c for c, n in per_cell.items() if n > 5}
+    assert big_cells  # the cap actually binds on this data
+    for r in rows:
+        if r.cell in big_cells:
+            assert r.keep and r.dup_of is None, r
