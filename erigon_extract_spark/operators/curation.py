@@ -178,3 +178,35 @@ def length_band_filter(
         )
         .select(id_col, length_col, "lo_cut", "hi_cut")
     )
+
+
+# A deliberately tiny, neutral placeholder blocklist — the C4 "bad words"
+# filter's MECHANISM with stand-in terms (real deployments drop in the
+# canonical list behind the same contract). Lowercase; matched on word
+# boundaries in the Java-regex/RE2 common subset.
+BLOCKLIST_TERMS = ["spamword", "malwarelink", "phishbait", "clickfarm"]
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """C4-style blocklist filtering: count word-boundary blocklist hits
+    per document; ``keep`` = zero hits. One codegen'd regexp count over a
+    single alternation pattern — zero shuffles, linear scan, and the
+    pattern stays in the Java-regex/RE2 common subset so the oracle
+    matches structurally (the PII-scrub rule).
+
+    Returns (doc_id, n_blocked_terms, keep).
+    """
+    terms = terms if terms is not None else BLOCKLIST_TERMS
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    n = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_blocked_terms"),
+        (n == 0).alias("keep"),
+    )

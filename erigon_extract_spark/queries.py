@@ -4980,6 +4980,31 @@ def pack_by_bpe_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "n_tokens", "chunk_id", "chunk_offset")
 
 
+@query(
+    "text_blocklist_filter",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+                  lower(text),
+                  '\b(spamword|malwarelink|phishbait|clickfarm)\b'))
+                AS BIGINT) AS n_blocked_terms,
+           len(regexp_extract_all(
+                  lower(text),
+                  '\b(spamword|malwarelink|phishbait|clickfarm)\b')) = 0
+             AS keep
+    FROM documents
+    """,
+)
+def text_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (operators/curation.blocklist_filter):
+    word-boundary hit counts per doc, keep = zero hits — the same
+    RE2/Java-common-subset pattern on both sides."""
+    from erigon_extract_spark.operators.curation import blocklist_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    return blocklist_filter(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -125,3 +125,26 @@ def test_length_band_filter_discrete_cutoffs(spark):
     assert all(r.lo_cut == lo_cut and r.hi_cut == hi_cut for r in out)
     # the 10k outliers and the 10s are trimmed
     assert all(lengths[r.doc_id] not in (10, 10_000) for r in out)
+
+
+def test_blocklist_filter_word_boundaries(spark):
+    from erigon_extract_spark.operators.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text with nothing bad"),
+            (2, "contains SpamWord twice: spamword!"),
+            (3, "spamwordish is NOT a hit (boundary)"),
+            (4, "phishbait and malwarelink and clickfarm"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in blocklist_filter(docs).collect()}
+    assert out[1].keep and out[1].n_blocked_terms == 0
+    assert not out[2].keep and out[2].n_blocked_terms == 2  # case-folded
+    assert out[3].keep and out[3].n_blocked_terms == 0  # \b respected
+    assert not out[4].keep and out[4].n_blocked_terms == 3
+    # custom term list
+    out2 = {r.doc_id: r.keep
+            for r in blocklist_filter(docs, terms=["boundary"]).collect()}
+    assert out2 == {1: True, 2: True, 3: False, 4: True}
