@@ -203,6 +203,8 @@ def blocklist_filter(
     Returns (doc_id, n_blocked_terms, keep).
     """
     terms = terms if terms is not None else BLOCKLIST_TERMS
+    if not terms:  # '\b()\b' would match the empty string at every offset
+        raise ValueError("blocklist_filter needs at least one term")
     pat = r"\b(" + "|".join(terms) + r")\b"
     n = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)).cast("long")
     return docs.select(
