@@ -345,3 +345,49 @@ def bigram_familiarity(
             ).alias("familiarity"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking pass
+    that precedes embedding (RAG indexing, long-doc encoders with bounded
+    context). Windows start every ``stride`` tokens and span
+    ``chunk_tokens`` (the final window may be shorter; overlap =
+    chunk_tokens - stride tokens keeps boundary-spanning content inside
+    at least one chunk).
+
+    Pure map pass: explode factor = n_tokens / stride, no shuffle; chunk
+    ids are per-document ordinals so downstream embedding rows key on
+    (doc_id, chunk_idx).
+
+    Returns (doc_id, chunk_idx, chunk_start_token, n_chunk_tokens,
+    chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    ).filter((F.size("w") > 0) & (F.col("w")[0] != ""))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("w") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunked = words.select(
+        "doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    piece = F.slice(F.col("w"), F.col("start") + 1, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("start") + 1).cast("long").alias("chunk_start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

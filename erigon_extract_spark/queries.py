@@ -5005,6 +5005,35 @@ def text_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(docs)
 
 
+@query(
+    "text_chunk_overlap",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           s // 48 AS chunk_idx,
+           s + 1 AS chunk_start_token,
+           CAST(len(list_slice(w, s + 1, s + 64)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk_text
+    FROM w, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 48)) AS u(s)
+    WHERE len(w) > 0 AND w[1] != ''
+    """,
+)
+def text_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows every 48 —
+    operators/text.chunk_documents): the embedding/RAG prep pass, under
+    the hash gate including the reconstructed chunk text."""
+    from erigon_extract_spark.operators.text import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -529,3 +529,35 @@ def test_cms_estimate_unseen_key_is_zero(spark):
     assert est[0] >= 10  # true count of key 0
     # wide sketch, tiny key set: unseen keys' cells are empty -> exactly 0
     assert est[999] == 0 and est[12345] == 0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from erigon_extract_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(150)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = [r for r in chunk_documents(
+        docs, chunk_tokens=64, stride=48
+    ).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # whitespace-only doc yields nothing
+    # doc 2: one partial chunk covering both tokens
+    (c2,) = by_doc[2]
+    assert (c2.chunk_idx, c2.chunk_start_token, c2.n_chunk_tokens) == (0, 1, 2)
+    assert c2.chunk_text == "short doc"
+    # doc 1: starts at 1, 49, 97, 145; full coverage with 16-token overlap
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_start_token for r in c1] == [1, 49, 97, 145]
+    assert [r.n_chunk_tokens for r in c1] == [64, 64, 54, 6]
+    covered = set()
+    for r in c1:
+        covered.update(range(r.chunk_start_token,
+                             r.chunk_start_token + r.n_chunk_tokens))
+    assert covered == set(range(1, 151))  # every token in >= 1 chunk
+    assert c1[0].chunk_text.split() == words[:64]
+    assert c1[1].chunk_text.split() == words[48:112]
