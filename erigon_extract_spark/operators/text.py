@@ -391,3 +391,67 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
+) -> DataFrame:
+    """Corpus-distinctive keywords per document — the TF-IDF extraction
+    pass, made integer-exact so results are engine-portable: instead of a
+    float ``tf * ln(N/df)`` score, terms rank by (tf DESC, df ASC, term
+    ASC), which induces the same per-document order as TF-IDF whenever tf
+    dominates and is deterministic under ties. Terms present in more than
+    ``max_df_num/max_df_den`` of documents (default: a majority) are
+    dropped — the stopword role IDF's log damping plays, as a pure
+    integer cross-multiplication predicate (``df*den <= N*num``), never a
+    float ratio.
+
+    Shape at scale: explode → two hash aggregations (per-(doc,term) tf,
+    per-term df) → equi-join on term (shuffle ∝ postings; the df side is
+    vocabulary-sized, NOT broadcastable at corpus scale) → per-doc top-k
+    window. Three shuffles — the natural lower bound for tf-idf — all
+    map-side combined, no skew hot spot (the majority-df filter removes
+    the head of the term distribution before the join).
+
+    Returns (doc_id, term_rank, term, tf, df), all scalars.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if max_df_num <= 0 or max_df_den <= 0:
+        raise ValueError("max_df fraction must be positive")
+    tokens = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    rare = df.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("df") * max_df_den <= F.col("n_docs") * max_df_num
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(rare, "term")
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term_rank", "term", "tf", "df")
+    )

@@ -5034,6 +5034,46 @@ def text_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
+@query(
+    "text_top_terms",
+    """
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tokens WHERE term != '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS term_rank
+      FROM tf JOIN df USING (term), n
+      WHERE df.df * 10 <= n.n_docs * 9
+    )
+    SELECT doc_id, term_rank, term, tf, df
+    FROM ranked WHERE term_rank <= 3
+    """,
+)
+def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-distinctive keyword extraction (operators/text.top_terms):
+    integer-exact TF-IDF — rank by (tf DESC, df ASC, term ASC) with the
+    9/10-df stopword drop (the synthetic corpus has a 31-term vocabulary,
+    so the default majority cutoff would leave almost nothing; 9/10 keeps
+    the join + top-k window doing real work) — so the full keyword table
+    hash-gates across engines (no float log scores)."""
+    from erigon_extract_spark.operators.text import top_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return top_terms(docs, k=3, max_df_num=9, max_df_den=10)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification priority. The driver's
 # correctness gate records the FIRST 50 registered queries; put one

@@ -561,3 +561,34 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert covered == set(range(1, 151))  # every token in >= 1 chunk
     assert c1[0].chunk_text.split() == words[:64]
     assert c1[1].chunk_text.split() == words[48:112]
+
+
+def test_top_terms_tfidf_ranking(spark):
+    from erigon_extract_spark.operators.text import top_terms
+
+    # "the" appears in all 4 docs -> dropped by the majority-df cutoff.
+    # Per doc, ranking is (tf DESC, df ASC, term ASC).
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat cat cat dog zebra"),
+            (2, "the dog dog zebra"),
+            (3, "the bird"),
+            (4, "the fish fish bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_terms(docs, k=2)
+    rows = {(r.doc_id, r.term_rank): r for r in out.collect()}
+    # doc 1: cat tf=3 beats dog/zebra tf=1; zebra (df=2) vs dog (df=2)
+    # ties on df -> term ASC puts dog second
+    assert rows[(1, 1)].term == "cat" and rows[(1, 1)].tf == 3
+    assert rows[(1, 2)].term == "dog"
+    # doc 2: dog tf=2 first, zebra second
+    assert rows[(2, 1)].term == "dog" and rows[(2, 2)].term == "zebra"
+    # doc 3: only "bird" survives -> a single row, no rank-2 padding
+    assert rows[(3, 1)].term == "bird" and (3, 2) not in rows
+    # "the" (df=4, 2*4 > 4) never appears anywhere
+    assert all(r.term != "the" for r in rows.values())
+    # df column reports corpus document frequency, not in-doc count
+    assert rows[(4, 1)].term == "fish" and rows[(4, 1)].df == 1
+    assert rows[(3, 1)].df == 2  # bird is in docs 3 and 4
