@@ -63,6 +63,7 @@ HEADLINE = [
     "agg_cms_heavy_hitters",  # count-min sketch build + probe
     "text_bigram_familiarity",  # two-pass corpus-LM scoring
     "curation_scale",  # 200k-doc classifier+familiarity throughput
+    "text_top_terms",  # integer-exact TF-IDF keyword extraction
 ]
 
 

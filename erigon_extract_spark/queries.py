@@ -5091,7 +5091,11 @@ def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     row: corpus_pipeline_v2, snapshot_diff_orders, events_zscore_outliers,
 #     corpus_shuffle_shards, curation_length_band, text_bigram_familiarity,
 #     source_jsonl_documents, embedding_random_projection,
-#     embedding_quantize_int8, sim_lsh_index_topk, profile_documents;
+#     embedding_quantize_int8, sim_lsh_index_topk, profile_documents,
+#     text_blocklist_filter, text_chunk_overlap, text_top_terms,
+#     w_rolling_time_window, corpus_balanced_sample, events_funnel,
+#     events_retention_cohorts, snapshot_diff_orders,
+#     events_zscore_outliers, corpus_pipeline_v2;
 #  2. the TPC-H part-2 shapes (q2/q4/q7/q8/q9/q11-q22), cube_order_stats,
 #     json_extract_agg, text_lang_quality.
 # Rows-only probes (text_bpe_tokenize, curation_scale, dedup_semantic,
