@@ -419,7 +419,8 @@ def top_terms(
     map-side combined, no skew hot spot (the majority-df filter removes
     the head of the term distribution before the join).
 
-    Returns (doc_id, term_rank, term, tf, df), all scalars.
+    Returns (doc_id, term_rank, term, tf, df, ttf), all scalars — df is
+    corpus document frequency, ttf corpus-wide term frequency.
     """
     from pyspark.sql.window import Window
 
@@ -439,7 +440,17 @@ def top_terms(
     tf = tokens.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # ttf (corpus-wide term frequency) is part of the output contract AND
+    # load-bearing for the plan: because this branch consumes tf's VALUE,
+    # column pruning cannot narrow its upstream aggregate to distinct-only,
+    # so both branches canonicalize to the same (doc_id, term) exchange and
+    # ReuseExchange collapses them — the corpus is scanned and tokenized
+    # ONCE. (A count(*)-only df branch gets pruned into a different
+    # exchange and the whole explode+shuffle runs twice.)
+    df = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ttf"),
+    )
     n_docs = docs.select(
         F.count_distinct(F.col(id_col)).alias("n_docs")
     )
@@ -453,5 +464,5 @@ def top_terms(
         tf.join(rare, "term")
         .withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= k)
-        .select("doc_id", "term_rank", "term", "tf", "df")
+        .select("doc_id", "term_rank", "term", "tf", "df", "ttf")
     )

@@ -5047,17 +5047,18 @@ def text_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, term, count(*) AS tf
       FROM tokens WHERE term != '' GROUP BY doc_id, term
     ),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    df AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+           FROM tf GROUP BY term),
     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
     ranked AS (
-      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, df.ttf,
              row_number() OVER (
                PARTITION BY tf.doc_id
                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS term_rank
       FROM tf JOIN df USING (term), n
       WHERE df.df * 10 <= n.n_docs * 9
     )
-    SELECT doc_id, term_rank, term, tf, df
+    SELECT doc_id, term_rank, term, tf, df, ttf
     FROM ranked WHERE term_rank <= 3
     """,
 )

@@ -592,3 +592,5 @@ def test_top_terms_tfidf_ranking(spark):
     # df column reports corpus document frequency, not in-doc count
     assert rows[(4, 1)].term == "fish" and rows[(4, 1)].df == 1
     assert rows[(3, 1)].df == 2  # bird is in docs 3 and 4
+    # ttf is corpus-wide term frequency: dog = 1 (doc 1) + 2 (doc 2)
+    assert rows[(2, 1)].ttf == 3 and rows[(3, 1)].ttf == 2
