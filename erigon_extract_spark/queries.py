@@ -1391,9 +1391,13 @@ _SESSIONIZE_TICK_SQL = """
     _SESSIONIZE_TICK_SQL
     + """
     SELECT user_id, event_id,
-           SUM(is_new) OVER (PARTITION BY user_id
-                             ORDER BY tick_micros, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+           -- CAST: DuckDB widens window SUM over integers to HUGEINT
+           -- (int128), which the driver's pandas canonicalizer hashes
+           -- differently from Spark's int64 (VERDICT r3 root cause).
+           CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY tick_micros, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
     FROM g
     """,
 )
@@ -1592,8 +1596,10 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, shard, n_tokens,
-           cum_excl // 2048 AS chunk_id,
-           cum_excl % 2048 AS chunk_offset
+           -- CAST: window SUM widens to HUGEINT in DuckDB; the driver's
+           -- canonicalizer hashes int128 differently from int64.
+           CAST(cum_excl // 2048 AS BIGINT) AS chunk_id,
+           CAST(cum_excl % 2048 AS BIGINT) AS chunk_offset
     FROM c
     """,
 )
@@ -1622,7 +1628,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            first(rate_permille) AS rate_permille,
            COUNT(*) AS n_kept,
-           SUM(doc_id) AS id_checksum
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM rated
     WHERE bucket < rate_permille
     GROUP BY source
@@ -3661,7 +3667,7 @@ def multimodal_framesample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(doc_id) AS id_checksum
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM b
     GROUP BY 1, 2
     """,
@@ -3942,8 +3948,8 @@ def sql_entrypoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS k_total
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
     GROUP BY 1, 2
@@ -4143,7 +4149,8 @@ def dedup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     ),
     agg AS (
-      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS weight_sum
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(w) AS BIGINT) AS weight_sum
       FROM w GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, weight_sum,
@@ -4253,7 +4260,8 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(string_agg(CASE WHEN NOT is_boiler THEN s END,
                                '. ' ORDER BY pos), '') AS kept_text,
            COUNT(*) AS n_sentences,
-           SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_removed
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
     FROM m GROUP BY doc_id
     """,
 )
@@ -4344,7 +4352,7 @@ def curation_length_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg)
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           SUM(cnt) AS familiarity_sum,
+           CAST(SUM(cnt) AS BIGINT) AS familiarity_sum,
            ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
              AS familiarity
     FROM bg JOIN model USING (bg)
@@ -4565,7 +4573,8 @@ def _profile_oracle_sql() -> str:
     parts = [
         f"""
     SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
            COUNT(DISTINCT {c}) AS n_distinct,
            CAST(MIN({c}) AS VARCHAR) AS min_s,
            CAST(MAX({c}) AS VARCHAR) AS max_s
@@ -4605,7 +4614,8 @@ def profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              COALESCE(string_agg(CASE WHEN NOT is_boiler THEN sent END,
                                  '. ' ORDER BY pos), '') AS kept_text,
-             SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_removed
+             CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
       FROM m GROUP BY doc_id
     ),
     tok AS (

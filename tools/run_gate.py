@@ -21,19 +21,28 @@ from erigon_extract_spark import queries as q  # noqa: E402
 
 
 def norm(v):
+    # Type-tag every cell: the driver hashes whole pandas COLUMNS, so a
+    # bool-vs-int or int-vs-float disagreement between engines hash-fails
+    # even though Python `==` equates the values (True == 1, 1 == 1.0).
+    # The untagged r1-r3 mirror missed two such classes; tag so the next
+    # one fails HERE first.
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("float", "NaN")
+        return ("float", round(v, 9))
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, (bytes, bytearray, memoryview)):
-        return bytes(v)
+        return ("bytes", bytes(v))
     if isinstance(v, (list, dict)):
         # The driver's canonicalizer (pandas sort_values -> factorize over
         # object cells) dies on list/dict cells; tolerating them here is
         # exactly what hid the erigon_tx_bodies red row in r1/r2. Mirror the
         # driver: non-scalar cells are an error, not a comparable value.
         raise TypeError(f"non-scalar cell {type(v).__name__}: driver rejects")
-    return v
+    return (type(v).__name__, v)
 
 
 def run_one(spark, sf_dir: str, name: str) -> tuple[str, bool, str]:
@@ -68,10 +77,28 @@ def run_one(spark, sf_dir: str, name: str) -> tuple[str, bool, str]:
             "documents embeddings"
         ).split():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        cur = con.execute(q.ORACLES[name])
-        dcols = [d[0] for d in cur.description]
+        rel = con.sql(q.ORACLES[name])
+        # Mirror the driver's type strictness (the r3 lesson): DuckDB
+        # widens integer SUM to HUGEINT (int128), which the driver's
+        # pandas canonicalizer hashes differently from Spark's int64 even
+        # when values are numerically equal — rows_match green,
+        # hash_match red. Reject result columns pandas can't hold in an
+        # int64/float64 lane, the same way non-scalar cells are rejected.
+        hostile = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
+            or str(t).startswith("DECIMAL")
+        ]
+        if hostile:
+            return name, False, (
+                f"oracle columns {hostile} widen beyond int64 — the "
+                "driver hashes int128/Decimal differently than Spark's "
+                "BIGINT; CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+            )
+        dcols = list(rel.columns)
         drows = sorted(
-            (tuple(norm(v) for v in row) for row in cur.fetchall()), key=repr
+            (tuple(norm(v) for v in row) for row in rel.fetchall()), key=repr
         )
     except Exception:
         return name, False, "DUCKDB ERROR\n" + traceback.format_exc(limit=5)
