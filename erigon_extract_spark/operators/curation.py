@@ -19,6 +19,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -205,6 +207,18 @@ def blocklist_filter(
     terms = terms if terms is not None else BLOCKLIST_TERMS
     if not terms:  # '\b()\b' would match the empty string at every offset
         raise ValueError("blocklist_filter needs at least one term")
+    # Terms are interpolated into a regex alternation that must stay in
+    # the Java-regex/RE2 common subset (oracle parity): lowercase
+    # defensively (the text side is lowercased, so an uppercase term
+    # could never match) and reject metacharacters outright rather than
+    # letting 'c++' or 'a.b' silently change the pattern's semantics.
+    terms = [t.lower() for t in terms]
+    bad = [t for t in terms if not re.fullmatch(r"[a-z0-9]+", t)]
+    if bad:
+        raise ValueError(
+            f"blocklist terms must match [a-z0-9]+ (word-boundary "
+            f"alternation, no regex metacharacters): {bad!r}"
+        )
     pat = r"\b(" + "|".join(terms) + r")\b"
     n = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)).cast("long")
     return docs.select(

@@ -384,12 +384,21 @@ def chunk_documents(
         "doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start")
     )
     piece = F.slice(F.col("w"), F.col("start") + 1, chunk_tokens)
-    return chunked.select(
+    out = chunked.select(
         "doc_id",
         "chunk_idx",
         (F.col("start") + 1).cast("long").alias("chunk_start_token"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+    # A trailing window whose span is <= chunk_tokens - stride is fully
+    # contained in the previous window (e.g. 50 tokens, stride 48: chunk 1
+    # = tokens 49-50, already inside chunk 0) — emitting it duplicates
+    # content fed to downstream embedding. Keep a short window only when
+    # it contributes tokens past the previous window's coverage.
+    return out.filter(
+        (F.col("chunk_start_token") == 1)
+        | (F.col("n_chunk_tokens") > chunk_tokens - stride)
     )
 
 

@@ -4372,9 +4372,12 @@ def text_bigram_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jsonl_oracle_sql() -> str:
-    from erigon_extract_spark.sources.jsonl import SAMPLE_PATH, ensure_sample
+    # Import-time must stay filesystem-read-only: the fixture is committed
+    # (fixtures_jsonl/documents_sample.jsonl) and the query function calls
+    # ensure_sample() at execution, so building the SQL string needs only
+    # the path literal — a read-only checkout can import this module.
+    from erigon_extract_spark.sources.jsonl import SAMPLE_PATH
 
-    ensure_sample()
     cols = (
         "{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', "
         "'source': 'VARCHAR', 'n_chars': 'BIGINT'}"
@@ -4540,9 +4543,23 @@ def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # deterministic per-dataset path, built once and REUSED across calls
     # (a mkdtemp per invocation leaked one full index copy per gate/plan
-    # run); the fixture tables are immutable, so staleness cannot occur
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lshidx_{tag}", "idx")
+    # run). The tag fingerprints the source CONTENT (path + size + mtime),
+    # not just the path, so a regenerated fixture invalidates the cache
+    # instead of silently serving a stale index; the cache root is created
+    # 0o700 under a uid-scoped name so another user on a shared machine
+    # can neither pre-create nor read it.
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.stat(root).st_uid != os.getuid():
+        raise RuntimeError(f"cache dir {root} owned by another user")
+    path = os.path.join(root, f"lshidx_{tag}", "idx")
     if not os.path.isdir(path):
         build_lsh_index(emb, path, dim=64, n_planes=6)
     out = query_lsh_index(spark, path, probes, dim=64, k=10, n_planes=6)
@@ -5032,6 +5049,9 @@ def text_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk_text
     FROM w, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 48)) AS u(s)
     WHERE len(w) > 0 AND w[1] != ''
+      -- mirror chunk_documents: drop a trailing window fully contained in
+      -- the previous one (adds no tokens beyond chunk_tokens - stride)
+      AND (s = 0 OR len(list_slice(w, s + 1, s + 64)) > 64 - 48)
     """,
 )
 def text_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:

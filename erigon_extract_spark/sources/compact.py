@@ -13,6 +13,7 @@ z-order layout's pruning measurable).
 from __future__ import annotations
 
 import math
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +30,15 @@ def compact_parquet(
     file. Returns the number of output files chosen. One count job sizes
     the output (cheap: count pushes to parquet metadata); the rewrite is a
     single pass."""
+    src_r = Path(src).resolve()
+    dst_r = Path(dst).resolve()
+    # mode('overwrite') onto the dataset being read can fail mid-job or
+    # destroy the source depending on commit timing — refuse in-place or
+    # nested rewrites outright; compact into a sibling path and swap.
+    if src_r == dst_r or src_r in dst_r.parents or dst_r in src_r.parents:
+        raise ValueError(
+            f"compact_parquet dst must not overlap src: {src_r} vs {dst_r}"
+        )
     df = spark.read.parquet(src)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))

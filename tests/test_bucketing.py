@@ -95,6 +95,15 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_pat
     docs.repartition(64).write.parquet(src)
     assert len(data_files(spark, src)) == 64
 
+    # in-place / nested rewrite would let mode('overwrite') destroy the
+    # dataset being read -> refused before any job starts
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, src + "/sub")
+
     n_files = compact_parquet(
         spark, src, dst, target_rows_per_file=200, sort_cols=["doc_id"]
     )

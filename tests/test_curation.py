@@ -148,3 +148,15 @@ def test_blocklist_filter_word_boundaries(spark):
     out2 = {r.doc_id: r.keep
             for r in blocklist_filter(docs, terms=["boundary"]).collect()}
     assert out2 == {1: True, 2: True, 3: False, 4: True}
+    # uppercase terms are folded (text side is lowercased, so an unfolded
+    # term could never match)
+    out3 = {r.doc_id: r.keep
+            for r in blocklist_filter(docs, terms=["BOUNDARY"]).collect()}
+    assert out3 == out2
+    # regex metacharacters would silently change the alternation's
+    # semantics (or throw mid-job) -> rejected up front
+    import pytest
+
+    for bad in (["c++"], ["a.b"], ["x|y"], [""]):
+        with pytest.raises(ValueError):
+            blocklist_filter(docs, terms=bad)

@@ -550,10 +550,13 @@ def test_chunk_documents_overlap_and_coverage(spark):
     (c2,) = by_doc[2]
     assert (c2.chunk_idx, c2.chunk_start_token, c2.n_chunk_tokens) == (0, 1, 2)
     assert c2.chunk_text == "short doc"
-    # doc 1: starts at 1, 49, 97, 145; full coverage with 16-token overlap
+    # doc 1: the stride grid is 1, 49, 97, 145 — but the 145-start window
+    # (6 tokens, 145-150) is fully inside the 97-start window's 97-150
+    # coverage, so it is dropped (n_chunk_tokens <= chunk - stride adds
+    # no new tokens, only duplicate embedding input). Coverage stays full.
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
-    assert [r.chunk_start_token for r in c1] == [1, 49, 97, 145]
-    assert [r.n_chunk_tokens for r in c1] == [64, 64, 54, 6]
+    assert [r.chunk_start_token for r in c1] == [1, 49, 97]
+    assert [r.n_chunk_tokens for r in c1] == [64, 64, 54]
     covered = set()
     for r in c1:
         covered.update(range(r.chunk_start_token,
