@@ -5116,102 +5116,88 @@ def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # burning gate slots.
 # ---------------------------------------------------------------------------
 
-# ROUND-4 QUEUE (rotate in once the r3 entrants are hash-green, displacing
-# them and any remaining twice-green rows) — priority order:
-#  1. the late-r3 oracle-backed operators that have never had a driver
-#     row: corpus_pipeline_v2, snapshot_diff_orders, events_zscore_outliers,
-#     corpus_shuffle_shards, curation_length_band, text_bigram_familiarity,
-#     source_jsonl_documents, embedding_random_projection,
-#     embedding_quantize_int8, sim_lsh_index_topk, profile_documents,
-#     text_blocklist_filter, text_chunk_overlap, text_top_terms,
-#     w_rolling_time_window, corpus_balanced_sample, events_funnel,
-#     events_retention_cohorts, snapshot_diff_orders,
-#     events_zscore_outliers, corpus_pipeline_v2;
-#  2. the TPC-H part-2 shapes (q2/q4/q7/q8/q9/q11-q22), cube_order_stats,
-#     json_extract_agg, text_lang_quality.
-# Rows-only probes (text_bpe_tokenize, curation_scale, dedup_semantic,
-# *_scale) stay rows-only. See COVERAGE.md for the per-query ledger.
-#
-# ROUND-3 ROTATION: the window is a scarce verification resource, so its
-# composition rotates across rounds to ACCUMULATE driver evidence. Queries
-# hash-green in BOTH r1 and r2 with unchanged code rest outside the window
-# this round (their green rows in CORRECTNESS_r01/r02 are durable
-# evidence): q1/q3/q5, j2, w1, w4, a1, a3, o2, p6, set_ops_nations,
-# rollup_order_stats, join_semi, scalar_surface, pivot_status_qty,
-# window_ranking_surface, agg_percentiles, stream_latest_state_batch.
-# Entering in their place: every family representative that has never had
-# a driver row — the erigon dump/manifest/storage/stats quartet,
-# erigon_latest_state, zorder, sampling splits, anti join, grouping sets,
-# topk, w6/w_running window shapes, the scalar-surface variants, the two
-# remaining multimodal kernels — plus the two freshly-fixed red rows
-# (erigon_tx_bodies, sessionize_events) and the new self-localizing
-# sessionize_debug.
+# ROUND-4 ROTATION: the window is a scarce verification resource, rotated
+# each round to ACCUMULATE driver evidence. Ledger entering r4 (from
+# CORRECTNESS_r01-r03): 49 queries twice+-green (durable — rest outside
+# the window), 31 once-green, 6 red in r3 (ALL the one HUGEINT-oracle
+# root cause, fixed this round with CAST(...AS BIGINT) — VERDICT r3), 33
+# oracle-backed queries never driver-checked. Composition (6+33+11 = 50):
+#  1. the six freshly-fixed red rows re-enter to prove the fix:
+#     sessionize_events, pack_sequences, corpus_mixture_sample,
+#     sample_stable_split, text_quality_classifier, text_strip_boilerplate;
+#  2. ALL 33 never-driver-checked oracle-backed queries enter for first
+#     evidence (TPC-H part 2, the late-r3 curation/profiling/events wave,
+#     json_extract_agg + text_bigram_familiarity + profile_documents +
+#     corpus_pipeline_v2 whose oracles carried the same latent HUGEINT
+#     defect, now fixed);
+#  3. the remaining 11 slots convert once-green rows to durable: the
+#     erigon domain sextet (tx_bodies — red in r2, one more green makes it
+#     durable — latest_state, canonical_dump, manifest_counts,
+#     storage_state_at, txbodies_stats) plus one representative of each
+#     once-green family: dedup_substring_spans, agg_cms_heavy_hitters,
+#     multimodal_resize, multimodal_framesample, curation_decontaminate.
+# Resting this round: all 49 durable rows, and the once-green
+# sessionize_debug / zorder / scalar surfaces / TPC-H q4-q14 cousins /
+# text_pii_scrub / text_repetition_ratio / window_ranking / percentiles /
+# stream_latest_state_batch (their green rows stand as evidence; next
+# round they re-enter for durability if slots allow). Rows-only probes
+# (*_scale, keccak, BPE, PQ/IVF, semantic dedup) stay outside — a driver
+# rows-only row is weak evidence and they are pytest-pinned instead.
 _GATE_PRIORITY = [
-    # reference operator surface (SURVEY.md §2). s1/s2/j1/j3 rest this
-    # round (hash-green r1 AND r2, unchanged code — durable evidence) in
-    # favor of the four new oracle-backed curation operators below.
-    "u256_arithmetic",
-    "asof_state_at",
-    "asof_join",
-    # flagship domain pipeline (decode → recovery → transpose → rekey → asof)
-    "erigon_state_history",
-    "erigon_incremental_update",
-    "erigon_state_at",
-    "ref_dialect_decode",
+    # 1. the six r3 red rows, oracle typing fixed — prove it
+    "sessionize_events",
+    "pack_sequences",
+    "corpus_mixture_sample",
+    "sample_stable_split",
+    "text_quality_classifier",
+    "text_strip_boilerplate",
+    # 2a. TPC-H part 2: first driver evidence
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_dormant_rich_customers",
+    "cube_order_stats",
+    # 2b. the late-r3 LLM-pipeline wave: first driver evidence
+    "json_extract_agg",
+    "text_bigram_familiarity",
+    "profile_documents",
+    "corpus_pipeline_v2",
+    "dedup_keep_best_quality",
+    "dedup_incremental",
+    "corpus_shuffle_shards",
+    "curation_length_band",
+    "source_jsonl_documents",
+    "embedding_random_projection",
+    "embedding_quantize_int8",
+    "sim_lsh_index_topk",
+    "snapshot_diff_orders",
+    "events_zscore_outliers",
+    "events_funnel",
+    "events_retention_cohorts",
+    "w_rolling_time_window",
+    "corpus_balanced_sample",
+    "text_blocklist_filter",
+    "text_chunk_overlap",
+    "text_top_terms",
+    # 3. once-green -> durable: erigon domain sextet + family reps
     "erigon_tx_bodies",
     "erigon_latest_state",
-    # domain sinks/aggregates entering for first-time driver evidence
     "erigon_canonical_dump",
     "erigon_manifest_counts",
     "erigon_storage_state_at",
     "erigon_txbodies_stats",
-    # sessionization (fixed this round) + SQL entry point
-    "sessionize_events",
-    "sessionize_debug",
-    "sql_entrypoint",
-    # generic analytics: first-time rows for the resting families' cousins
-    "join_anti",
-    "grouping_sets_stats",
-    "topk_per_group",
-    "w6_dedup_first",
-    "w_running_sum",
-    "zorder_curve",
-    "sample_stable_split",
-    "text_explode_sentences",
-    "array_scalar_surface",
-    "date_scalar_surface",
-    # training-data / LLM pipeline operators (dedup_exact,
-    # text_lang_id_vote, text_quality_score rest — green r1 AND r2 — in
-    # favor of the new curation signals: PII scrub, benchmark
-    # decontamination, repetition ratio)
-    "text_pii_scrub",
-    "curation_decontaminate",
-    "text_repetition_ratio",
-    "pack_sequences",
-    "corpus_mixture_sample",
-    # new this round: substring-span dedup, model-based quality scoring,
-    # sketch heavy hitters, cross-doc boilerplate strip (first driver rows)
     "dedup_substring_spans",
-    "text_quality_classifier",
     "agg_cms_heavy_hitters",
-    "text_strip_boilerplate",
-    # dedup_ngram_jaccard + dedup_embedding_cosine rest (green r1 AND r2)
-    "dedup_connected_clusters",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "text_stats",
-    "text_fingerprint",
-    "corpus_curation_keep_list",
-    "multimodal_probe",
     "multimodal_resize",
     "multimodal_framesample",
-    "range_interval_join",
-    # streaming semantics in batch mode
-    "window_tumbling_agg",
-    "window_hopping_agg",
-    "session_window_agg",
+    "curation_decontaminate",
 ]
 
 
