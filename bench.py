@@ -41,7 +41,10 @@ HEADLINE = [
     "asof_join",
     "topk_per_group",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh (xxhash fast path) was deregistered in r4 — the
+    # portable variant is the one registered gate path; per-query series
+    # for this slot restarts at r4 (same family, md5 permutation hashes).
+    "dedup_minhash_portable",
     "text_stats",
     "text_fingerprint",
     "sim_bruteforce_topk",

@@ -35,7 +35,7 @@ SUBSET = [
     "text_stats",
     "sim_bruteforce_topk",
 ]
-ROWS_ONLY_SUBSET = ["dedup_minhash_lsh", "u256_arithmetic"]
+ROWS_ONLY_SUBSET = ["scalar_keccak256", "u256_arithmetic"]
 
 
 def _duck(sf_dir: str):
