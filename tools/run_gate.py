@@ -31,7 +31,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("float", "NaN")
-        return ("float", round(v, 9))
+        # repr equality = bit-pattern equality of the rounded value, which
+        # is what the driver hashes. Python == would equate -0.0 with 0.0
+        # (they hash differently) and hide sign-of-zero divergences.
+        return ("float", repr(round(v, 9)))
     if isinstance(v, int):
         return ("int", v)
     if isinstance(v, (bytes, bytearray, memoryview)):
