@@ -116,3 +116,132 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("i", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcast-sized set membership for join pruning.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_h1_h2(key_str_col) -> tuple[F.Column, F.Column]:
+    """Kirsch-Mitzenmacher double hashing from one md5: position_i =
+    (h1 + i*h2) mod m. Both halves of the digest are < 2^32, h2 is forced
+    odd so the probe stride cycles the whole table for power-of-two m."""
+    h = F.md5(key_str_col)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, *, m_bits: int = 1 << 18, k: int = 5
+) -> DataFrame:
+    """Aggregate a Bloom filter over ``df[key_col]`` as (word, bits) rows:
+    word = bit_position // 32, bits = OR of 32-bit masks (32-bit words keep
+    every value positive in both engines — bit 63 of a signed BIGINT is a
+    cross-engine sign trap). At most m_bits/32 rows regardless of input
+    size, so the sketch of a 100M-key dimension BROADCASTS (2^27 bits = 4M
+    words ~ 64 MB worst case, far less when sparse) where the raw key set
+    would not — the standard shape for pruning a shuffle-heavy semi join
+    down to a broadcast prefilter. One shuffle, map-side combined, payload
+    bounded by the word table size (the CMS argument).
+
+    The hash family is md5-derived, so membership decisions — including
+    WHICH keys false-positive — are reproducible in ANSI SQL across
+    engines: the oracle gate checks the exact bit pattern, not a rate.
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    h1, h2 = _bloom_h1_h2(F.col(key_col).cast("string"))
+    pos = (
+        (h1 + F.col("i") * h2) % m_bits
+    )
+    return (
+        df.select(F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"))
+        .select(
+            F.floor(pos / 32).cast("long").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 32).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """All ``probes`` columns plus ``maybe`` = Bloom membership verdict
+    (no false negatives; false positives at the usual (1-e^{-kn/m})^k
+    rate).
+
+    Plan shape: k sequential BROADCAST left joins against the word table
+    (words are unique after bloom_build's groupBy, so each join is 1:1) —
+    an explode + per-key verdict agg would re-shuffle the probe side,
+    which is exactly what a Bloom prefilter exists to avoid. All k joins
+    fuse into the probe scan's stage; the probe side is never exchanged.
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    h1, h2 = _bloom_h1_h2(F.col(key_col).cast("string"))
+    out = probes
+    hits = []
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % m_bits
+        w = F.floor(pos / 32).cast("long")
+        m = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 32).cast("int")
+        )
+        bi = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        out = (
+            out.withColumn(f"__m{i}", m)
+            .join(F.broadcast(bi), w == F.col(f"__w{i}"), "left")
+        )
+        hits.append(
+            F.coalesce(F.col(f"__bits{i}"), F.lit(0)).bitwiseAND(
+                F.col(f"__m{i}")
+            )
+            == F.col(f"__m{i}")
+        )
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    drop = [c for i in range(k) for c in (f"__w{i}", f"__bits{i}", f"__m{i}")]
+    return out.withColumn("maybe", maybe).drop(*drop)
+
+
+def bloom_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Semi join ``big`` to ``small`` on ``key_col`` with a Bloom prefilter:
+    the big side is first cut to Bloom survivors via the BROADCAST word
+    table (no shuffle of the big side), then exactly verified against the
+    true key set, so the result EQUALS big.join(small, key, 'left_semi').
+
+    When ``small`` is broadcastable raw, use a plain broadcast semi join —
+    this operator is for the regime where the key set is 10-100x too big
+    to broadcast but its m/32-word sketch is not: the full-table shuffle
+    only ever sees the (1 + fp_rate) * |matching| surviving fraction."""
+    survivors = bloom_maybe_contains(
+        bloom_build(small.select(key_col), key_col, m_bits=m_bits, k=k),
+        big,
+        key_col,
+        m_bits=m_bits,
+        k=k,
+    ).filter("maybe").drop("maybe")
+    return survivors.join(
+        small.select(key_col).distinct(), key_col, "left_semi"
+    )

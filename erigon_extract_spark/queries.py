@@ -4224,6 +4224,98 @@ def agg_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(ev, "user_id", depth=4, width=64, top_k=20)
 
 
+@query(
+    "agg_bloom_membership",
+    """
+    WITH members AS (
+      -- every customer has orders in the synthetic tables, so a sparse
+      -- member subset is carved deterministically to exercise negatives
+      SELECT DISTINCT o_custkey AS key FROM orders WHERE o_custkey % 7 = 0
+    ),
+    mh AS (
+      SELECT key,
+             CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8) AS BIGINT)
+               AS h1,
+             CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 9, 8) AS BIGINT)
+               | 1 AS h2
+      FROM members
+    ),
+    pos AS (
+      SELECT ((h1 + i * h2) % 4096) AS p
+      FROM mh, UNNEST(generate_series(0, 3)) AS u(i)
+    ),
+    bloom AS (
+      SELECT p // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    ph AS (
+      SELECT c_custkey,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)
+                  AS BIGINT) | 1 AS h2
+      FROM customer
+    ),
+    pp AS (
+      SELECT c_custkey, ((h1 + i * h2) % 4096) AS p
+      FROM ph, UNNEST(generate_series(0, 3)) AS u(i)
+    ),
+    hits AS (
+      SELECT c_custkey,
+             (COALESCE(b.bits, 0)
+              & (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)))
+               = (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS h
+      FROM pp LEFT JOIN bloom b ON pp.p // 32 = b.word
+    )
+    SELECT c_custkey,
+           bool_and(h) AS maybe,
+           MAX(c_custkey IN (SELECT key FROM members)) AS actual
+    FROM hits GROUP BY c_custkey
+    """,
+)
+def agg_bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketch.bloom_build /
+    bloom_maybe_contains): the customers-with-orders key set reduced to a
+    4096-bit word table that BROADCASTS, probed by every customer with k
+    broadcast 1:1 joins — zero shuffles on the probe side (plan-asserted
+    in pytest). m is deliberately undersized (~1000 keys in 4096 bits) so
+    false positives exist and the gate pins WHICH keys false-positive:
+    the md5 double-hash family makes the exact bit pattern, not just the
+    rate, reproducible in ANSI SQL. ``actual`` rides along to exhibit the
+    no-false-negative guarantee. At 100 TB this is the semi-join prefilter
+    (bloom_prune_join): the fact table only shuffles Bloom survivors."""
+    from erigon_extract_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    # full key coverage in the synthetic tables -> carve a sparse member
+    # subset so the probe set contains real negatives
+    members = (
+        orders.filter(F.col("o_custkey") % 7 == 0)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(members, "key", m_bits=4096, k=4)
+    out = bloom_maybe_contains(
+        bloom, cust.select("c_custkey"), "c_custkey", m_bits=4096, k=4
+    )
+    truth = members.select(
+        F.col("key").alias("c_custkey"), F.lit(True).alias("__in")
+    )
+    return (
+        out.join(F.broadcast(truth), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "maybe",
+            F.coalesce("__in", F.lit(False)).alias("actual"),
+        )
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -597,3 +597,64 @@ def test_top_terms_tfidf_ranking(spark):
     assert rows[(3, 1)].df == 2  # bird is in docs 3 and 4
     # ttf is corpus-wide term frequency: dog = 1 (doc 1) + 2 (doc 2)
     assert rows[(2, 1)].ttf == 3 and rows[(3, 1)].ttf == 2
+
+
+def test_bloom_no_false_negatives_and_deterministic_fps(spark):
+    from erigon_extract_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("key"))
+    bloom = bloom_build(members, "key", m_bits=1 << 12, k=4)
+    # word table bounded by m/32 regardless of input size
+    assert bloom.count() <= (1 << 12) // 32
+    probes = spark.range(0, 2000).select(F.col("id").alias("key"))
+    out = {r.key: r.maybe for r in bloom_maybe_contains(
+        bloom, probes, "key", m_bits=1 << 12, k=4
+    ).collect()}
+    # every member reports maybe=True — the Bloom guarantee
+    assert all(out[i] for i in range(500))
+    # small m forced some false positives; they are md5-deterministic, so
+    # two independent evaluations agree on WHICH keys false-positive
+    fps = {i for i in range(500, 2000) if out[i]}
+    assert fps, "with m=4096/n=500 the fp rate cannot be zero"
+    out2 = {r.key: r.maybe for r in bloom_maybe_contains(
+        bloom, probes, "key", m_bits=1 << 12, k=4
+    ).collect()}
+    assert out == out2
+
+
+def test_bloom_prune_join_equals_semi_join(spark):
+    from erigon_extract_spark.operators.sketch import bloom_prune_join
+
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("key"), (F.col("id") * 7 % 100).alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(i * 13,) for i in range(200)], "key long"
+    )
+    got = bloom_prune_join(big, small, "key", m_bits=1 << 12, k=4)
+    want = big.join(small, "key", "left_semi")
+    assert sorted((r.key, r.payload) for r in got.collect()) == sorted(
+        (r.key, r.payload) for r in want.collect()
+    )
+
+
+def test_bloom_probe_side_never_shuffles(spark):
+    from erigon_extract_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.range(0, 100).select(F.col("id").alias("key"))
+    probes = spark.range(0, 1000).select(F.col("id").alias("key"))
+    out = bloom_maybe_contains(
+        bloom_build(members, "key", m_bits=1 << 12, k=4),
+        probes, "key", m_bits=1 << 12, k=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the k word-table joins must all be broadcast joins; any
+    # SortMergeJoin / ShuffledHashJoin means the probe side got exchanged
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 4
