@@ -1611,6 +1611,57 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_length_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             greatest(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                           THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END, 1) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+             CAST(length(to_base(n_tokens, 2)) - 1 AS BIGINT) AS band
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, shard, band,
+             greatest(1, 512 >> CAST(band + 1 AS INTEGER)) AS per_batch,
+             ROW_NUMBER() OVER (PARTITION BY band, shard
+                                ORDER BY doc_id) AS rn
+      FROM b
+    ),
+    x AS (
+      SELECT doc_id, n_tokens, band, shard,
+             CAST((rn - 1) // per_batch AS BIGINT) AS batch_idx
+      FROM r
+    )
+    SELECT doc_id, n_tokens, band, shard, batch_idx,
+           CAST(COUNT(*) OVER (PARTITION BY band, shard, batch_idx)
+                AS BIGINT) AS batch_size,
+           MAX(n_tokens) OVER (PARTITION BY band, shard, batch_idx)
+             AS batch_max_tokens
+    FROM x
+    """,
+)
+def pack_length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split packing via length-bucketed dynamic batching
+    (operators/packing.length_bucket_batches): power-of-two length bands,
+    per-(band, shard) batches sized batch_tokens/band-ceiling, padding
+    waste bounded under 50% by construction. The regime where
+    concat-and-chunk is wrong (SFT/eval examples must not cross context
+    boundaries). Integer-exact bands (base-2 digit count, no float log2)
+    keep the full assignment — batch membership, sizes, maxima —
+    hash-identical across engines."""
+    from erigon_extract_spark.operators.packing import length_bucket_batches
+
+    docs = _load(spark, sf_dir, "documents")
+    return length_bucket_batches(docs, batch_tokens=512, n_shards=4)
+
+
+@query(
     "corpus_mixture_sample",
     """
     WITH rated AS (

@@ -85,3 +85,40 @@ def test_pack_sequences_tokens_col_overrides_heuristic(spark):
     # default path still the whitespace heuristic
     ws = {r.doc_id: r.n_tokens for r in pack_sequences(docs).collect()}
     assert ws == {0: 3, 8: 1, 16: 2}
+
+
+def test_length_bucket_batches_waste_bound_and_stability(spark):
+    from erigon_extract_spark.operators.packing import length_bucket_batches
+
+    docs = spark.createDataFrame(
+        [(i, "w " * ((i * 37) % 300 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = length_bucket_batches(docs, batch_tokens=256, n_shards=4).collect()
+    assert len(out) == 200
+    for r in out:
+        # band invariant: 2^band <= n_tokens < 2^(band+1)
+        assert (1 << r.band) <= r.n_tokens < (1 << (r.band + 1))
+        # batch capacity respected: batch_size <= max(1, 256 >> (band+1))
+        assert r.batch_size <= max(1, 256 >> (r.band + 1))
+        assert r.batch_max_tokens >= r.n_tokens
+    # padding waste bound: pad-to-batch-max wastes < 50% of batch budget
+    from collections import defaultdict
+    batches = defaultdict(list)
+    for r in out:
+        batches[(r.band, r.shard, r.batch_idx)].append(r)
+    for rows in batches.values():
+        mx = max(r.n_tokens for r in rows)
+        total = sum(r.n_tokens for r in rows)
+        assert total >= len(rows) * mx / 2  # every member >= band floor
+
+    # append stability: adding HIGHER ids never moves existing assignments
+    more = spark.createDataFrame(
+        [(i, "w " * ((i * 37) % 300 + 1)) for i in range(260)],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: (r.band, r.shard, r.batch_idx)
+            for r in length_bucket_batches(
+                more, batch_tokens=256, n_shards=4).collect()}
+    for r in out:
+        assert out2[r.doc_id] == (r.band, r.shard, r.batch_idx)
