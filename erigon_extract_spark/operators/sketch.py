@@ -245,3 +245,108 @@ def bloom_prune_join(
     return survivors.join(
         small.select(key_col).distinct(), key_col, "left_semi"
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: fixed-size distinct-count sketch with integer-exact registers.
+# ---------------------------------------------------------------------------
+
+
+def _hll_parts(key_str_col, m: int) -> tuple[F.Column, F.Column]:
+    """(bucket, rho): bucket from the first md5 word, rho = 1 + leading
+    zeros of the second 32-bit word — integer-exact via base-2 digit count
+    (33 - bitlen), never a float log."""
+    h = F.md5(key_str_col)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    bucket = (h1 % m).alias("bucket")
+    rho = (
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.conv(w, 10, 2)))
+        .cast("long")
+        .alias("rho")
+    )
+    return bucket, rho
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Aggregate a HyperLogLog sketch: one (bucket, r) row per non-empty
+    register, r = max rho (Flajolet et al. 2007). At most ``m`` rows per
+    group regardless of cardinality — the COUNT(DISTINCT) replacement
+    whose shuffle payload is constant. Mergeable: union + max(r) over the
+    same hash family is EXACTLY the sketch of the union (the CMS linearity
+    argument, with max instead of sum).
+
+    Registers are integers derived from md5, so the sketch — and the
+    estimate computed from it — is reproducible in ANSI SQL across
+    engines, runs, and partitionings.
+    """
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    group_cols = group_cols or []
+    bucket, rho = _hll_parts(F.col(key_col).cast("string"), m)
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL sketches register-wise (max). Same hash family required."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    gcols = [c for c in out.columns if c not in ("r",)]
+    return out.groupBy(*gcols).agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    sketch: DataFrame, *, m: int = 256, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate per group from an hll_build sketch.
+
+    The harmonic sum is computed EXACTLY in integers: sum_j 2^(-r_j) over
+    all m registers (empty register => r=0 => term 1) is scaled by 2^50,
+    making every term 2^(50-r) a BIGINT and the sum order-independent —
+    float accumulation order is the classic cross-engine divergence this
+    sidesteps. The only float op is one literal-alpha multiply/divide on
+    the integer sum, identical and correctly rounded in IEEE on both
+    engines. No ln-based small-range correction in the gated column (libm
+    log is not correctly-rounded portable); callers wanting it can apply
+    m*ln(m/zeros) on the emitted integer ``zeros`` column themselves.
+
+    Returns group_cols + (present, zeros, harmonic_scaled, est).
+    """
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    group_cols = group_cols or []
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scaled = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.lit(50) - F.col("r")).cast("int")
+    )
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("present"),
+        F.sum(scaled).alias("__s_present"),
+    )
+    # empty registers contribute 2^50 each
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("present")) * F.lit(1 << 50)
+    )
+    est = F.lit(alpha * m * m) * F.lit(float(1 << 50)) / s_total.cast("double")
+    return agg.select(
+        *group_cols,
+        "present",
+        (F.lit(m) - F.col("present")).alias("zeros"),
+        s_total.cast("long").alias("harmonic_scaled"),
+        F.round(est, 2).alias("est"),
+    )

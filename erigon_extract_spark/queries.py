@@ -4367,6 +4367,73 @@ def agg_bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle_sql() -> str:
+    m = 64
+    alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
+    # repr round-trips the exact double, so DuckDB parses the identical
+    # value Spark embeds as a literal — the one float input to the gate
+    return f"""
+    WITH kr AS (
+      SELECT source,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % {m} AS bucket,
+             CASE WHEN CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) = 0
+                  THEN 33
+                  ELSE 33 - length(to_base(
+                         CAST('0x' || substr(md5(text), 9, 8) AS BIGINT), 2))
+             END AS rho
+      FROM documents
+    ),
+    sk AS (
+      SELECT source, bucket, MAX(rho) AS r FROM kr GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS present,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(50 - r AS INTEGER))
+                  AS BIGINT) AS s_present
+      FROM sk GROUP BY source
+    ),
+    ex AS (
+      SELECT source, COUNT(DISTINCT text) AS true_distinct
+      FROM documents GROUP BY source
+    )
+    SELECT a.source, present,
+           {m} - present AS zeros,
+           CAST(s_present + ({m} - present) * (CAST(1 AS BIGINT) << 50)
+                AS BIGINT) AS harmonic_scaled,
+           -- CAST: DuckDB parses bare decimal literals as DECIMAL, whose
+           -- arithmetic overflows and differs from Spark's double path
+           ROUND(CAST({alpha_mm!r} AS DOUBLE)
+                 * CAST({float(1 << 50)!r} AS DOUBLE)
+                 / CAST(s_present + ({m} - present)
+                        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS est,
+           true_distinct
+    FROM agg a JOIN ex USING (source)
+    """
+
+
+@query("agg_hll_distinct", _hll_oracle_sql())
+def agg_hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via HyperLogLog (operators/sketch):
+    64 integer registers per source replace COUNT(DISTINCT text)'s
+    key-wide shuffle — the profiling-at-scale primitive (a 100 TB column
+    profile keeps the mergeable sketch, not the key set). The harmonic
+    sum is an exact BIGINT over denominator 2^50 (order-independent — no
+    float accumulation anywhere), so the full sketch AND the estimate
+    hash-match the SQL oracle; exact distinct rides along to exhibit
+    accuracy. Completes the sketch family: CMS (frequency), Bloom
+    (membership), HLL (cardinality)."""
+    from erigon_extract_spark.operators.sketch import hll_build, hll_estimate
+
+    docs = _load(spark, sf_dir, "documents")
+    sk = hll_build(docs, "text", m=64, group_cols=["source"])
+    est = hll_estimate(sk, m=64, group_cols=["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("true_distinct")
+    )
+    return est.join(exact, "source")
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -658,3 +658,30 @@ def test_bloom_probe_side_never_shuffles(spark):
     # SortMergeJoin / ShuffledHashJoin means the probe side got exchanged
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 4
+
+
+def test_hll_accuracy_merge_and_register_bound(spark):
+    from erigon_extract_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    n = 20_000
+    keys = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    sk = hll_build(keys, "k", m=256)
+    assert sk.count() <= 256
+    (row,) = hll_estimate(sk, m=256).collect()
+    # standard error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(row.est - n) / n < 0.20
+    # duplicates don't move the sketch: distinct-count, not row-count
+    dup = keys.union(keys)
+    (row_dup,) = hll_estimate(hll_build(dup, "k", m=256), m=256).collect()
+    assert row_dup.est == row.est
+    # merge = sketch of the union, register for register
+    a = keys.filter(F.col("k") < "k5")
+    b = keys.filter(F.col("k") >= "k5")
+    merged = hll_merge(hll_build(a, "k", m=256), hll_build(b, "k", m=256))
+    assert sorted((r.bucket, r.r) for r in merged.collect()) == sorted(
+        (r.bucket, r.r) for r in sk.collect()
+    )
