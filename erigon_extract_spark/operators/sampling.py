@@ -137,3 +137,73 @@ def balanced_sample(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__h", "__rk")
     )
+
+
+def plan_token_mixture(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 1_000_000,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Turn per-source mixture WEIGHTS into per-source sampling RATES for
+    a token budget — the planning step in front of ``mixture_sample``.
+
+    Per source: target_tokens = budget * weight // total_weight (integer),
+    rate_permille = min(1000, target*1000 // available), and epochs =
+    ceil(target / available) — an under-resourced source repeats (epoch
+    oversampling, the standard recipe when a high-weight source is small)
+    while an abundant one subsamples. All arithmetic is integer, so the
+    plan is engine-portable and hash-gated; expected_tokens (the floor
+    estimate available*rate/1000, or target when repeating) makes the
+    budget check auditable in the output itself.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus to get
+    per-source token supply (tiny result: one row per source), joined to
+    the weight table — both sides are planning-scale, the corpus is
+    never shuffled. The emitted rate_permille column feeds
+    ``mixture_sample`` as a broadcast join or literal CASE, keeping the
+    actual sampling pass shuffle-free.
+    """
+    from erigon_extract_spark.operators.text import token_count
+
+    if tokens_col is not None:
+        toks = F.coalesce(F.col(tokens_col), F.lit(0)).cast("long")
+    else:
+        toks = F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long")
+    supply = (
+        df.select(F.col(source_col), toks.alias("__t"))
+        .groupBy(source_col)
+        .agg(F.sum("__t").alias("available_tokens"))
+    )
+    total_w = weights.agg(F.sum("weight").alias("__tw"))
+    # integer `div` throughout (not float `/` + floor): double division of
+    # large integers can round up across an integer boundary, silently
+    # diverging from the oracle's exact `//`
+    planned = (
+        supply.join(weights, source_col)
+        .crossJoin(F.broadcast(total_w))
+        .selectExpr(
+            source_col,
+            "available_tokens",
+            "weight",
+            f"CAST(({token_budget} * weight) div __tw AS BIGINT)"
+            " AS target_tokens",
+        )
+    )
+    return planned.selectExpr(
+        source_col,
+        "available_tokens",
+        "weight",
+        "target_tokens",
+        "CAST(least(1000, (target_tokens * 1000) div available_tokens)"
+        " AS BIGINT) AS rate_permille",
+        "CAST(greatest(1, (target_tokens + available_tokens - 1)"
+        " div available_tokens) AS BIGINT) AS epochs",
+        "CAST(CASE WHEN target_tokens >= available_tokens THEN target_tokens"
+        " ELSE (available_tokens"
+        "       * least(1000, (target_tokens * 1000) div available_tokens))"
+        "      div 1000 END AS BIGINT) AS expected_tokens",
+    )

@@ -4434,6 +4434,70 @@ def agg_hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "source")
 
 
+@query(
+    "corpus_mixture_plan",
+    """
+    WITH supply AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                           THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source,
+             CAST(1 + CAST(substr(source, 4) AS INTEGER) % 3 AS BIGINT)
+               AS weight
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w),
+    planned AS (
+      SELECT s.source, s.available_tokens, w.weight,
+             CAST((500000 * w.weight) // tw.total_w AS BIGINT)
+               AS target_tokens
+      FROM supply s JOIN w USING (source), tw
+    )
+    SELECT source, available_tokens, weight, target_tokens,
+           CAST(least(1000, (target_tokens * 1000) // available_tokens)
+                AS BIGINT) AS rate_permille,
+           CAST(greatest(1, (target_tokens + available_tokens - 1)
+                            // available_tokens) AS BIGINT) AS epochs,
+           CAST(CASE WHEN target_tokens >= available_tokens
+                     THEN target_tokens
+                     ELSE (available_tokens
+                           * least(1000, (target_tokens * 1000)
+                                         // available_tokens)) // 1000
+                END AS BIGINT) AS expected_tokens
+    FROM planned
+    """,
+)
+def corpus_mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (operators/sampling.
+    plan_token_mixture): per-source weights + a 500k-token budget turn
+    into integer sampling rates for mixture_sample — subsample rates for
+    abundant sources, epoch counts for under-resourced ones. One
+    map-side-combined supply aggregate (one row per source); the corpus
+    is never shuffled. All-integer arithmetic (`div`, never float
+    division) keeps the plan hash-identical across engines."""
+    from erigon_extract_spark.operators.sampling import plan_token_mixture
+
+    docs = _load(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                1 + F.substring("source", 4, 10).cast("int") % 3
+            ).cast("long").alias("weight"),
+        )
+    )
+    return plan_token_mixture(
+        docs, weights, token_budget=500_000
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,3 +160,29 @@ def test_blocklist_filter_word_boundaries(spark):
     for bad in (["c++"], ["a.b"], ["x|y"], [""]):
         with pytest.raises(ValueError):
             blocklist_filter(docs, terms=bad)
+
+
+def test_plan_token_mixture_budget_and_epochs(spark):
+    from erigon_extract_spark.operators.sampling import plan_token_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 100, "big" if i < 90 else "small")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    weights = spark.createDataFrame(
+        [("big", 1), ("small", 3)], "source string, weight long"
+    )
+    out = {r.source: r for r in plan_token_mixture(
+        docs, weights, token_budget=4000
+    ).collect()}
+    big, small = out["big"], out["small"]
+    assert big.available_tokens == 9000 and small.available_tokens == 1000
+    # targets: 4000 * 1/4 = 1000, 4000 * 3/4 = 3000
+    assert big.target_tokens == 1000 and small.target_tokens == 3000
+    # abundant source subsamples: 1000/9000 -> 111 permille, one epoch
+    assert big.rate_permille == 111 and big.epochs == 1
+    assert big.expected_tokens == 9000 * 111 // 1000
+    # starved source repeats: 3 epochs at full rate
+    assert small.rate_permille == 1000 and small.epochs == 3
+    assert small.expected_tokens == 3000
