@@ -86,6 +86,18 @@ SHOWCASE = [
     ("profile_documents",
      "Profiling: every column's stats in ONE global aggregate over one "
      "scan (count_distinct Expands notwithstanding) — no per-column jobs."),
+    ("agg_bloom_membership",
+     "Bloom membership: k sequential BroadcastHashJoins against the "
+     "word table — the probe side is never exchanged (no "
+     "SortMergeJoin/ShuffledHashJoin anywhere on the probe path)."),
+    ("agg_hll_distinct",
+     "HyperLogLog: register aggregate map-side combines to <= m rows "
+     "per group; harmonic sum is an integer aggregate — no float "
+     "accumulation in the distributed reduction."),
+    ("pack_length_buckets",
+     "Length-bucketed batching: ONE hash exchange on (band, shard); "
+     "row_number and the batch-stat windows all reuse that partitioning "
+     "— no second exchange."),
 ]
 
 
