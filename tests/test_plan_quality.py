@@ -242,6 +242,9 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # percentile-band filter: BNLJ against the ONE-ROW broadcast
         # cutoff aggregate — a scalar crossJoin, linear by construction
         "curation_length_band",
+        # mixture planner: BNLJ against the ONE-ROW broadcast total-weight
+        # aggregate; both join sides are planning-scale (one row per source)
+        "corpus_mixture_plan",
         # stopword cutoff: BNLJ against the ONE-ROW broadcast corpus
         # doc-count — the same scalar-crossJoin shape
         "text_top_terms",
