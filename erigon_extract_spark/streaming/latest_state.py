@@ -165,3 +165,29 @@ def stream_cms(
     # streaming builder — one definition of the hash/cell layout keeps the
     # streaming-equals-batch linearity structural, not maintained-by-hand
     return cms_build(stream, key_col, depth=depth, width=width)
+
+
+def stream_hll(
+    stream: DataFrame,
+    key_col: str,
+    *,
+    m: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming HyperLogLog: running distinct-count state bounded by
+    ``m`` register rows per group forever — the streaming
+    ``approx_count_distinct`` whose registers are portable integers.
+
+    A streaming COUNT(DISTINCT key) must retain every key seen; hashing
+    each event to (bucket, rho) first makes the state a max-aggregate
+    over at most m buckets, constant in both stream length and key
+    cardinality. max() is monotone, so update-mode emissions are
+    register-wise increasing and the running sketch ALWAYS equals the
+    batch sketch of everything seen (hll_merge's union-max linearity,
+    verified streaming==batch in tests). Estimate any time via
+    operators/sketch.hll_estimate on the sketch table."""
+    from erigon_extract_spark.operators.sketch import hll_build
+
+    # the batch builder is pure DataFrame expressions, so it IS the
+    # streaming builder (the stream_cms argument)
+    return hll_build(stream, key_col, m=m, group_cols=group_cols)

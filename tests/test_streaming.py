@@ -258,3 +258,38 @@ def test_stream_cms_equals_batch_sketch(spark, sf_dir, events_dir):
     }
     assert got == expect
     assert len(got) <= 3 * 32
+
+
+def test_stream_hll_equals_batch_sketch(spark, sf_dir, events_dir):
+    """Register-max monotonicity under streaming: the running (bucket, r)
+    state after an availableNow pass equals the batch HLL of the same
+    data — and state is <= m registers regardless of key cardinality."""
+    from erigon_extract_spark.operators.sketch import hll_build, hll_estimate
+    from erigon_extract_spark.streaming.latest_state import stream_hll
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    out = stream_hll(stream, "user_id", m=64)
+    _run_available_now(out, "hll_t", "complete")
+    got = {
+        (r.bucket, r.r)
+        for r in spark.sql("SELECT * FROM hll_t").collect()
+    }
+    expect = {
+        (r.bucket, r.r)
+        for r in hll_build(batch, "user_id", m=64).collect()
+    }
+    assert got == expect
+    assert len(got) <= 64
+    # the estimate off the streaming state tracks the true cardinality —
+    # at n << m this is HLL's linear-counting regime, the correction the
+    # operator documents as caller-side (libm ln isn't hash-portable):
+    # est_lc = m * ln(m / zeros)
+    import math
+
+    sk = spark.sql("SELECT * FROM hll_t")
+    (est_row,) = hll_estimate(sk, m=64).collect()
+    truth = batch.select("user_id").distinct().count()
+    est_lc = 64 * math.log(64 / est_row.zeros)
+    assert abs(est_lc - truth) / truth < 0.35
