@@ -487,12 +487,17 @@ def portable_band_buckets(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band, bucket) rows from flat signatures — the STORED artifact
-    of an incremental dedup store: append-only, one row per (doc, band)."""
+    """(id, [carry_cols...,] band, bucket) rows from flat signatures — the
+    STORED artifact of an incremental dedup store: append-only, one row
+    per (doc, band). ``carry_cols`` ride through the band explode so a
+    consumer needing per-doc attributes alongside buckets (e.g. the full
+    signature for pair agreement) avoids re-joining the signature table."""
     rows_per_band = n_hashes // bands
     return signatures.select(
         id_col,
+        *carry_cols,
         F.explode(
             F.array(
                 *[
@@ -514,7 +519,7 @@ def portable_band_buckets(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *carry_cols, "bb.band", "bb.bucket")
 
 
 def incremental_minhash_candidates(
@@ -575,32 +580,48 @@ def minhash_lsh_pairs_portable(
     claims.
     """
     flat = portable_signatures(docs, text_col, id_col, n_hashes, shingle_n)
-    banded = portable_band_buckets(flat, id_col, n_hashes, bands)
+    # Carry each doc's full signature INTO the bucket rows (one array per
+    # banded row) so agreement is computed bucket-locally on the pair —
+    # the earlier shape re-joined the corpus-sized signature table twice
+    # (two extra corpus shuffles at scale; AQE only reused one of the
+    # three signature-aggregate consumers at runtime). Now: scan → sig
+    # agg → band explode → bucket agg → pair explode. Struct sort order
+    # puts id first, so array_sort keeps the a < b pair convention.
+    sig_arr = F.array(*[F.col(f"__s{i}") for i in range(n_hashes)])
+    with_sig = portable_band_buckets(
+        flat.withColumn("__sig", sig_arr),
+        id_col,
+        n_hashes,
+        bands,
+        carry_cols=("__sig",),
+    )
     pairs = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        with_sig.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), "__sig"))
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
         .select(F.explode(_pairs_of_sorted("ids")).alias("p"))
-        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .select(
+            F.col("p.a.i").alias("doc_id_a"),
+            F.col("p.b.i").alias("doc_id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "p.a.__sig", "p.b.__sig", lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(n_hashes))
+            ).alias("sig_agreement"),
+        )
         .distinct()
     )
-    sig_a = flat.select(
-        F.col(id_col).alias("doc_id_a"),
-        *[F.col(f"__s{i}").alias(f"__a{i}") for i in range(n_hashes)],
-    )
-    sig_b = flat.select(
-        F.col(id_col).alias("doc_id_b"),
-        *[F.col(f"__s{i}").alias(f"__b{i}") for i in range(n_hashes)],
-    )
-    agreement = sum(
-        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
-    ) / F.lit(float(n_hashes))
-    return (
-        pairs.join(sig_a, "doc_id_a")
-        .join(sig_b, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", agreement.alias("sig_agreement"))
-    )
+    return pairs
 
 
 def simhash_pairs_portable(
