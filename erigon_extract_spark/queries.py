@@ -4498,6 +4498,56 @@ def corpus_mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_winnowing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 5
+    ),
+    g AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)), 1, 8)
+                  AS BIGINT) AS h
+      FROM t, UNNEST(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    m AS (SELECT doc_id, MAX(i) AS mx FROM g GROUP BY doc_id),
+    starts AS (
+      SELECT doc_id, p
+      FROM m, UNNEST(generate_series(1, greatest(mx - 3, 1))) AS u(p)
+    ),
+    win AS (
+      SELECT s.doc_id, s.p, g.h, g.i
+      FROM starts s
+      JOIN g ON g.doc_id = s.doc_id AND g.i BETWEEN s.p AND s.p + 3
+    ),
+    sel AS (SELECT doc_id, p, MIN(h) AS mh FROM win GROUP BY doc_id, p),
+    pick AS (
+      SELECT w.doc_id, MAX(w.i) AS pos, s.mh AS gram_hash
+      FROM win w
+      JOIN sel s ON w.doc_id = s.doc_id AND w.p = s.p AND w.h = s.mh
+      GROUP BY w.doc_id, w.p, s.mh
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, gram_hash
+    FROM pick
+    """,
+)
+def dedup_winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/dedup.winnowing_fingerprints;
+    Schleimer et al. 2003): min-hash-per-window selection with rightmost
+    tie-breaking, k=5 char grams, w=4 windows — any >=8-char shared
+    substring between docs shares a fingerprint. Zero-shuffle per-row
+    array HOFs on the Spark side; the oracle rebuilds the same selection
+    relationally (window starts x grams band join). The full selected
+    set — positions, hashes, tie decisions — is under the value hash."""
+    from erigon_extract_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _load(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=5, w=4)
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

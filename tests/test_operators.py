@@ -685,3 +685,56 @@ def test_hll_accuracy_merge_and_register_bound(spark):
     assert sorted((r.bucket, r.r) for r in merged.collect()) == sorted(
         (r.bucket, r.r) for r in sk.collect()
     )
+
+
+def test_winnowing_guarantee_density_and_reference(spark):
+    """The Schleimer et al. guarantee: any shared substring of length
+    >= w + k - 1 yields a shared fingerprint; selection matches an
+    independent python reference (min-per-window, rightmost ties)."""
+    import hashlib
+    import random
+    import re as _re
+
+    from erigon_extract_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 5, 4
+
+    def ref_fps(text):
+        t = _re.sub(r"\s+", " ", text.lower()).strip()
+        if len(t) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        out = set()
+        for p in range(max(len(hs) - w + 1, 1)):
+            window = hs[p:p + w]
+            mh = min(window)
+            # rightmost occurrence of the min
+            mi = max(i for i, h in enumerate(window) if h == mh)
+            out.add((p + mi + 1, mh))
+        return out
+
+    rng = random.Random(7)
+    shared = "a very distinctive shared passage here"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different opening " + shared + " and ending"),
+        (3, "".join(rng.choice("abcdef ") for _ in range(200))),
+        (4, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    # exact match vs the reference implementation, every doc
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == ref_fps(text), doc_id
+    # guarantee: docs 1 and 2 share a long substring -> shared fingerprint
+    h1 = {h for _, h in got[1]}
+    h2 = {h for _, h in got[2]}
+    assert h1 & h2
+    # density: roughly 2/(w+1) of grams selected on random text
+    n_grams = len(_re.sub(r"\s+", " ", rows[2][1].lower()).strip()) - k + 1
+    assert len(got[3]) < 0.6 * n_grams
