@@ -869,3 +869,62 @@ def winnowing_fingerprints(
             F.col("s.h").alias("gram_hash"),
         )
     )
+
+
+def winnowing_matches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_df: int = 1000,
+) -> DataFrame:
+    """Cross-document clone detection on winnowing fingerprints: pairs of
+    documents sharing >= ``min_shared`` selected fingerprints, with the
+    shared count and each side's coverage fraction (shared / own
+    fingerprints) — the MOSS report, as a DataFrame.
+
+    Scale shape: the inverted-index join runs on fingerprint HASHES
+    (~2/(w+1) of gram count per doc), and ``max_hash_df`` drops hashes
+    selected in more than that many documents before pairing — the same
+    hot-key cap as LSH's max_bucket_size: a boilerplate gram shared by a
+    million docs would otherwise emit O(df^2) pairs from one task. Join
+    volume is bounded by rare-hash collisions; no self-join of text.
+    """
+    fps = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w)
+    # distinct hashes per doc (a hash selected at two positions counts once)
+    dh = fps.select(id_col, "gram_hash").distinct()
+    sizes = dh.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    hot = dh.groupBy("gram_hash").agg(F.count("*").alias("df"))
+    usable = dh.join(
+        hot.filter(F.col("df") <= max_hash_df).select("gram_hash"), "gram_hash"
+    )
+    pairs = (
+        usable.alias("l")
+        .join(usable.alias("r"), "gram_hash")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_id_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_id_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "shared_fp",
+            F.round(F.col("shared_fp") / F.col("n_fp_a"), 6).alias("cover_a"),
+            F.round(F.col("shared_fp") / F.col("n_fp_b"), 6).alias("cover_b"),
+        )
+    )

@@ -4548,6 +4548,67 @@ def dedup_winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=5, w=4)
 
 
+@query(
+    "dedup_winnowing_matches",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 5
+    ),
+    g AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)), 1, 8)
+                  AS BIGINT) AS h
+      FROM t, UNNEST(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    m AS (SELECT doc_id, MAX(i) AS mx FROM g GROUP BY doc_id),
+    starts AS (
+      SELECT doc_id, p
+      FROM m, UNNEST(generate_series(1, greatest(mx - 3, 1))) AS u(p)
+    ),
+    win AS (
+      SELECT s.doc_id, s.p, g.h, g.i
+      FROM starts s
+      JOIN g ON g.doc_id = s.doc_id AND g.i BETWEEN s.p AND s.p + 3
+    ),
+    sel AS (SELECT doc_id, p, MIN(h) AS mh FROM win GROUP BY doc_id, p),
+    dh AS (SELECT DISTINCT doc_id, mh AS gram_hash FROM sel),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM dh GROUP BY doc_id),
+    hot AS (
+      SELECT gram_hash FROM dh GROUP BY gram_hash HAVING COUNT(*) <= 1000
+    ),
+    usable AS (SELECT dh.* FROM dh JOIN hot USING (gram_hash)),
+    pairs AS (
+      SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+             COUNT(*) AS shared_fp
+      FROM usable l JOIN usable r USING (gram_hash)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 100
+    )
+    SELECT doc_id_a, doc_id_b, shared_fp,
+           ROUND(CAST(shared_fp AS DOUBLE) / sa.n_fp, 6) AS cover_a,
+           ROUND(CAST(shared_fp AS DOUBLE) / sb.n_fp, 6) AS cover_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = pairs.doc_id_a
+    JOIN sizes sb ON sb.doc_id = pairs.doc_id_b
+    """,
+)
+def dedup_winnowing_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style clone report (operators/dedup.winnowing_matches): doc
+    pairs sharing >= 100 winnowing fingerprints (the synthetic corpus is highly self-similar, so the gate pins the true-clone tail) with shared counts and
+    per-side coverage fractions. The inverted-index join runs on the
+    ~2/(w+1)-density fingerprint hashes with a hot-hash df cap (the LSH
+    max_bucket_size argument) — join volume bounded by rare-hash
+    collisions, never a text self-join."""
+    from erigon_extract_spark.operators.dedup import winnowing_matches
+
+    docs = _load(spark, sf_dir, "documents")
+    return winnowing_matches(docs, k=5, w=4, min_shared=100)
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

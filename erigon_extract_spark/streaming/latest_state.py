@@ -191,3 +191,24 @@ def stream_hll(
     # the batch builder is pure DataFrame expressions, so it IS the
     # streaming builder (the stream_cms argument)
     return hll_build(stream, key_col, m=m, group_cols=group_cols)
+
+
+def stream_bloom(
+    stream: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming Bloom filter: running membership state bounded by
+    m_bits/32 word rows forever. bit_or is monotone, so the running word
+    table always equals the batch Bloom of every key seen — the
+    have-we-seen-this-key structure for dedup gating on an open key
+    domain where dropDuplicates' state would grow unboundedly (accepting
+    the Bloom's false-positive rate in exchange). Probe any time via
+    operators/sketch.bloom_maybe_contains on the sketch table."""
+    from erigon_extract_spark.operators.sketch import bloom_build
+
+    # the batch builder is pure DataFrame expressions, so it IS the
+    # streaming builder (the stream_cms/stream_hll argument)
+    return bloom_build(stream, key_col, m_bits=m_bits, k=k)

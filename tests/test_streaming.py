@@ -293,3 +293,37 @@ def test_stream_hll_equals_batch_sketch(spark, sf_dir, events_dir):
     truth = batch.select("user_id").distinct().count()
     est_lc = 64 * math.log(64 / est_row.zeros)
     assert abs(est_lc - truth) / truth < 0.35
+
+
+def test_stream_bloom_equals_batch_sketch(spark, sf_dir, events_dir):
+    """bit_or monotonicity under streaming: the running (word, bits)
+    state after an availableNow pass equals the batch Bloom of the same
+    keys, and membership verdicts off the streaming state are exact for
+    members (no false negatives ever)."""
+    from erigon_extract_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from erigon_extract_spark.streaming.latest_state import stream_bloom
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    out = stream_bloom(stream, "user_id", m_bits=1 << 12, k=4)
+    _run_available_now(out, "bloom_t", "complete")
+    got = {
+        (r.word, r.bits)
+        for r in spark.sql("SELECT * FROM bloom_t").collect()
+    }
+    expect = {
+        (r.word, r.bits)
+        for r in bloom_build(batch, "user_id", m_bits=1 << 12, k=4).collect()
+    }
+    assert got == expect
+    # every key that streamed through reports maybe=True off the state
+    members = batch.select("user_id").distinct()
+    verdicts = bloom_maybe_contains(
+        spark.sql("SELECT * FROM bloom_t"), members, "user_id",
+        m_bits=1 << 12, k=4,
+    ).collect()
+    assert all(r.maybe for r in verdicts)
