@@ -93,3 +93,64 @@ def dedup_clusters(
         ).withColumn("cluster", F.col(id_col))
         comp = comp.unionByName(singles)
     return comp
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected simple graph — the
+    density/clustering diagnostic for near-duplicate pair graphs (a
+    dedup candidate set whose triangle density explodes is boilerplate,
+    not chance collision).
+
+    Scale shape: degree-ordered orientation (each edge points from its
+    (degree, id)-smaller endpoint) before the wedge join — the classic
+    trick that bounds every vertex's out-degree by O(sqrt(|E|)), so the
+    wedge join volume is O(|E|^1.5) worst case instead of sum(deg^2)
+    (a star graph's hub would otherwise form the wedge set alone). Two
+    hash joins on vertex keys; each triangle is counted exactly once.
+
+    Returns one row: (n_triangles).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"))
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    w1 = oriented.select(F.col("a"), F.col("b"))
+    w2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = w1.join(w2, "b").select("a", "b", "c")
+    closing = oriented.select(
+        F.col("a").alias("a"), F.col("b").alias("c"), F.lit(1).alias("__hit")
+    )
+    return (
+        wedges.join(closing, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

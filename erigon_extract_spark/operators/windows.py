@@ -200,3 +200,31 @@ def dedup_keep_first(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def intervalize(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Changelog → validity intervals (the SCD-type-2 / temporal-table
+    build): each key's versions become rows carrying
+    ``valid_from`` = own version, ``valid_to`` = next version (null while
+    current) and ``is_current``. The dual of ``state_at``/``as_of_join``:
+    those answer "state at time t" per query; this materializes ALL
+    states with their validity ranges so any t answers by a plain
+    BETWEEN predicate — the layout a warehouse keeps for history tables
+    (and what the reference's state-history output is, reference
+    README.md:37-41, generalized to any keyed changelog).
+
+    One hash shuffle on the keys; lead() runs inside the same
+    partitioning. Append-friendly: new versions only rewrite each key's
+    previously-open interval."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())
+    return df.select(
+        *key_cols,
+        F.col(version_col).alias("valid_from"),
+        F.lead(version_col).over(w).alias("valid_to"),
+        *value_cols,
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -4609,6 +4609,73 @@ def dedup_winnowing_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_matches(docs, k=5, w=4, min_shared=100)
 
 
+@query(
+    "events_scd2_intervals",
+    """
+    SELECT user_id,
+           event_id AS valid_from,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS valid_to,
+           event_type,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+             IS NULL AS is_current
+    FROM events
+    """,
+)
+def events_scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> validity intervals (operators/windows.intervalize):
+    the SCD-type-2 / temporal-table materialization, dual of the as-of
+    operators — all historical states with [valid_from, valid_to) ranges
+    so any point-in-time query is a BETWEEN predicate. One hash shuffle,
+    lead() inside the same partitioning."""
+    from erigon_extract_spark.operators.windows import intervalize
+
+    ev = _events_raw(spark, sf_dir)
+    return intervalize(ev, ["user_id"], "event_id", ["event_type"])
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH raw AS (SELECT i FROM UNNEST(generate_series(0, 599)) AS t(i)),
+    base AS (
+      SELECT i % 200 AS u, (i * 7 + 3) % 200 AS v FROM raw
+      UNION ALL
+      SELECT i % 200 AS u, (i * 13 + 5) % 200 AS v FROM raw
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM base WHERE u != v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.triangle_count) with
+    degree-ordered orientation — out-degrees bounded by O(sqrt(E)), so
+    the wedge join is O(E^1.5) worst case instead of a hub vertex's
+    deg^2 (the skew argument). Deterministic synthetic graph (600 edge
+    draws over 200 vertices, two affine generators) built identically
+    from spark.range and generate_series; the oracle counts canonical
+    a<b<c triangles by 3-way join."""
+    from erigon_extract_spark.operators.graph import triangle_count
+
+    raw = spark.range(600)
+    base = raw.select(
+        (F.col("id") % 200).alias("src"),
+        ((F.col("id") * 7 + 3) % 200).alias("dst"),
+    ).unionAll(
+        raw.select(
+            (F.col("id") % 200).alias("src"),
+            ((F.col("id") * 13 + 5) % 200).alias("dst"),
+        )
+    )
+    return triangle_count(base)
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -738,3 +738,67 @@ def test_winnowing_guarantee_density_and_reference(spark):
     # density: roughly 2/(w+1) of grams selected on random text
     n_grams = len(_re.sub(r"\s+", " ", rows[2][1].lower()).strip()) - k + 1
     assert len(got[3]) < 0.6 * n_grams
+
+
+def test_intervalize_scd2_semantics(spark):
+    from erigon_extract_spark.operators.windows import intervalize
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 35, "c"), (2, 5, "x")],
+        "k long, v long, s string",
+    )
+    out = sorted(
+        intervalize(df, ["k"], "v", ["s"]).collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    rows = [(r.k, r.valid_from, r.valid_to, r.s, r.is_current) for r in out]
+    assert rows == [
+        (1, 10, 20, "a", False),
+        (1, 20, 35, "b", False),
+        (1, 35, None, "c", True),
+        (2, 5, None, "x", True),
+    ]
+    # interval lookup == state_at for any t: t=22 -> version 20 ('b')
+    from erigon_extract_spark.operators.asof import state_at
+
+    got = intervalize(df, ["k"], "v", ["s"]).filter(
+        (F.col("valid_from") <= 22)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 22))
+    )
+    want = state_at(df, ["k"], "v", 22)
+    assert sorted((r.k, r.s) for r in got.collect()) == sorted(
+        (r.k, r.s) for r in want.collect()
+    )
+
+
+def test_triangle_count_reference_and_star_graph(spark):
+    import itertools
+    import random
+
+    from erigon_extract_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    n = 40
+    edges = {(a, b) for a in range(n) for b in range(n)
+             if a < b and rng.random() < 0.15}
+    # python reference
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    (row,) = triangle_count(df).collect()
+    assert row.n_triangles == expect
+    # star graph: hub of degree 50, zero triangles (orientation keeps the
+    # hub's wedge set empty rather than deg^2)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "src long, dst long"
+    )
+    (srow,) = triangle_count(star).collect()
+    assert srow.n_triangles == 0
