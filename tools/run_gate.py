@@ -137,8 +137,15 @@ def main() -> None:
     import os
 
     tz = os.environ.get("SPARK_GRAFT_TZ")
-    extra = {"spark.sql.session.timeZone": tz} if tz else None
-    spark = get_spark(app_name="gate", extra_conf=extra)
+    extra = {"spark.sql.session.timeZone": tz} if tz else {}
+    # SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2" sweeps any session config — e.g.
+    # spark.sql.ansi.enabled=false — to flush queries whose parity depends
+    # on a driver-session default (the timezone-class divergence, §NOTES)
+    for kv in filter(None, os.environ.get(
+            "SPARK_GRAFT_EXTRA_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
+    spark = get_spark(app_name="gate", extra_conf=extra or None)
     n_pass = n_fail = 0
     with ThreadPoolExecutor(max_workers=6) as pool:
         futs = {pool.submit(run_one, spark, sf_dir, n): n for n in names}
