@@ -92,3 +92,93 @@ def test_cms_estimates_match_python_reference_random(spark):
                       for i in range(depth))
             assert (est, tc) == (ref, true[k]), (seed, k)
         assert set(got) == set(true)
+
+
+def test_bloom_no_false_negatives_random(spark):
+    """Property over random key sets: every inserted key reports
+    maybe=True, for several (m, k) shapes and seeds."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    for seed, m_bits, k in ((3, 1 << 10, 3), (9, 1 << 14, 6)):
+        rng = random.Random(seed)
+        keys = list({rng.randint(0, 10**9) for _ in range(400)})
+        df = spark.createDataFrame([(x,) for x in keys], "key long")
+        out = bloom_maybe_contains(
+            bloom_build(df, "key", m_bits=m_bits, k=k),
+            df, "key", m_bits=m_bits, k=k,
+        ).collect()
+        assert len(out) == len(keys)
+        assert all(r.maybe for r in out)
+
+
+def test_hll_merge_equals_union_random(spark):
+    """Sketch(A) merge Sketch(B) == Sketch(A ∪ B) register-for-register,
+    for random disjoint and overlapping splits."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.sketch import hll_build, hll_merge
+
+    rng = random.Random(5)
+    a_keys = [rng.randint(0, 10**6) for _ in range(500)]
+    b_keys = [rng.randint(0, 10**6) for _ in range(500)] + a_keys[:100]
+    a = spark.createDataFrame([(x,) for x in a_keys], "k long")
+    b = spark.createDataFrame([(x,) for x in b_keys], "k long")
+    both = a.union(b)
+    merged = {
+        (r.bucket, r.r)
+        for r in hll_merge(
+            hll_build(a, "k", m=128), hll_build(b, "k", m=128)
+        ).collect()
+    }
+    direct = {
+        (r.bucket, r.r) for r in hll_build(both, "k", m=128).collect()
+    }
+    assert merged == direct
+
+
+def test_intervalize_partitions_version_line_random(spark):
+    """Property: per key, intervals are disjoint, cover exactly the
+    version range, chain correctly (valid_to == next valid_from), and
+    exactly one is_current."""
+    from erigon_extract_spark.operators.windows import intervalize
+
+    rng = random.Random(13)
+    rows = []
+    for k in range(10):
+        for v in rng.sample(range(1000), rng.randint(1, 12)):
+            rows.append((k, v, f"s{v}"))
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    by_key = {}
+    for r in intervalize(df, ["k"], "v", ["s"]).collect():
+        by_key.setdefault(r.k, []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        versions = sorted(v for kk, v, _ in rows if kk == k)
+        assert [r.valid_from for r in ivs] == versions
+        assert sum(1 for r in ivs if r.is_current) == 1
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev.valid_to == nxt.valid_from
+        assert ivs[-1].valid_to is None
+
+
+def test_length_bucket_batches_total_and_bounds_random(spark):
+    """Every doc lands in exactly one batch; capacity and band bounds
+    hold on random corpora."""
+    from erigon_extract_spark.operators.packing import length_bucket_batches
+
+    rng = random.Random(21)
+    docs = spark.createDataFrame(
+        [(i, "w " * rng.randint(1, 600)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = length_bucket_batches(docs, batch_tokens=512, n_shards=4).collect()
+    assert len(out) == 300
+    assert len({r.doc_id for r in out}) == 300
+    for r in out:
+        assert (1 << r.band) <= r.n_tokens < (1 << (r.band + 1))
+        assert r.batch_size <= max(1, 512 >> (r.band + 1))
