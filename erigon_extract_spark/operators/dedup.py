@@ -883,7 +883,9 @@ def winnowing_matches(
     """Cross-document clone detection on winnowing fingerprints: pairs of
     documents sharing >= ``min_shared`` selected fingerprints, with the
     shared count and each side's coverage fraction (shared / own
-    fingerprints) — the MOSS report, as a DataFrame.
+    fingerprints, both counted within the df-capped hash space so exact
+    clones reach coverage 1.0 even when they share boilerplate hashes) —
+    the MOSS report, as a DataFrame.
 
     Scale shape: the inverted-index join runs on fingerprint HASHES
     (~2/(w+1) of gram count per doc), and ``max_hash_df`` drops hashes
@@ -895,11 +897,15 @@ def winnowing_matches(
     fps = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w)
     # distinct hashes per doc (a hash selected at two positions counts once)
     dh = fps.select(id_col, "gram_hash").distinct()
-    sizes = dh.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     hot = dh.groupBy("gram_hash").agg(F.count("*").alias("df"))
     usable = dh.join(
         hot.filter(F.col("df") <= max_hash_df).select("gram_hash"), "gram_hash"
     )
+    # coverage denominators come from the SAME df-capped hash space as the
+    # shared counts — otherwise two identical docs sharing one boilerplate
+    # hash (df > cap) could never reach cover == 1.0 and an exact-clone
+    # threshold would miss true clones
+    sizes = usable.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     pairs = (
         usable.alias("l")
         .join(usable.alias("r"), "gram_hash")

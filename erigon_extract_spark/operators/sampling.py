@@ -152,20 +152,22 @@ def plan_token_mixture(
     a token budget — the planning step in front of ``mixture_sample``.
 
     Per source: target_tokens = budget * weight // total_weight (integer),
-    rate_permille = min(1000, target*1000 // available), and epochs =
-    ceil(target / available) — an under-resourced source repeats (epoch
-    oversampling, the standard recipe when a high-weight source is small)
-    while an abundant one subsamples. All arithmetic is integer, so the
-    plan is engine-portable and hash-gated; expected_tokens (the floor
-    estimate available*rate/1000, or target when repeating) makes the
-    budget check auditable in the output itself.
+    then a plan of ``full_epochs`` complete passes plus ONE partial pass
+    at ``residual_permille`` — an under-resourced source repeats (epoch
+    oversampling, the standard recipe when a high-weight source is
+    small), an abundant one subsamples (full_epochs = 0), and a
+    zero-supply source gets an explicit all-zero row rather than a
+    divide-by-zero. Executing the plan literally consumes
+    ``expected_tokens`` <= target ALWAYS — a ceil(epochs)-at-full-rate
+    plan would overshoot by up to one whole epoch when the target just
+    exceeds supply. All arithmetic is integer, so the plan is
+    engine-portable and hash-gated.
 
     Scale shape: ONE map-side-combined aggregate over the corpus to get
     per-source token supply (tiny result: one row per source), joined to
     the weight table — both sides are planning-scale, the corpus is
-    never shuffled. The emitted rate_permille column feeds
-    ``mixture_sample`` as a broadcast join or literal CASE, keeping the
-    actual sampling pass shuffle-free.
+    never shuffled. The rates feed ``mixture_sample`` as a broadcast
+    join or literal CASE, keeping the actual sampling pass shuffle-free.
     """
     from erigon_extract_spark.operators.text import token_count
 
@@ -193,17 +195,27 @@ def plan_token_mixture(
             " AS target_tokens",
         )
     )
+    # full_epochs complete passes plus ONE partial pass at residual_permille
+    # — emitting only ceil(epochs) at full rate would overshoot the budget
+    # by up to a whole epoch (target just over available -> ~2x). A
+    # zero-supply source (all-empty text) gets an explicit all-zero plan
+    # row instead of a divide-by-zero (ANSI aborts; non-ANSI/DuckDB give
+    # NULL — neither is a plan).
     return planned.selectExpr(
         source_col,
         "available_tokens",
         "weight",
         "target_tokens",
-        "CAST(least(1000, (target_tokens * 1000) div available_tokens)"
-        " AS BIGINT) AS rate_permille",
-        "CAST(greatest(1, (target_tokens + available_tokens - 1)"
-        " div available_tokens) AS BIGINT) AS epochs",
-        "CAST(CASE WHEN target_tokens >= available_tokens THEN target_tokens"
-        " ELSE (available_tokens"
-        "       * least(1000, (target_tokens * 1000) div available_tokens))"
-        "      div 1000 END AS BIGINT) AS expected_tokens",
+        "CAST(CASE WHEN available_tokens = 0 THEN 0"
+        " ELSE target_tokens div available_tokens END AS BIGINT)"
+        " AS full_epochs",
+        "CAST(CASE WHEN available_tokens = 0 THEN 0"
+        " ELSE ((target_tokens % available_tokens) * 1000)"
+        "      div available_tokens END AS BIGINT) AS residual_permille",
+        "CAST(CASE WHEN available_tokens = 0 THEN 0"
+        " ELSE (target_tokens div available_tokens) * available_tokens"
+        "      + (available_tokens"
+        "         * (((target_tokens % available_tokens) * 1000)"
+        "            div available_tokens)) div 1000 END AS BIGINT)"
+        " AS expected_tokens",
     )

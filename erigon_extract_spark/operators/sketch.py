@@ -157,7 +157,11 @@ def bloom_build(
         (h1 + F.col("i") * h2) % m_bits
     )
     return (
-        df.select(F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"))
+        # NULL keys hash to NULL positions and would pollute the stored
+        # sketch with a junk (NULL, NULL) word row — a set has no NULL
+        # member; filter them at build
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"))
         .select(
             F.floor(pos / 32).cast("long").alias("word"),
             F.call_function(
@@ -215,7 +219,10 @@ def bloom_maybe_contains(
     for h in hits[1:]:
         maybe = maybe & h
     drop = [c for i in range(k) for c in (f"__w{i}", f"__bits{i}", f"__m{i}")]
-    return out.withColumn("maybe", maybe).drop(*drop)
+    # a NULL probe key has NULL hash positions -> NULL verdict; a set has
+    # no NULL member, so the verdict is definitively False (otherwise a
+    # filter on ~maybe silently drops NULL-key rows from BOTH branches)
+    return out.withColumn("maybe", F.coalesce(maybe, F.lit(False))).drop(*drop)
 
 
 def bloom_prune_join(
@@ -242,9 +249,10 @@ def bloom_prune_join(
         m_bits=m_bits,
         k=k,
     ).filter("maybe").drop("maybe")
-    return survivors.join(
-        small.select(key_col).distinct(), key_col, "left_semi"
-    )
+    # no distinct() on the semi-join side: left_semi already emits one row
+    # per surviving left row regardless of right-side duplicates, and the
+    # key set is too big to pay an extra shuffle for nothing
+    return survivors.join(small.select(key_col), key_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -4459,15 +4459,19 @@ def agg_hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM supply s JOIN w USING (source), tw
     )
     SELECT source, available_tokens, weight, target_tokens,
-           CAST(least(1000, (target_tokens * 1000) // available_tokens)
-                AS BIGINT) AS rate_permille,
-           CAST(greatest(1, (target_tokens + available_tokens - 1)
-                            // available_tokens) AS BIGINT) AS epochs,
-           CAST(CASE WHEN target_tokens >= available_tokens
-                     THEN target_tokens
-                     ELSE (available_tokens
-                           * least(1000, (target_tokens * 1000)
-                                         // available_tokens)) // 1000
+           CAST(CASE WHEN available_tokens = 0 THEN 0
+                     ELSE target_tokens // available_tokens
+                END AS BIGINT) AS full_epochs,
+           CAST(CASE WHEN available_tokens = 0 THEN 0
+                     ELSE ((target_tokens % available_tokens) * 1000)
+                          // available_tokens
+                END AS BIGINT) AS residual_permille,
+           CAST(CASE WHEN available_tokens = 0 THEN 0
+                     ELSE (target_tokens // available_tokens)
+                          * available_tokens
+                          + (available_tokens
+                             * (((target_tokens % available_tokens) * 1000)
+                                // available_tokens)) // 1000
                 END AS BIGINT) AS expected_tokens
     FROM planned
     """,
@@ -4475,11 +4479,13 @@ def agg_hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture planning (operators/sampling.
     plan_token_mixture): per-source weights + a 500k-token budget turn
-    into integer sampling rates for mixture_sample — subsample rates for
-    abundant sources, epoch counts for under-resourced ones. One
-    map-side-combined supply aggregate (one row per source); the corpus
-    is never shuffled. All-integer arithmetic (`div`, never float
-    division) keeps the plan hash-identical across engines."""
+    into full_epochs complete passes plus one residual_permille partial
+    pass — expected_tokens <= target always (a ceil-epochs plan would
+    overshoot by up to a whole epoch); zero-supply sources plan to zero
+    instead of dividing by it. One map-side-combined supply aggregate
+    (one row per source); the corpus is never shuffled. All-integer
+    arithmetic (div, never float division) keeps the plan hash-identical
+    across engines."""
     from erigon_extract_spark.operators.sampling import plan_token_mixture
 
     docs = _load(spark, sf_dir, "documents")
@@ -4575,11 +4581,14 @@ def dedup_winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sel AS (SELECT doc_id, p, MIN(h) AS mh FROM win GROUP BY doc_id, p),
     dh AS (SELECT DISTINCT doc_id, mh AS gram_hash FROM sel),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM dh GROUP BY doc_id),
     hot AS (
       SELECT gram_hash FROM dh GROUP BY gram_hash HAVING COUNT(*) <= 1000
     ),
     usable AS (SELECT dh.* FROM dh JOIN hot USING (gram_hash)),
+    -- denominators from the df-capped space, same as the shared counts
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM usable GROUP BY doc_id
+    ),
     pairs AS (
       SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
              COUNT(*) AS shared_fp
@@ -5565,7 +5574,7 @@ def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ROUND-5 QUEUE (plan; rotate once the r4 window lands green in
-# CORRECTNESS_r04): (1) the six r4-session additions enter for first
+# CORRECTNESS_r04): (1) the eight r4-session additions enter for first
 # driver evidence — agg_bloom_membership, agg_hll_distinct,
 # pack_length_buckets, corpus_mixture_plan, dedup_winnowing,
 # dedup_winnowing_matches, events_scd2_intervals, graph_triangle_count —

@@ -167,22 +167,37 @@ def test_plan_token_mixture_budget_and_epochs(spark):
 
     docs = spark.createDataFrame(
         [(i, "w " * 100, "big" if i < 90 else "small")
-         for i in range(100)],
+         for i in range(100)]
+        + [(900, "   ", "empty"), (901, None, "empty")],
         "doc_id long, text string, source string",
     )
     weights = spark.createDataFrame(
-        [("big", 1), ("small", 3)], "source string, weight long"
+        [("big", 1), ("small", 3), ("empty", 2)],
+        "source string, weight long",
     )
     out = {r.source: r for r in plan_token_mixture(
         docs, weights, token_budget=4000
     ).collect()}
     big, small = out["big"], out["small"]
     assert big.available_tokens == 9000 and small.available_tokens == 1000
-    # targets: 4000 * 1/4 = 1000, 4000 * 3/4 = 3000
-    assert big.target_tokens == 1000 and small.target_tokens == 3000
-    # abundant source subsamples: 1000/9000 -> 111 permille, one epoch
-    assert big.rate_permille == 111 and big.epochs == 1
-    assert big.expected_tokens == 9000 * 111 // 1000
-    # starved source repeats: 3 epochs at full rate
-    assert small.rate_permille == 1000 and small.epochs == 3
-    assert small.expected_tokens == 3000
+    # targets: weight/total = 1/6, 3/6 of 4000
+    assert big.target_tokens == 666 and small.target_tokens == 2000
+    # abundant source: zero full epochs, residual subsample rate
+    assert big.full_epochs == 0 and big.residual_permille == 74
+    assert big.expected_tokens == 9000 * 74 // 1000
+    # starved source: 2 full passes + residual partial pass, NO overshoot
+    assert small.full_epochs == 2 and small.residual_permille == 0
+    assert small.expected_tokens == 2000
+    assert small.expected_tokens <= small.target_tokens
+    # zero-supply source plans to zero instead of dividing by zero
+    emp = out["empty"]
+    assert emp.available_tokens == 0
+    assert (emp.full_epochs, emp.residual_permille, emp.expected_tokens) \
+        == (0, 0, 0)
+    # overshoot bound: target just above supply stays within target
+    w2 = spark.createDataFrame([("small", 1)], "source string, weight long")
+    (p,) = plan_token_mixture(
+        docs.filter(F.col("source") == "small"), w2, token_budget=1100
+    ).collect()
+    assert p.full_epochs == 1 and p.residual_permille == 100
+    assert p.expected_tokens == 1000 + 1000 * 100 // 1000 == 1100

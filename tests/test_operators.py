@@ -623,6 +623,18 @@ def test_bloom_no_false_negatives_and_deterministic_fps(spark):
         bloom, probes, "key", m_bits=1 << 12, k=4
     ).collect()}
     assert out == out2
+    # NULL keys: excluded from the build (no junk word row), and a NULL
+    # probe verdicts False (a set has no NULL member), never NULL
+    with_null = spark.createDataFrame(
+        [(1,), (None,)], "key long"
+    )
+    bn = bloom_build(with_null, "key", m_bits=1 << 12, k=4)
+    assert all(r.word is not None and r.bits is not None
+               for r in bn.collect())
+    verdicts = {r.key: r.maybe for r in bloom_maybe_contains(
+        bn, with_null, "key", m_bits=1 << 12, k=4
+    ).collect()}
+    assert verdicts[1] is True and verdicts[None] is False
 
 
 def test_bloom_prune_join_equals_semi_join(spark):

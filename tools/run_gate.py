@@ -85,14 +85,10 @@ def run_one(spark, sf_dir: str, name: str) -> tuple[str, bool, str]:
         # widens integer SUM to HUGEINT (int128), which the driver's
         # pandas canonicalizer hashes differently from Spark's int64 even
         # when values are numerically equal — rows_match green,
-        # hash_match red. Reject result columns pandas can't hold in an
-        # int64/float64 lane, the same way non-scalar cells are rejected.
-        hostile = [
-            (c, str(t))
-            for c, t in zip(rel.columns, rel.types)
-            if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
-            or str(t).startswith("DECIMAL")
-        ]
+        # hash_match red. One shared predicate with the oracle auditor.
+        from erigon_extract_spark.oracle_compat import hostile_oracle_cols
+
+        hostile = hostile_oracle_cols(rel.columns, rel.types)
         if hostile:
             return name, False, (
                 f"oracle columns {hostile} widen beyond int64 — the "

@@ -29,22 +29,12 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# DuckDB types pandas cannot hold losslessly in an int64/float64 column.
-BAD_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+from erigon_extract_spark.oracle_compat import hostile_oracle_cols  # noqa: E402
 
 
 def bad_cols(con, sql: str) -> list[tuple[str, str]]:
     rel = con.sql(sql)
-    out = []
-    for name, dtype in zip(rel.columns, rel.types):
-        s = str(dtype)
-        if s in BAD_TYPES:
-            out.append((name, s))
-        elif s.startswith("DECIMAL"):
-            # DECIMAL(p,s) with p>18 exceeds int64 even at scale 0; any
-            # DECIMAL hashes as Python Decimal objects in pandas — reject.
-            out.append((name, s))
-    return out
+    return hostile_oracle_cols(rel.columns, rel.types)
 
 
 def main() -> None:
