@@ -124,6 +124,13 @@ def main() -> None:
         compression = None
 
     total = round(sum(times.values()), 3)
+    # ambient context for cross-round comparisons: identical-code runs
+    # have measured 2x total swings under co-tenant load (NOTES.md), so
+    # the sampled host load rides along with every bench line
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = None
     print(
         json.dumps(
             {
@@ -133,6 +140,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "compression": compression,
+                "load_avg": load_avg,
             }
         )
     )
