@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels are import-guarded: with PIL present, ``fake_decode=
-False`` runs a real probe/resize; in this container (no image/audio libs)
-``fake_decode=True`` derives deterministic metadata from the bytes so the
-Spark-side contract — schema, batch iteration, partition sizing — is real
-and tested. Swapping stub→real is the one per-payload function; everything
-around it (null handling, lengths, output assembly) is vectorized pandas.
+Decode kernels, in order of reality: PNG payloads probe/decode/resize
+NATIVELY (pure numpy+zlib codec in functions/png.py — real pixels, no
+image library, runs in this container and is exercised end-to-end through
+Spark in tests); other image formats use PIL behind an import guard; and
+``fake_decode=True`` derives deterministic metadata from the bytes —
+the mode the oracle-gated queries use, since a DuckDB oracle can mirror
+a byte fold but not a deflate stream. Swapping kernels is the one
+per-payload function; everything around it (null handling, lengths,
+output assembly) is vectorized pandas.
 
 Scale notes: binary payloads ride in Parquet as BYTE_ARRAY; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits
@@ -45,11 +48,19 @@ def _fake_probe(payload: bytes) -> tuple[int, int, int]:
 
 
 def _real_probe(payload: bytes) -> tuple[int, int, int]:
-    """PIL-backed probe (images only; duration 0). Raises when the library
-    isn't available so a misconfigured cluster fails loudly, not wrongly."""
+    """Real image probe: PNG headers are parsed natively (pure
+    numpy+zlib, functions/png.py — no image library needed); other
+    formats fall back to PIL. Raises when neither path applies so a
+    misconfigured cluster fails loudly, not wrongly."""
+    from erigon_extract_spark.functions.png import _SIGNATURE, probe_png
+
+    if payload[:8] == _SIGNATURE:
+        w, h, _c = probe_png(payload)
+        return w, h, 0
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "real media probe requires PIL — not in this container"
+            "real probe of non-PNG media requires PIL — not in this "
+            "container (PNG probes natively)"
         )
     import io
 
@@ -163,9 +174,23 @@ def resize_images(
         return header + _content_digest(src).to_bytes(4, "big")
 
     def _real_resize(src: bytes) -> bytes:
+        # PNG → native decode + vectorized bilinear + native re-encode
+        # (pure numpy+zlib, functions/png.py); other formats need PIL
+        from erigon_extract_spark.functions.png import (
+            _SIGNATURE,
+            decode_png,
+            encode_png,
+            resize_bilinear,
+        )
+
+        if src[:8] == _SIGNATURE:
+            return encode_png(
+                resize_bilinear(decode_png(src), target_w, target_h)
+            )
         if not _HAVE_PIL:
             raise NotImplementedError(
-                "real resize requires PIL — not in this container"
+                "real resize of non-PNG media requires PIL — not in this "
+                "container (PNG resizes natively)"
             )
         import io
 

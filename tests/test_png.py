@@ -1,0 +1,118 @@
+"""Pure-numpy PNG codec: round-trips, per-filter decode against an
+independent python unfilter reference, probe, and bilinear resize."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from erigon_extract_spark.functions.png import (
+    PngFormatError,
+    decode_png,
+    encode_png,
+    probe_png,
+    resize_bilinear,
+)
+
+
+def test_round_trip_all_color_types():
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 7, ch), dtype=np.uint8)
+        data = encode_png(img)
+        out = decode_png(data)
+        assert out.shape == img.shape
+        assert np.array_equal(out, img)
+        w, h, c = probe_png(data)
+        assert (w, h, c) == (7, 13, ch)
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose rows use the given filter types, computing
+    the filtered bytes from an independent reference implementation."""
+    h, w, ch = img.shape
+    stride = w * ch
+    recon = img.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, f in enumerate(filters):
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=int)
+        cur = recon[y]
+        raw.append(f)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            raw.append(v % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[ch], 0, 0, 0)
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_every_filter_type():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    # one row of each filter, then repeats
+    data = _png_with_filters(img, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(data), img)
+    data = _png_with_filters(img, [4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_unsupported_shapes_fail_loudly():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+    with pytest.raises(PngFormatError):
+        decode_png(b"NOTAPNG" + good)
+    # 16-bit depth header
+    bad = bytearray(good)
+    bad[24] = 16
+    with pytest.raises(PngFormatError):
+        decode_png(bytes(bad))
+    with pytest.raises(PngFormatError):
+        probe_png(b"\x00" * 40)
+
+
+def test_resize_bilinear_semantics():
+    # constant image stays constant at any scale
+    const = np.full((10, 17, 3), 77, dtype=np.uint8)
+    out = resize_bilinear(const, 224, 96)
+    assert out.shape == (96, 224, 3)
+    assert np.all(out == 77)
+    # 2x upscale of a 2x2 checker: corners keep source values
+    img = np.array([[[0], [255]], [[255], [0]]], dtype=np.uint8)
+    up = resize_bilinear(img, 4, 4)
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 255
+    assert up[3, 0, 0] == 255 and up[3, 3, 0] == 0
+    # identity resize is exact
+    rng = np.random.default_rng(4)
+    rimg = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(resize_bilinear(rimg, 11, 9), rimg)
+    # downscale averages: 2x2 blocks of a flat-blocks image
+    blocks = np.kron(
+        np.array([[10, 200], [200, 10]], dtype=np.uint8),
+        np.ones((2, 2), dtype=np.uint8),
+    )[:, :, None]
+    down = resize_bilinear(blocks, 2, 2)
+    assert down[0, 0, 0] == 10 and down[0, 1, 0] == 200
