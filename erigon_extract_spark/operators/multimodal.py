@@ -53,14 +53,18 @@ def _real_probe(payload: bytes) -> tuple[int, int, int]:
     formats fall back to PIL. Raises when neither path applies so a
     misconfigured cluster fails loudly, not wrongly."""
     from erigon_extract_spark.functions.png import _SIGNATURE, probe_png
+    from erigon_extract_spark.functions.wav import probe_wav
 
     if payload[:8] == _SIGNATURE:
         w, h, _c = probe_png(payload)
         return w, h, 0
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _rate, _ch, _bits, duration_ms = probe_wav(payload)
+        return None, None, duration_ms
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "real probe of non-PNG media requires PIL — not in this "
-            "container (PNG probes natively)"
+            "real probe of non-PNG/WAV media requires PIL — not in this "
+            "container (PNG and WAV probe natively)"
         )
     import io
 
@@ -222,4 +226,58 @@ def resize_images(
 
     return media.select(id_col, mime_col, payload_col).mapInPandas(
         kernel, schema=RESIZED_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bits int, "
+    "duration_ms long, rms double, peak double, zcr_per_s double, "
+    "silent boolean, decode_error string"
+)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio kernel over WAV payloads (functions/wav.py — pure numpy
+    RIFF/PCM parsing, no audio library): per-clip sample rate, duration,
+    RMS/peak levels, zero-crossing rate and a silence flag — the cheap
+    waveform-quality signals that gate a speech corpus (silent/clipped
+    clip removal) before any model touches it.
+
+    Same Arrow-batched ``mapInPandas`` envelope as the image kernels:
+    one batch of payloads in flight per task; malformed clips land in
+    ``decode_error`` rows instead of failing the job."""
+    from erigon_extract_spark.functions.wav import probe_wav, wav_features
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 None, None, None, "null payload"))
+                    continue
+                try:
+                    b = bytes(payload)
+                    rate, ch, bits, dur = probe_wav(b)
+                    f = wav_features(b)
+                    rows.append((doc_id, rate, ch, bits, dur, f["rms"],
+                                 f["peak"], f["zcr_per_s"], f["silent"],
+                                 None))
+                except Exception as exc:  # noqa: BLE001 — per-clip quarantine
+                    rows.append((doc_id, None, None, None, None, None,
+                                 None, None, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_channels", "bits",
+                         "duration_ms", "rms", "peak", "zcr_per_s",
+                         "silent", "decode_error"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA
     )

@@ -856,3 +856,48 @@ def test_multimodal_real_png_kernels_end_to_end(spark):
     )
     (crow,) = resize_images(cmedia, 8, 8, fake_decode=False).collect()
     assert np.all(decode_png(bytes(crow.payload)) == 123)
+
+
+def test_wav_real_audio_kernel_end_to_end(spark):
+    """REAL waveforms through Spark: WAV payloads (pure numpy RIFF/PCM
+    parser) probe and feature-extract natively — no audio library."""
+    import numpy as np
+
+    from erigon_extract_spark.functions.wav import encode_wav
+    from erigon_extract_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_media_metadata,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype(np.int16)
+    silence = np.zeros(rate // 2, dtype=np.int16)
+    stereo = np.stack([sine, -sine], axis=1)
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(encode_wav(sine, rate))),
+            (2, "audio/wav", bytearray(encode_wav(silence, rate))),
+            (3, "audio/wav", bytearray(encode_wav(stereo, rate))),
+            (4, "audio/wav", b"not a wav"),
+            (5, "audio/wav", None),
+        ],
+        "doc_id long, mime string, payload binary",
+    )
+    out = {r.doc_id: r for r in extract_audio_features(media).collect()}
+    assert out[1].sample_rate == rate and out[1].duration_ms == 1000
+    # 440 Hz sine: ~880 zero crossings/s; RMS of a sine = peak/sqrt(2)
+    assert abs(out[1].zcr_per_s - 880) < 10
+    assert abs(out[1].rms - out[1].peak / 2**0.5) < 0.01
+    assert not out[1].silent
+    assert out[2].silent and out[2].rms == 0.0
+    assert out[3].n_channels == 2
+    # stereo mix of (x, -x) is digital silence — the mono-mix contract
+    assert out[3].silent
+    assert out[4].decode_error and "WavFormatError" in out[4].decode_error
+    assert out[5].decode_error == "null payload"
+    # the generic probe routes RIFF to the native WAV path: real duration
+    meta = {r.doc_id: r for r in extract_media_metadata(
+        media.filter("doc_id = 1"), fake_decode=False
+    ).collect()}
+    assert meta[1].duration_ms == 1000 and meta[1].width is None
