@@ -4685,6 +4685,165 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(base)
 
 
+@query(
+    "multimodal_audio_features",
+    """
+    WITH s AS (
+      SELECT d.d AS doc_id, i.i AS i,
+             ((i.i * (d.d + 3)) % 256 - 128) * 100 AS x
+      FROM UNNEST(generate_series(0, 49)) AS d(d),
+           UNNEST(generate_series(0, 1599)) AS i(i)
+    ),
+    sgn AS (
+      SELECT doc_id, i,
+             CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 END AS sg
+      FROM s WHERE x != 0
+    ),
+    cross_cnt AS (
+      SELECT doc_id, CAST(COUNT(*) FILTER (WHERE sg != prev) AS BIGINT)
+               AS crossings
+      FROM (SELECT doc_id, sg,
+                   LAG(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM sgn)
+      GROUP BY doc_id
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(x * x) AS BIGINT) AS ss,
+             CAST(MAX(abs(x)) AS BIGINT) AS mx
+      FROM s GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           8000 AS sample_rate,
+           CAST(200 AS BIGINT) AS duration_ms,
+           ROUND(sqrt(CAST(ss AS DOUBLE) / 1600.0) / 32768.0, 9) AS rms,
+           ROUND(CAST(mx AS DOUBLE) / 32768.0, 9) AS peak,
+           ROUND(CAST(crossings AS DOUBLE) * 8000.0 / 1600.0, 6)
+             AS zcr_per_s,
+           sqrt(CAST(ss AS DOUBLE) / 1600.0) / 32768.0 < 0.01 AS silent
+    FROM agg a JOIN cross_cnt USING (doc_id)
+    """,
+)
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio kernel under the value hash: 50 deterministic
+    integer-PCM clips are synthesized per executor, encoded to actual WAV
+    bytes (functions/wav.encode_wav), then parsed back and
+    feature-extracted by the real RIFF kernel
+    (operators/multimodal.extract_audio_features) — while the oracle
+    derives RMS/peak/zero-crossing rate relationally from the same sample
+    formula. Hash-matching proves the full byte round trip AND the
+    feature math: sums of squares stay integer-exact (all partial sums <
+    2^53, so numpy's float64 accumulation is exact and order-free), and
+    the only irrational ops (sqrt, one division) are IEEE
+    correctly-rounded on both engines."""
+    import pandas as pd
+
+    def synth(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            i = np.arange(1600, dtype=np.int64)
+            rows = []
+            for d in pdf["id"]:
+                x = (((i * (int(d) + 3)) % 256) - 128) * 100
+                rows.append(
+                    (int(d), bytearray(encode_wav(x.astype("int16"), 8000)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from erigon_extract_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    media = spark.range(50).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    out = extract_audio_features(media)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "duration_ms",
+        "rms",
+        "peak",
+        "zcr_per_s",
+        "silent",
+    )
+
+
+@query(
+    "multimodal_png_roundtrip",
+    """
+    WITH px AS (
+      SELECT d.d AS doc_id, y.y AS y, x.x AS x,
+             (d.d * 37 + y.y * 19 + x.x * 7 + (y.y * x.x) % 11) % 256 AS v
+      FROM UNNEST(generate_series(0, 29)) AS d(d),
+           UNNEST(generate_series(0, 14)) AS y(y),
+           UNNEST(generate_series(0, 14)) AS x(x)
+    ),
+    resized AS (
+      -- 15 -> 5 bilinear sample points land exactly on source pixels
+      -- ((j + 0.5) * 3 - 0.5 = 3j + 1): pure gather, no interpolation
+      SELECT doc_id, v FROM px
+      WHERE y % 3 = 1 AND x % 3 = 1
+    )
+    SELECT doc_id,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM resized GROUP BY doc_id
+    """,
+)
+def multimodal_png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image kernel under the value hash: 30 deterministic 15x15
+    grayscale images are synthesized per executor, pushed through the
+    actual PNG encoder, DECODER, and bilinear resize (functions/png.py —
+    real zlib deflate round trip, real pixel gather), and reduced to
+    per-image pixel statistics — while the oracle derives the same stats
+    straight from the pixel formula. The 15->5 resize is chosen so every
+    bilinear sample point lands exactly on a source pixel (3j+1), making
+    the resized pixels integer-exact with no rounding-mode dependence;
+    the interpolating case is pytest-pinned instead."""
+    import pandas as pd
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.png import (
+            decode_png,
+            encode_png,
+            resize_bilinear,
+        )
+
+        for pdf in batches:
+            yy, xx = np.mgrid[0:15, 0:15]
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                img = (
+                    (d * 37 + yy * 19 + xx * 7 + (yy * xx) % 11) % 256
+                ).astype("uint8")
+                small = resize_bilinear(
+                    decode_png(encode_png(img)), 5, 5
+                )[:, :, 0].astype("int64")
+                rows.append(
+                    (d, int(small.sum()), int(small.min()),
+                     int(small.max()), int(small.size))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "px_sum", "px_min", "px_max", "n_px"],
+            )
+
+    return spark.range(30).mapInPandas(
+        roundtrip,
+        schema="doc_id long, px_sum long, px_min long, px_max long, "
+               "n_px long",
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
