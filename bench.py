@@ -67,6 +67,9 @@ HEADLINE = [
     "text_bigram_familiarity",  # two-pass corpus-LM scoring
     "curation_scale",  # 200k-doc classifier+familiarity throughput
     "text_top_terms",  # integer-exact TF-IDF keyword extraction
+    # --- round-4 additions ---
+    "agg_bloom_membership",  # broadcast membership sketch + probe
+    "multimodal_png_scale",  # 2k-image real PNG decode+resize throughput
 ]
 
 

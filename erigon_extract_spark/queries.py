@@ -4844,6 +4844,57 @@ def multimodal_png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_png_scale")  # throughput probe -> rows-only (cf. keccak_scale)
+def multimodal_png_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PNG kernel throughput at benchmark volume: 2,000 synthetic
+    64x64 RGB images per run, each taking the full encode -> zlib ->
+    decode -> bilinear-resize-to-32x32 round trip inside the
+    Arrow-batched executor path, reduced to one checksum row. The
+    measured witness that the pure-numpy codec sustains corpus-scale
+    image preprocessing (the fake-decode queries measure plumbing; this
+    measures the kernel)."""
+    import pandas as pd
+
+    def work(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.png import (
+            decode_png,
+            encode_png,
+            resize_bilinear,
+        )
+
+        for pdf in batches:
+            yy, xx = np.mgrid[0:64, 0:64]
+            total = 0
+            n = 0
+            for d in pdf["id"]:
+                d = int(d)
+                img = np.stack(
+                    [
+                        (yy * 3 + xx * 5 + d) % 256,
+                        (yy * 7 + xx + d * 11) % 256,
+                        (yy + xx * 13 + d * 2) % 256,
+                    ],
+                    axis=2,
+                ).astype("uint8")
+                out = resize_bilinear(decode_png(encode_png(img)), 32, 32)
+                total += int(out.sum())
+                n += 1
+            yield pd.DataFrame({"n_images": [n], "checksum": [total]})
+
+    return (
+        spark.range(2_000)
+        .repartition(32)
+        .mapInPandas(work, schema="n_images long, checksum long")
+        .groupBy()
+        .agg(
+            F.sum("n_images").alias("n_images"),
+            F.sum("checksum").alias("checksum"),
+        )
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
