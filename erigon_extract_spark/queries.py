@@ -5784,18 +5784,21 @@ def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ROUND-5 QUEUE (plan; rotate once the r4 window lands green in
-# CORRECTNESS_r04): (1) the eight r4-session additions enter for first
-# driver evidence — agg_bloom_membership, agg_hll_distinct,
-# pack_length_buckets, corpus_mixture_plan, dedup_winnowing,
-# dedup_winnowing_matches, events_scd2_intervals, graph_triangle_count —
-# plus dedup_minhash_portable (plan restructured in r4: its r1+r2
-# durable rows predate the change; re-verify); (2) convert the r4
-# first-timers to durable where slots allow, prioritizing the six
-# HUGEINT-fixed rows (sessionize_events above all — red three rounds,
-# its first green needs confirmation) and TPC-H part 2; (3) the
-# remaining once-green 2021-wave rows (zorder, scalar surfaces, q4-q14
-# cousins, pii/repetition, window_ranking, percentiles,
-# stream_latest_state_batch) re-enter as space permits.
+# CORRECTNESS_r04): (1) the eleven r4-session oracle-backed additions
+# enter for first driver evidence — agg_bloom_membership,
+# agg_hll_distinct, pack_length_buckets, corpus_mixture_plan,
+# dedup_winnowing, dedup_winnowing_matches, events_scd2_intervals,
+# graph_triangle_count, multimodal_audio_features,
+# multimodal_png_roundtrip (the REAL media kernels under the hash), and
+# dedup_minhash_portable (plan restructured in r4: its r1+r2 durable
+# rows predate the change; re-verify); (2) convert the r4 first-timers
+# to durable where slots allow, prioritizing the six HUGEINT-fixed rows
+# (sessionize_events above all — red three rounds, its first green
+# needs confirmation) and TPC-H part 2; (3) the remaining once-green
+# rows (zorder, scalar surfaces, q4-q14 cousins, pii/repetition,
+# window_ranking, percentiles, stream_latest_state_batch) re-enter as
+# space permits. multimodal_png_scale stays rows-only (throughput
+# probe, cf. keccak_scale).
 #
 # ROUND-4 ROTATION: the window is a scarce verification resource, rotated
 # each round to ACCUMULATE driver evidence. Ledger entering r4 (from
