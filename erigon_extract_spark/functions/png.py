@@ -48,6 +48,10 @@ def decode_png(data: bytes) -> np.ndarray:
         if len(body) != length:
             raise PngFormatError("truncated chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                # a lying length field must surface as a format error, not
+                # a struct.error the quarantine path doesn't catch
+                raise PngFormatError(f"bad IHDR length {length}")
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -135,12 +139,22 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def probe_png(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the IHDR without decompressing."""
+    """(width, height, channels) from the IHDR without decompressing.
+
+    Rejects exactly the shapes ``decode_png`` rejects (16-bit, palette,
+    interlaced) — a metadata pass that admits images the decode stage
+    then fails on would defeat probe-before-decode pruning."""
     if len(data) < 33 or data[:8] != _SIGNATURE or data[12:16] != b"IHDR":
         raise PngFormatError("not a PNG")
-    width, height, depth, color = struct.unpack(">IIBB", data[16:26])
+    width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", data[16:29]
+    )
+    if depth != 8:
+        raise PngFormatError(f"unsupported bit depth {depth}")
     if color not in _CHANNELS:
         raise PngFormatError(f"unsupported color type {color}")
+    if interlace:
+        raise PngFormatError("interlaced PNG unsupported")
     return width, height, _CHANNELS[color]
 
 
@@ -162,7 +176,9 @@ def resize_bilinear(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     x1 = np.clip(x0 + 1, 0, in_w - 1)
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
-    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    ay0 = a[y0]
+    ay1 = a[y1]
+    top = ay0[:, x0] * (1 - wx) + ay0[:, x1] * wx
+    bot = ay1[:, x0] * (1 - wx) + ay1[:, x1] * wx
     out = top * (1 - wy) + bot * wy
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)

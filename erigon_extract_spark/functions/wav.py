@@ -37,6 +37,9 @@ def parse_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
         ctype = data[pos:pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            # a cut-off clip must quarantine, not parse as a shorter one
+            raise WavFormatError("truncated chunk")
         if ctype == b"fmt ":
             if len(body) < 16:
                 raise WavFormatError("short fmt chunk")
@@ -47,6 +50,10 @@ def parse_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise WavFormatError(f"unsupported format tag {tag} (not PCM)")
             if bits not in _DTYPES:
                 raise WavFormatError(f"unsupported bit depth {bits}")
+            if channels < 1 or rate < 1:
+                raise WavFormatError(
+                    f"invalid fmt: channels={channels} rate={rate}"
+                )
         elif ctype == b"data":
             pcm = body
         pos += 8 + length + (length & 1)  # chunks are word-aligned
@@ -80,9 +87,41 @@ def encode_wav(
 
 
 def probe_wav(data: bytes) -> tuple[int, int, int, int]:
-    """(sample_rate, n_channels, bits, duration_ms) without copying PCM."""
-    rate, channels, bits, samples = parse_wav(data)
-    return rate, channels, bits, int(len(samples) * 1000 // rate)
+    """(sample_rate, n_channels, bits, duration_ms) without copying PCM:
+    walks the chunk headers only, deriving duration from the data
+    chunk's byte length — a metadata-only scan over a large audio corpus
+    must not materialize every sample array."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavFormatError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = bits = None
+    data_len = None
+    while pos + 8 <= len(data):
+        ctype = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + length > len(data):
+            raise WavFormatError("truncated chunk")
+        if ctype == b"fmt ":
+            if length < 16:
+                raise WavFormatError("short fmt chunk")
+            tag, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8:pos + 24]
+            )
+            if tag != 1:
+                raise WavFormatError(f"unsupported format tag {tag} (not PCM)")
+            if bits not in _DTYPES:
+                raise WavFormatError(f"unsupported bit depth {bits}")
+            if channels < 1 or rate < 1:
+                raise WavFormatError(
+                    f"invalid fmt: channels={channels} rate={rate}"
+                )
+        elif ctype == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)
+    if rate is None or data_len is None:
+        raise WavFormatError("missing fmt or data chunk")
+    frames = data_len // (np.dtype(_DTYPES[bits]).itemsize * channels)
+    return rate, channels, bits, int(frames * 1000 // rate)
 
 
 def wav_features(data: bytes) -> dict[str, float]:

@@ -98,14 +98,24 @@ def extract_media_metadata(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            isnull = payloads.isna()
             n_bytes = payloads.str.len().fillna(0).astype("int64")
+            rows = []
+            for p in payloads:
+                # per-payload quarantine: one malformed file lands in its
+                # decode_error row, it must not fail the corpus-wide job
+                if p is None:
+                    rows.append((None, None, None, "null payload"))
+                    continue
+                try:
+                    w, h, d = probe_fn(bytes(p))
+                    rows.append((w, h, d, None))
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append(
+                        (None, None, None, f"{type(exc).__name__}: {exc}")
+                    )
             dims = pd.DataFrame(
-                [
-                    (None, None, None) if p is None else probe_fn(bytes(p))
-                    for p in payloads
-                ],
-                columns=["width", "height", "duration_ms"],
+                rows,
+                columns=["width", "height", "duration_ms", "decode_error"],
                 index=pdf.index,
             )
             yield pd.DataFrame(
@@ -116,9 +126,7 @@ def extract_media_metadata(
                     "width": dims["width"],
                     "height": dims["height"],
                     "duration_ms": dims["duration_ms"],
-                    "decode_error": isnull.map(
-                        {True: "null payload", False: None}
-                    ),
+                    "decode_error": dims["decode_error"],
                 }
             )
 
@@ -208,18 +216,30 @@ def resize_images(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            isnull = payloads.isna()
+            outs, errs = [], []
+            for p in payloads:
+                # per-payload quarantine, same contract as the probe: a
+                # palette/16-bit/truncated image fills resize_error, not
+                # the whole job's stack trace
+                if p is None:
+                    outs.append(None)
+                    errs.append("null payload")
+                    continue
+                try:
+                    outs.append(resize_fn(bytes(p)))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    outs.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "mime": pdf[mime_col],
                     "target_w": target_w,
                     "target_h": target_h,
-                    "payload": payloads.map(
-                        lambda p: None if p is None else resize_fn(bytes(p))
-                    ),
-                    "resize_error": isnull.map(
-                        {True: "null payload", False: None}
+                    "payload": pd.Series(outs, index=pdf.index, dtype=object),
+                    "resize_error": pd.Series(
+                        errs, index=pdf.index, dtype=object
                     ),
                 }
             )

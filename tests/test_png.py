@@ -116,3 +116,88 @@ def test_resize_bilinear_semantics():
     )[:, :, None]
     down = resize_bilinear(blocks, 2, 2)
     assert down[0, 0, 0] == 10 and down[0, 1, 0] == 200
+
+
+def test_probe_rejects_what_decode_rejects():
+    import numpy as np
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    # 16-bit depth: both probe and decode must reject
+    bad16 = bytearray(good)
+    bad16[24] = 16
+    with pytest.raises(PngFormatError):
+        probe_png(bytes(bad16))
+    # interlaced: both reject
+    badi = bytearray(good)
+    badi[28] = 1
+    with pytest.raises(PngFormatError):
+        probe_png(bytes(badi))
+    with pytest.raises(PngFormatError):
+        decode_png(bytes(badi))
+    # lying IHDR length -> PngFormatError, never a raw struct.error
+    lied = bytearray(good)
+    lied[8:12] = (12).to_bytes(4, "big")
+    with pytest.raises(PngFormatError):
+        decode_png(bytes(lied))
+
+
+def test_wav_truncation_and_bad_fmt_fail_loudly():
+    import numpy as np
+
+    from erigon_extract_spark.functions.wav import (
+        WavFormatError,
+        encode_wav,
+        parse_wav,
+        probe_wav,
+    )
+
+    good = encode_wav(np.ones(100, dtype=np.int16) * 1000, 8000)
+    # truncated PCM: quarantine, not a silently shorter clip
+    with pytest.raises(WavFormatError):
+        parse_wav(good[:-50])
+    with pytest.raises(WavFormatError):
+        probe_wav(good[:-50])
+    # channels=0 in fmt: WavFormatError, never ZeroDivisionError
+    import struct as _s
+
+    bad = bytearray(good)
+    bad[22:24] = _s.pack("<H", 0)
+    with pytest.raises(WavFormatError):
+        parse_wav(bytes(bad))
+    with pytest.raises(WavFormatError):
+        probe_wav(bytes(bad))
+    # the cheap probe agrees with the full parse on duration
+    rate, ch, bits, dur = probe_wav(good)
+    r2, c2, b2, samples = parse_wav(good)
+    assert (rate, ch, bits) == (r2, c2, b2)
+    assert dur == len(samples) * 1000 // r2
+
+
+def test_image_kernels_quarantine_malformed_payloads(spark):
+    import numpy as np
+
+    from erigon_extract_spark.operators.multimodal import (
+        extract_media_metadata,
+        resize_images,
+    )
+
+    good = encode_png(np.full((8, 8, 3), 5, dtype=np.uint8))
+    bad16 = bytearray(good)
+    bad16[24] = 16
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(good)),
+         (2, "image/png", bytes(bad16)),
+         (3, "image/png", good[:30])],
+        "doc_id long, mime string, payload binary",
+    )
+    meta = {r.doc_id: r for r in extract_media_metadata(
+        media, fake_decode=False
+    ).collect()}
+    assert meta[1].decode_error is None and meta[1].width == 8
+    assert "PngFormatError" in meta[2].decode_error
+    assert meta[3].decode_error is not None
+    out = {r.doc_id: r for r in resize_images(
+        media, 4, 4, fake_decode=False
+    ).collect()}
+    assert out[1].resize_error is None and out[1].payload is not None
+    assert out[2].payload is None and "PngFormatError" in out[2].resize_error
