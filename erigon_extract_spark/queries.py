@@ -4895,6 +4895,57 @@ def multimodal_png_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_webdataset_roundtrip",
+    """
+    SELECT doc_id,
+           'txt' AS ext,
+           CAST(length(coalesce(text, '')) AS BIGINT) AS text_len,
+           lang, source
+    FROM documents
+    """,
+)
+def source_webdataset_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shards under the value hash: the documents table is
+    packed into real tar shards (sources/webdataset.py — executor-side
+    tarfile writers, one shard per partition) and read back through the
+    binaryFile + tarfile path; the reassembled rows must hash-match the
+    original table. Shards are built once per dataset fingerprint in a
+    uid-scoped 0o700 cache (the sim_lsh_index_topk convention)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from erigon_extract_spark.sources.webdataset import (
+        documents_to_shards,
+        read_shards,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|wds1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.stat(root).st_uid != os.getuid():
+        raise RuntimeError(f"cache dir {root} owned by another user")
+    out_dir = os.path.join(root, f"wds_{tag}")
+    docs = _load(spark, sf_dir, "documents")
+    if not os.path.isdir(out_dir):
+        documents_to_shards(spark, docs, out_dir, n_shards=4).collect()
+    back = read_shards(spark, out_dir)
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "ext",
+        F.length(F.decode("payload", "utf-8")).cast("long").alias("text_len"),
+        F.get_json_object("meta", "$.lang").alias("lang"),
+        F.get_json_object("meta", "$.source").alias("source"),
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
