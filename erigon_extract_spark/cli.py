@@ -217,6 +217,36 @@ def _compact(args) -> int:
     return 0
 
 
+def _wds_pack(args) -> int:
+    from erigon_extract_spark.session import get_spark
+    from erigon_extract_spark.sources.webdataset import documents_to_shards
+
+    spark = get_spark(app_name="cli-wds-pack")
+    docs = spark.read.parquet(args.parquet)
+    manifest = documents_to_shards(
+        spark, docs, args.out_dir, n_shards=args.shards
+    ).collect()
+    for r in sorted(manifest, key=lambda r: r.shard):
+        print(f"{r.shard}: {r.n_samples} samples, {r.n_bytes} bytes")
+    print(f"packed {sum(r.n_samples for r in manifest)} samples "
+          f"into {len(manifest)} shards at {args.out_dir}")
+    return 0
+
+
+def _media_probe(args) -> int:
+    """Probe a local media file with the REAL kernels (PNG/WAV native,
+    PIL fallback) — the single-file spot check for the cluster path."""
+    with open(args.file, "rb") as f:
+        payload = f.read()
+    from erigon_extract_spark.operators.multimodal import _real_probe
+
+    w, h, dur = _real_probe(payload)
+    kind = "audio" if w is None else "image"
+    print(f"{args.file}: {kind} bytes={len(payload)} "
+          f"width={w} height={h} duration_ms={dur}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="erigon_extract_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -267,6 +297,18 @@ def main(argv=None) -> int:
     p.add_argument("--rows-per-file", type=int, default=1_000_000)
     p.add_argument("--sort-by", default=None, help="comma-separated columns")
     p.set_defaults(fn=_compact)
+
+    p = sub.add_parser("wds-pack",
+                       help="pack a documents parquet into WebDataset tars")
+    p.add_argument("parquet")
+    p.add_argument("out_dir")
+    p.add_argument("--shards", type=int, default=4)
+    p.set_defaults(fn=_wds_pack)
+
+    p = sub.add_parser("media-probe",
+                       help="probe one media file with the real kernels")
+    p.add_argument("file")
+    p.set_defaults(fn=_media_probe)
 
     args = ap.parse_args(argv)
     return args.fn(args)
