@@ -280,3 +280,42 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert offenders == {}, offenders
+
+
+def test_length_buckets_single_exchange(spark, sf_dir):
+    """Both the row_number window and the batch-stat windows must reuse
+    the one (band, shard) hash exchange — a second exchange means the
+    batch stats re-shuffled."""
+    from erigon_extract_spark.operators.packing import length_bucket_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        length_bucket_batches(docs, batch_tokens=512, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    from erigon_extract_spark.operators.windows import intervalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        intervalize(ev, ["user_id"], "event_id", ["event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_hll_register_agg_is_partial(spark, sf_dir):
+    """The register max-aggregate must map-side combine (partial_max
+    before the exchange) — the property that bounds the shuffle payload
+    at <= m rows per partition."""
+    from erigon_extract_spark.operators.sketch import hll_build
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        hll_build(docs, "text", m=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan, plan
