@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode kernels, in order of reality: PNG payloads probe/decode/resize
-NATIVELY (pure numpy+zlib codec in functions/png.py — real pixels, no
-image library, runs in this container and is exercised end-to-end through
-Spark in tests); other image formats use PIL behind an import guard; and
+Decode kernels, in order of reality: PNG (functions/png.py), WAV
+(functions/wav.py) and animated GIF (functions/gif.py — full standard
+LZW) all probe/decode NATIVELY with real pixels/samples — no media
+libraries, runs in this container, exercised end-to-end through Spark in
+tests; other formats use PIL behind an import guard; and
 ``fake_decode=True`` derives deterministic metadata from the bytes —
 the mode the oracle-gated queries use, since a DuckDB oracle can mirror
 a byte fold but not a deflate stream. Swapping kernels is the one
@@ -61,10 +62,15 @@ def _real_probe(payload: bytes) -> tuple[int, int, int]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _rate, _ch, _bits, duration_ms = probe_wav(payload)
         return None, None, duration_ms
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from erigon_extract_spark.functions.gif import probe_gif
+
+        w, h, _n, duration_ms = probe_gif(payload)
+        return w, h, duration_ms
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "real probe of non-PNG/WAV media requires PIL — not in this "
-            "container (PNG and WAV probe natively)"
+            "real probe of non-PNG/WAV/GIF media requires PIL — not in "
+            "this container (PNG, WAV and GIF probe natively)"
         )
     import io
 
@@ -300,4 +306,71 @@ def extract_audio_features(
 
     return media.select(id_col, payload_col).mapInPandas(
         kernel, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, width int, height int, "
+    "payload binary, decode_error string"
+)
+
+
+def extract_gif_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL frame sampling from animated GIFs (functions/gif.py — full
+    standard LZW decode, disposal/transparency composition): one output
+    row per sampled timestamp, carrying the composed frame re-encoded as
+    PNG (functions/png.py) — the video-to-image-training-examples stage,
+    entirely stdlib+numpy. Sampling picks the frame visible at each
+    ``every_ms`` tick of the animation timeline (frame_sample_plan's
+    contract, now with actual pixels).
+
+    Same Arrow-batched envelope and per-payload quarantine as the other
+    media kernels; one malformed file fills decode_error, never fails
+    the job."""
+    from erigon_extract_spark.functions.gif import decode_gif
+    from erigon_extract_spark.functions.png import encode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 "null payload"))
+                    continue
+                try:
+                    w, h, frames = decode_gif(bytes(payload))
+                    # visible-frame timeline: frame i covers
+                    # [start_i, start_i + delay_i)
+                    starts = []
+                    t = 0
+                    for delay_ms, _img in frames:
+                        starts.append(t)
+                        t += delay_ms
+                    total = max(t, 1)
+                    fi = 0
+                    for k, ts in enumerate(range(0, total, every_ms)):
+                        while (fi + 1 < len(frames)
+                               and starts[fi + 1] <= ts):
+                            fi += 1
+                        rows.append(
+                            (doc_id, k, ts, w, h,
+                             bytearray(encode_png(frames[fi][1])), None)
+                        )
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append((doc_id, None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_ts_ms", "width",
+                         "height", "payload", "decode_error"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
     )
