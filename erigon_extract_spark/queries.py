@@ -4946,6 +4946,93 @@ def source_webdataset_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "multimodal_gif_frames",
+    """
+    WITH f AS (
+      -- doc d has 3 frames of 8x8 palette indices (d + fi + y*x) % 4,
+      -- delays 200/300/500ms; ticks every 250ms over [0, 1000):
+      -- tick 0 -> frame 0, 250 -> 1, 500 -> 2, 750 -> 2
+      SELECT d.d AS doc_id, t.k AS frame_idx,
+             CAST(t.k * 250 AS BIGINT) AS frame_ts_ms,
+             CASE t.k WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS fi
+      FROM UNNEST(generate_series(0, 19)) AS d(d),
+           UNNEST(generate_series(0, 3)) AS t(k)
+    ),
+    px AS (
+      SELECT doc_id, frame_idx, frame_ts_ms,
+             -- palette: index i -> gray value i*80; frame pixel sum over
+             -- the 8x8 grid of ((d + fi + y*x) % 4) * 80 * 3 channels
+             (SELECT SUM(((f.doc_id + f.fi + y.y * x.x) % 4) * 80 * 3)
+              FROM UNNEST(generate_series(0, 7)) AS y(y),
+                   UNNEST(generate_series(0, 7)) AS x(x)) AS px_sum
+      FROM f
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, frame_ts_ms,
+           CAST(px_sum AS BIGINT) AS px_sum
+    FROM px
+    """,
+)
+def multimodal_gif_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL animation kernel under the value hash: 20 deterministic
+    3-frame animated GIFs are built per executor (palette frames via
+    encode_gif), decoded by the full standard LZW path, timeline-sampled
+    at 250 ms, PNG-decoded back, and reduced to per-frame pixel sums —
+    while the oracle derives the same sums from the index formula. The
+    whole chain (GIF container, LZW, frame composition, timeline
+    selection, PNG round trip) sits under one hash."""
+    import pandas as pd
+
+    from erigon_extract_spark.operators.multimodal import extract_gif_frames
+
+    def synth(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.gif import encode_gif
+
+        pal = np.stack([np.arange(4) * 80] * 3, axis=1).astype("uint8")
+        yy, xx = np.mgrid[0:8, 0:8]
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                frames = [
+                    (delay, ((d + fi + yy * xx) % 4).astype("uint8"))
+                    for fi, delay in enumerate((200, 300, 500))
+                ]
+                rows.append((d, bytearray(encode_gif(frames, pal))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def summarize(batches):
+        import numpy as np  # noqa: F401
+
+        from erigon_extract_spark.functions.png import decode_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "px_sum": [
+                        int(decode_png(bytes(p)).astype("int64").sum())
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    media = spark.range(20).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    frames = extract_gif_frames(media, every_ms=250)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_ts_ms", "payload"
+    ).mapInPandas(
+        summarize,
+        schema="doc_id long, frame_idx int, frame_ts_ms long, px_sum long",
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
