@@ -234,8 +234,9 @@ def _wds_pack(args) -> int:
 
 
 def _media_probe(args) -> int:
-    """Probe a local media file with the REAL kernels (PNG/WAV native,
-    PIL fallback) — the single-file spot check for the cluster path."""
+    """Probe a local media file with the REAL kernels (PNG/WAV/GIF
+    native, PIL fallback) — the single-file spot check for the cluster
+    path."""
     with open(args.file, "rb") as f:
         payload = f.read()
     from erigon_extract_spark.operators.multimodal import _real_probe

@@ -54,9 +54,15 @@ def _skip_subblocks(data: bytes, pos: int) -> int:
         pos += n
 
 
-def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> list[int]:
     """Standard GIF LZW: variable-width codes LSB-first, dictionary to
-    4096 entries, clear/EOI codes, the code==next self-reference case."""
+    4096 entries (hard spec cap — entries past it are never added, so a
+    crafted stream cannot grow entry tuples unboundedly), clear/EOI
+    codes, the code==next self-reference case. ``max_out`` stops the
+    decode once enough pixels exist — a hostile stream cannot expand
+    past the declared image size (decompression-bomb guard)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     base = [(i,) for i in range(clear)] + [None, None]
@@ -91,13 +97,16 @@ def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             entry = table[code]
         elif code < len(table) and table[code] is not None:
             entry = table[code]
-            table.append(prev + (entry[0],))
-        elif code == len(table):
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < 4096:
             entry = prev + (prev[0],)
             table.append(entry)
         else:
             raise GifFormatError(f"LZW code {code} out of range")
         out.extend(entry)
+        if max_out is not None and len(out) >= max_out:
+            return out[:max_out]
         prev = entry
         if len(table) == (1 << code_size) and code_size < 12:
             code_size += 1
@@ -149,6 +158,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise GifFormatError("truncated global color table")
         gct = np.frombuffer(
             data[pos:pos + 3 * n], dtype=np.uint8
         ).reshape(n, 3)
@@ -167,6 +178,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension
+            if pos >= len(data):
+                raise GifFormatError("truncated extension block")
             label = data[pos]
             pos += 1
             if label == 0xF9:  # graphic control
@@ -182,28 +195,38 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
             continue
         if b != 0x2C:
             raise GifFormatError(f"unexpected block 0x{b:02x}")
+        if pos + 9 > len(data):
+            raise GifFormatError("truncated image descriptor")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos:pos + 9])
         pos += 9
         if ipacked & 0x40:
             raise GifFormatError("interlaced GIF unsupported")
         if disposal == 3:
             raise GifFormatError("disposal method 3 unsupported")
+        if left + w > width or top + h > height:
+            raise GifFormatError("image region exceeds canvas")
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                raise GifFormatError("truncated local color table")
             pal = np.frombuffer(
                 data[pos:pos + 3 * n], dtype=np.uint8
             ).reshape(n, 3)
             pos += 3 * n
         if pal is None:
             raise GifFormatError("image without a color table")
+        if pos >= len(data):
+            raise GifFormatError("truncated before LZW code size")
         min_code = data[pos]
         pos += 1
         lzw, pos = _read_subblocks(data, pos)
-        idx = np.array(lzw_decode(lzw, min_code), dtype=np.int64)
+        idx = np.array(
+            lzw_decode(lzw, min_code, max_out=w * h), dtype=np.int64
+        )
         if len(idx) < w * h:
             raise GifFormatError("LZW stream shorter than image")
-        idx = idx[: w * h].reshape(h, w)
+        idx = idx.reshape(h, w)
         if np.any(idx >= len(pal)):
             raise GifFormatError("palette index out of range")
         region = canvas[top:top + h, left:left + w]
@@ -243,22 +266,36 @@ def probe_gif(data: bytes) -> tuple[int, int, int, int]:
         if b == 0x3B:
             break
         if b == 0x21:
+            if pos >= len(data):
+                raise GifFormatError("truncated extension block")
             label = data[pos]
             pos += 1
             if label == 0xF9:
                 body, pos = _read_subblocks(data, pos)
                 if len(body) >= 4:
-                    (_f, delay_cs, _t) = struct.unpack("<BHB", body[:4])
+                    (flags, delay_cs, _t) = struct.unpack("<BHB", body[:4])
+                    if (flags >> 2) & 0x07 == 3:
+                        raise GifFormatError("disposal method 3 unsupported")
                     duration_ms += delay_cs * 10
             else:
                 pos = _skip_subblocks(data, pos)
             continue
         if b != 0x2C:
             raise GifFormatError(f"unexpected block 0x{b:02x}")
+        if pos + 9 > len(data):
+            raise GifFormatError("truncated image descriptor")
         _l, _t2, _w, _h, ipacked = struct.unpack("<HHHHB", data[pos:pos + 9])
         pos += 9
+        # parity with decode_gif: a probe that admits what decode rejects
+        # defeats probe-before-decode pruning (the png.py convention)
+        if ipacked & 0x40:
+            raise GifFormatError("interlaced GIF unsupported")
+        if not (packed & 0x80) and not (ipacked & 0x80):
+            raise GifFormatError("image without a color table")
         if ipacked & 0x80:
             pos += 3 * (2 << (ipacked & 0x07))
+        if pos >= len(data):
+            raise GifFormatError("truncated before LZW code size")
         pos += 1  # LZW min code size
         pos = _skip_subblocks(data, pos)
         n_frames += 1

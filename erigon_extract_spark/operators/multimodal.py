@@ -354,13 +354,20 @@ def extract_gif_frames(
                         t += delay_ms
                     total = max(t, 1)
                     fi = 0
+                    # one PNG encode per DISTINCT frame: consecutive ticks
+                    # inside a long delay reuse the bytes (a 10s frame
+                    # sampled at 250ms would otherwise deflate 40x)
+                    png_cache: dict[int, bytearray] = {}
                     for k, ts in enumerate(range(0, total, every_ms)):
                         while (fi + 1 < len(frames)
                                and starts[fi + 1] <= ts):
                             fi += 1
+                        if fi not in png_cache:
+                            png_cache[fi] = bytearray(
+                                encode_png(frames[fi][1])
+                            )
                         rows.append(
-                            (doc_id, k, ts, w, h,
-                             bytearray(encode_png(frames[fi][1])), None)
+                            (doc_id, k, ts, w, h, png_cache[fi], None)
                         )
                 except Exception as exc:  # noqa: BLE001 — quarantine
                     rows.append((doc_id, None, None, None, None, None,

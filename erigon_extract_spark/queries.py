@@ -4935,7 +4935,18 @@ def source_webdataset_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
     out_dir = os.path.join(root, f"wds_{tag}")
     docs = _load(spark, sf_dir, "documents")
     if not os.path.isdir(out_dir):
-        documents_to_shards(spark, docs, out_dir, n_shards=4).collect()
+        # build-then-rename: an interrupted build must never leave a
+        # partial directory at the final path (it would poison every
+        # later run), and a concurrent builder loses the rename race
+        # harmlessly
+        tmp_dir = f"{out_dir}.build.{os.getpid()}"
+        documents_to_shards(spark, docs, tmp_dir, n_shards=4).collect()
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # lost the race
     back = read_shards(spark, out_dir)
     return back.select(
         F.col("key").cast("long").alias("doc_id"),
@@ -5364,9 +5375,20 @@ def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, mode=0o700, exist_ok=True)
     if os.stat(root).st_uid != os.getuid():
         raise RuntimeError(f"cache dir {root} owned by another user")
-    path = os.path.join(root, f"lshidx_{tag}", "idx")
-    if not os.path.isdir(path):
-        build_lsh_index(emb, path, dim=64, n_planes=6)
+    parent = os.path.join(root, f"lshidx_{tag}")
+    path = os.path.join(parent, "idx")
+    if not os.path.isdir(parent):
+        # build-then-rename (the wds cache convention): a killed build
+        # never leaves a partial index at the final path
+        tmp_parent = f"{parent}.build.{os.getpid()}"
+        build_lsh_index(emb, os.path.join(tmp_parent, "idx"),
+                        dim=64, n_planes=6)
+        try:
+            os.rename(tmp_parent, parent)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_parent, ignore_errors=True)  # lost the race
     out = query_lsh_index(spark, path, probes, dim=64, k=10, n_planes=6)
     return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 

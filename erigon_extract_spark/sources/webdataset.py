@@ -56,7 +56,16 @@ def write_shards(
 
     Rows with a NULL key or payload are skipped (a tar member cannot be
     null); count reconciliation against the manifest is the caller's
-    dead-letter check."""
+    dead-letter check. Keys must not contain '.' (the WebDataset member
+    convention splits key from extension on the FIRST dot) — violating
+    rows raise rather than silently corrupting reader-side pairing.
+
+    Write protocol: each task writes shard-NNNNN.tar.<attempt>.tmp and
+    atomically os.replace()s it into place on completion — a retried or
+    speculative attempt never interleaves bytes with another attempt's
+    file, and a reader never observes a truncated tar. (Re-evaluating
+    the returned manifest DataFrame re-runs the write; collect it ONCE —
+    it is the job's commit action.)"""
     meta_cols = meta_cols or []
     os.makedirs(out_dir, exist_ok=True)
     cols = [key_col, payload_col, ext_col, *meta_cols]
@@ -66,16 +75,23 @@ def write_shards(
         # batch's TaskContext (stable within the task)
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        tmp = f"{path}.{ctx.taskAttemptId()}.tmp"
         n = 0
-        with tarfile.open(path, "w") as tar:
+        with tarfile.open(tmp, "w") as tar:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     key = getattr(row, key_col)
                     payload = getattr(row, payload_col)
                     if key is None or payload is None:
                         continue
+                    if "." in str(key):
+                        raise ValueError(
+                            f"webdataset key {key!r} contains '.' — the "
+                            "member convention splits on the first dot"
+                        )
                     ext = getattr(row, ext_col) or "bin"
                     body = bytes(payload)
                     info = tarfile.TarInfo(name=f"{key}.{ext}")
@@ -87,6 +103,7 @@ def write_shards(
                     minfo.size = len(mbody)
                     tar.addfile(minfo, io.BytesIO(mbody))
                     n += 1
+        os.replace(tmp, path)  # atomic task commit
         yield pd.DataFrame(
             {
                 "shard": [os.path.basename(path)],
@@ -119,7 +136,9 @@ def read_shards(spark: SparkSession, path: str) -> DataFrame:
                     for member in tar.getmembers():
                         if not member.isfile():
                             continue
-                        stem, _, ext = member.name.rpartition(".")
+                        # WebDataset convention: key = up to the FIRST
+                        # dot (so 'k.tar.gz' pairs with 'k.json')
+                        stem, _, ext = member.name.partition(".")
                         body = tar.extractfile(member).read()
                         entry = samples.setdefault(
                             stem, {"payload": None, "ext": None, "meta": None}
