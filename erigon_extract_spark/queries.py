@@ -5044,6 +5044,53 @@ def multimodal_gif_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_user_similarity",
+    f"""
+    WITH traj AS (
+      SELECT user_id AS doc_id,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS text
+      FROM events GROUP BY user_id
+    ),
+    {_ngram_pair_ctes("traj")}
+    SELECT doc_id_a AS user_a, doc_id_b AS user_b, jaccard
+    FROM jpairs
+    WHERE jaccard >= 0.35
+    """,
+)
+def events_user_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral trajectory similarity (the REPOSE/trajectory-top-k
+    problem class, re-expressed Spark-first): each user's ordered
+    event-type sequence becomes a document, and exact n-gram Jaccard
+    with prefix filtering finds similar behavior pairs — sequence
+    alignment's quadratic pair cost replaced by the bounded
+    inverted-index join the dedup family already proves. Ordering is
+    (ts, event_id) — a pure value sort, session-TZ-independent."""
+    ev = _events_raw(spark, sf_dir)
+    traj = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("__seq")
+        )
+        .select(
+            F.col("user_id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.transform("__seq", lambda s: s["event_type"])
+            ).alias("text"),
+        )
+    )
+    pairs = ngram_jaccard_pairs(traj, shingle_n=3, threshold=0.2)
+    # 5-type alphabet makes ALL users mildly similar at the family's 0.2
+    # bar; the behavioral-pair report keeps the genuinely-similar tail
+    return pairs.filter(F.round("jaccard", 6) >= 0.35).select(
+        F.col("doc_id_a").alias("user_a"),
+        F.col("doc_id_b").alias("user_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
