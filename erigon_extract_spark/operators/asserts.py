@@ -61,3 +61,46 @@ def assert_contiguous(
         .filter(F.col("__prev").isNotNull() & (F.col(seq_col) != F.col("__prev") + 1))
     )
     assert_empty(gaps, name or f"contiguous({seq_col})")
+
+
+def validation_report(
+    df: DataFrame,
+    checks: dict[str, F.Column],
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Non-aborting data-quality report: each check is a boolean column
+    expression evaluated per row; the report counts violations (rows
+    where the check is FALSE or NULL) per check in ONE aggregation pass
+    over one scan — the CI-dashboard complement to the abort-semantics
+    asserts above (same invariants, observable instead of fatal; a 100 TB
+    ingest gates on `passed` rather than dying mid-scan).
+
+    Returns (check_name, n_rows, n_violations, passed) — long format,
+    scalar cells (the gate-friendly shape), optionally per ``group_col``.
+    """
+    if not checks:
+        raise ValueError("validation_report needs at least one check")
+    gcols = [group_col] if group_col else []
+    aggs = [F.count("*").alias("__n")]
+    for name, expr in checks.items():
+        aggs.append(
+            F.sum(
+                F.when(expr.isNull() | ~expr, 1).otherwise(0)
+            ).alias(f"__v_{name}")
+        )
+    wide = df.groupBy(*gcols).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{name}").alias("n_violations"),
+                (F.col(f"__v_{name}") == 0).alias("passed"),
+            )
+            for name in checks
+        ]
+    )
+    return wide.select(*gcols, F.explode(rows).alias("r")).select(
+        *gcols, "r.*"
+    )

@@ -5091,6 +5091,57 @@ def events_user_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_validation_report",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_key,
+             CAST(SUM(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+                             OR l_discount IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+             CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R'))
+                             OR l_returnflag IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+      FROM lineitem
+    )
+    SELECT c.check_name, n_rows,
+           CASE c.check_name WHEN 'key_not_null' THEN v_key
+                WHEN 'positive_quantity' THEN v_qty
+                WHEN 'discount_in_unit_range' THEN v_disc
+                ELSE v_flag END AS n_violations,
+           CASE c.check_name WHEN 'key_not_null' THEN v_key
+                WHEN 'positive_quantity' THEN v_qty
+                WHEN 'discount_in_unit_range' THEN v_disc
+                ELSE v_flag END = 0 AS passed
+    FROM agg, (VALUES ('key_not_null'), ('positive_quantity'),
+               ('discount_in_unit_range'), ('known_return_flag'))
+         AS c(check_name)
+    """,
+)
+def quality_validation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's abort-mid-scan invariants (SURVEY.md §2 P4,
+    erigon_extract.c:1561-1576 length checks et al.) as an OBSERVABLE
+    validation report (operators/asserts.validation_report): every check
+    counted in ONE aggregation pass over one scan, job gates on
+    ``passed`` instead of dying — the CI-dashboard form of A3/P4/W6."""
+    from erigon_extract_spark.operators.asserts import validation_report
+
+    li = _load(spark, sf_dir, "lineitem")
+    return validation_report(
+        li,
+        {
+            "key_not_null": F.col("l_orderkey").isNotNull(),
+            "positive_quantity": F.col("l_quantity") > 0,
+            "discount_in_unit_range": F.col("l_discount").between(0, 1),
+            "known_return_flag": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
 @query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
 # rows-only here, semantics pinned vs brute-force cosine in pytest
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,3 +90,36 @@ def test_empty_code_hash_normalized_on_recovery(spark):
     pch = spark.createDataFrame([], "address binary, incarnation long, code_hash binary")
     out = recover_code_hashes(acct, pch).collect()[0]
     assert bytes(out["code_hash"]) == b"\x00" * 32
+
+
+def test_validation_report_counts_violations(spark):
+    """Non-aborting complement of the assert operators: the report counts
+    every violation class in one pass, NULL counts as a violation, and a
+    clean frame passes all checks."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.asserts import validation_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (None, 2.0)],
+        "k long, v double",
+    )
+    rep = {r.check_name: r for r in validation_report(
+        df,
+        {"k_not_null": F.col("k").isNotNull(), "v_positive": F.col("v") > 0},
+    ).collect()}
+    assert rep["k_not_null"].n_rows == 4
+    assert rep["k_not_null"].n_violations == 1
+    assert not rep["k_not_null"].passed
+    # NULL v counts as a violation of v_positive (unknown is not a pass)
+    assert rep["v_positive"].n_violations == 2
+    clean = df.filter(F.col("k").isNotNull() & (F.col("v") > 0))
+    rep2 = validation_report(
+        clean, {"k_not_null": F.col("k").isNotNull()}
+    ).collect()
+    assert rep2[0].passed and rep2[0].n_violations == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        validation_report(df, {})
