@@ -6042,15 +6042,17 @@ def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ROUND-5 QUEUE (plan; rotate once the r4 window lands green in
-# CORRECTNESS_r04): (1) the thirteen r4-session oracle-backed additions
+# CORRECTNESS_r04): (1) the fifteen r4-session oracle-backed additions
 # enter for first driver evidence — agg_bloom_membership,
 # agg_hll_distinct, pack_length_buckets, corpus_mixture_plan,
 # dedup_winnowing, dedup_winnowing_matches, events_scd2_intervals,
-# graph_triangle_count, multimodal_audio_features,
-# multimodal_png_roundtrip, multimodal_gif_frames (the REAL media
-# kernels under the hash), source_webdataset_roundtrip, and
-# dedup_minhash_portable (plan restructured in r4: its r1+r2 durable
-# rows predate the change; re-verify); (2) convert the r4 first-timers
+# graph_triangle_count, events_user_similarity,
+# quality_validation_report (P4's first gateable witness),
+# multimodal_audio_features, multimodal_png_roundtrip,
+# multimodal_gif_frames (the REAL media kernels under the hash),
+# source_webdataset_roundtrip, and dedup_minhash_portable (plan
+# restructured in r4: its r1+r2 durable rows predate the change;
+# re-verify); (2) convert the r4 first-timers
 # to durable where slots allow, prioritizing the six HUGEINT-fixed rows
 # (sessionize_events above all — red three rounds, its first green
 # needs confirmation) and TPC-H part 2; (3) the remaining once-green
