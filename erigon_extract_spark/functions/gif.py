@@ -147,13 +147,21 @@ def lzw_encode_literal(indices: list[int], min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
-    """GIF bytes → (width, height, [(delay_ms, (H, W, 3) uint8), ...])."""
+def decode_gif(
+    data: bytes, max_pixels: int = 64_000_000
+) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
+    """GIF bytes → (width, height, [(delay_ms, (H, W, 3) uint8), ...]).
+    ``max_pixels`` bounds per-frame allocation (the PNG-decoder guard:
+    a crafted canvas quarantines, never OOMs)."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifFormatError("not a GIF")
     width, height, packed, bg_index, _ar = struct.unpack(
         "<HHBBB", data[6:13]
     )
+    if width * height > max_pixels:
+        raise GifFormatError(
+            f"{width}x{height} exceeds max_pixels={max_pixels}"
+        )
     pos = 13
     gct = None
     if packed & 0x80:

@@ -33,8 +33,10 @@ class PngFormatError(ValueError):
     """Unsupported or malformed PNG."""
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (H, W, C) uint8 array."""
+def decode_png(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8 array. ``max_pixels`` bounds the
+    decoded allocation — a crafted header declaring a giant canvas must
+    quarantine as a format error, not OOM the executor."""
     if len(data) < 8 or data[:8] != _SIGNATURE:
         raise PngFormatError("not a PNG (bad signature)")
     pos = 8
@@ -61,6 +63,10 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise PngFormatError(f"unsupported color type {color}")
             if interlace:
                 raise PngFormatError("interlaced PNG unsupported")
+            if width * height > max_pixels:
+                raise PngFormatError(
+                    f"{width}x{height} exceeds max_pixels={max_pixels}"
+                )
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -69,7 +75,10 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + body + crc
     if width is None or not idat:
         raise PngFormatError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise PngFormatError(f"corrupt deflate stream: {exc}") from exc
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise PngFormatError("pixel data length mismatch")

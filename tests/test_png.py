@@ -201,3 +201,64 @@ def test_image_kernels_quarantine_malformed_payloads(spark):
     ).collect()}
     assert out[1].resize_error is None and out[1].payload is not None
     assert out[2].payload is None and "PngFormatError" in out[2].resize_error
+
+
+def test_codecs_never_raise_untyped_errors_on_fuzz():
+    """Decoders facing arbitrary bytes must either succeed or raise their
+    typed FormatError — a stray struct/index/numpy error would escape the
+    per-row quarantine contract's documentation and surprise callers
+    catching the documented type. Random garbage + bit-flipped valid
+    files, all three codecs."""
+    import random
+
+    import numpy as np
+
+    from erigon_extract_spark.functions.gif import (
+        GifFormatError,
+        decode_gif,
+        encode_gif,
+        probe_gif,
+    )
+    from erigon_extract_spark.functions.wav import (
+        WavFormatError,
+        encode_wav,
+        parse_wav,
+        probe_wav,
+    )
+
+    rng = random.Random(31)
+    png_ok = encode_png(np.zeros((5, 7, 3), dtype=np.uint8))
+    gif_ok = encode_gif(
+        [(10, np.zeros((4, 4), dtype=np.uint8))],
+        np.zeros((2, 3), dtype=np.uint8),
+    )
+    wav_ok = encode_wav(np.zeros(64, dtype=np.int16), 8000)
+
+    def fuzz_cases(valid: bytes):
+        yield bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        for _ in range(60):
+            b = bytearray(valid)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            yield bytes(b)
+        for cut in (1, len(valid) // 3, len(valid) - 2):
+            yield valid[:cut]
+
+    for data in fuzz_cases(png_ok):
+        for fn in (decode_png, probe_png):
+            try:
+                fn(data)
+            except PngFormatError:
+                pass
+    for data in fuzz_cases(gif_ok):
+        for fn in (decode_gif, probe_gif):
+            try:
+                fn(data)
+            except GifFormatError:
+                pass
+    for data in fuzz_cases(wav_ok):
+        for fn in (parse_wav, probe_wav):
+            try:
+                fn(data)
+            except WavFormatError:
+                pass
