@@ -244,6 +244,13 @@ def decode_gif(
             region[:] = np.where(mask, rgb, region)
         else:
             region[:] = rgb
+        # TOTAL decoded volume bound: the per-canvas cap alone would let
+        # thousands of tiny descriptors each append a full-canvas copy
+        if (len(frames) + 1) * width * height > max_pixels:
+            raise GifFormatError(
+                f"{len(frames) + 1} frames x {width}x{height} exceeds "
+                f"max_pixels={max_pixels}"
+            )
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore background in the frame's region
             canvas[top:top + h, left:left + w] = (
@@ -257,12 +264,19 @@ def decode_gif(
     return width, height, frames
 
 
-def probe_gif(data: bytes) -> tuple[int, int, int, int]:
+def probe_gif(
+    data: bytes, max_pixels: int = 64_000_000
+) -> tuple[int, int, int, int]:
     """(width, height, n_frames, duration_ms) from block headers only —
-    sub-blocks are skipped, no LZW work."""
+    sub-blocks are skipped, no LZW work. Rejects what decode_gif rejects,
+    including canvases and frame totals over ``max_pixels``."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifFormatError("not a GIF")
     width, height, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if width * height > max_pixels:
+        raise GifFormatError(
+            f"{width}x{height} exceeds max_pixels={max_pixels}"
+        )
     pos = 13
     if packed & 0x80:
         pos += 3 * (2 << (packed & 0x07))
@@ -307,6 +321,11 @@ def probe_gif(data: bytes) -> tuple[int, int, int, int]:
         pos += 1  # LZW min code size
         pos = _skip_subblocks(data, pos)
         n_frames += 1
+        if n_frames * width * height > max_pixels:
+            raise GifFormatError(
+                f"{n_frames} frames x {width}x{height} exceeds "
+                f"max_pixels={max_pixels}"
+            )
     if n_frames == 0:
         raise GifFormatError("no image frames")
     return width, height, n_frames, duration_ms

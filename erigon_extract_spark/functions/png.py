@@ -75,12 +75,16 @@ def decode_png(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         pos += 12 + length  # length + type + body + crc
     if width is None or not idat:
         raise PngFormatError("missing IHDR or IDAT")
+    stride = width * channels
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a deflate bomb must fail the size check, not
+        # allocate its full output first (deflate packs ~1000:1)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise PngFormatError(f"corrupt deflate stream: {exc}") from exc
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected or dec.unconsumed_tail:
         raise PngFormatError("pixel data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = rows[:, 0]
@@ -147,17 +151,24 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def probe_png(data: bytes) -> tuple[int, int, int]:
+def probe_png(
+    data: bytes, max_pixels: int = 64_000_000
+) -> tuple[int, int, int]:
     """(width, height, channels) from the IHDR without decompressing.
 
     Rejects exactly the shapes ``decode_png`` rejects (16-bit, palette,
-    interlaced) — a metadata pass that admits images the decode stage
-    then fails on would defeat probe-before-decode pruning."""
+    interlaced, oversized) — a metadata pass that admits images the
+    decode stage then fails on would defeat probe-before-decode
+    pruning."""
     if len(data) < 33 or data[:8] != _SIGNATURE or data[12:16] != b"IHDR":
         raise PngFormatError("not a PNG")
     width, height, depth, color, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", data[16:29]
     )
+    if width * height > max_pixels:
+        raise PngFormatError(
+            f"{width}x{height} exceeds max_pixels={max_pixels}"
+        )
     if depth != 8:
         raise PngFormatError(f"unsupported bit depth {depth}")
     if color not in _CHANNELS:

@@ -84,9 +84,18 @@ def validation_report(
     gcols = [group_col] if group_col else []
     aggs = [F.count("*").alias("__n")]
     for name, expr in checks.items():
+        if "." in name or "`" in name:
+            raise ValueError(
+                f"check name {name!r} must not contain '.' or '`' "
+                "(they break column re-references)"
+            )
         aggs.append(
-            F.sum(
-                F.when(expr.isNull() | ~expr, 1).otherwise(0)
+            # coalesce: SUM over ZERO rows is NULL — an empty frame must
+            # report 0 violations / passed=True, not a NULL verdict the
+            # gate can neither pass nor fail on
+            F.coalesce(
+                F.sum(F.when(expr.isNull() | ~expr, 1).otherwise(0)),
+                F.lit(0),
             ).alias(f"__v_{name}")
         )
     wide = df.groupBy(*gcols).agg(*aggs)

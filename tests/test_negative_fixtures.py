@@ -123,3 +123,21 @@ def test_validation_report_counts_violations(spark):
 
     with pytest.raises(ValueError):
         validation_report(df, {})
+
+
+def test_validation_report_empty_frame_passes(spark):
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.asserts import validation_report
+
+    empty = spark.createDataFrame([], "k long, v double")
+    (r,) = validation_report(
+        empty, {"k_not_null": F.col("k").isNotNull()}
+    ).collect()
+    # vacuously clean: 0 violations, passed True — never a NULL verdict
+    assert r.n_rows == 0 and r.n_violations == 0 and r.passed is True
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        validation_report(empty, {"bad.name": F.col("k").isNotNull()})

@@ -262,3 +262,49 @@ def test_codecs_never_raise_untyped_errors_on_fuzz():
                 fn(data)
             except WavFormatError:
                 pass
+
+
+def test_decode_caps_reject_bombs_and_probe_parity():
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from erigon_extract_spark.functions.gif import (
+        GifFormatError,
+        encode_gif,
+        probe_gif,
+    )
+
+    # PNG: deflate bomb — tiny declared image, huge inflating IDAT
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+
+    def chunk(t, body):
+        return (_s.pack(">I", len(body)) + t + body
+                + _s.pack(">I", _z.crc32(t + body) & 0xFFFFFFFF))
+
+    bomb_idat = _z.compress(b"\x00" * 50_000_000, 9)  # ~48 KB compressed
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb_idat) + chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError):
+        decode_png(bomb)  # bounded inflate -> mismatch, never a 50MB alloc
+
+    # PNG: oversized canvas rejected by probe AND decode (parity)
+    big_hdr = _s.pack(">IIBBBBB", 20_000, 20_000, 8, 0, 0, 0, 0)
+    big = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", big_hdr)
+           + chunk(b"IDAT", _z.compress(b"")) + chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError):
+        probe_png(big)
+    with pytest.raises(PngFormatError):
+        decode_png(big)
+
+    # GIF: frame-count bomb — many frames x big canvas exceeds the cap
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    frame = np.zeros((2_000, 2_000), dtype=np.uint8)
+    many = encode_gif([(10, frame)] * 20, pal)  # 20 x 4M px > 64M cap
+    with pytest.raises(GifFormatError):
+        probe_gif(many)
+    from erigon_extract_spark.functions.gif import decode_gif as _dg
+
+    with pytest.raises(GifFormatError):
+        _dg(many)
