@@ -104,3 +104,17 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_integrity():
+    """The driver checks the FIRST 50 registered queries; the rotation
+    list must compose that window exactly, every member must carry an
+    oracle (a rows-only row wastes a scarce verification slot), and new
+    registrations must never displace it."""
+    win = list(QUERIES)[:50]
+    from erigon_extract_spark.queries import _GATE_PRIORITY, ORACLES
+
+    assert win == _GATE_PRIORITY
+    assert len(_GATE_PRIORITY) == 50
+    missing = [n for n in win if n not in ORACLES]
+    assert not missing, f"window members without oracles: {missing}"
