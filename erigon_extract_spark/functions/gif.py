@@ -63,6 +63,14 @@ def lzw_decode(
     codes, the code==next self-reference case. ``max_out`` stops the
     decode once enough pixels exist — a hostile stream cannot expand
     past the declared image size (decompression-bomb guard)."""
+    # GIF spec: LZW minimum code size is 2..8 (codes cap at 12 bits).
+    # The byte comes from untrusted data; without this bound a crafted
+    # value (e.g. 255) makes the base-table allocation below ~2^255
+    # tuples — an OS-level OOM that bypasses the max_out bomb guard.
+    if not 2 <= min_code_size <= 8:
+        raise GifFormatError(
+            f"LZW minimum code size {min_code_size} outside spec range 2..8"
+        )
     clear = 1 << min_code_size
     eoi = clear + 1
     base = [(i,) for i in range(clear)] + [None, None]
@@ -227,6 +235,10 @@ def decode_gif(
         if pos >= len(data):
             raise GifFormatError("truncated before LZW code size")
         min_code = data[pos]
+        if not 2 <= min_code <= 8:  # reject before any allocation
+            raise GifFormatError(
+                f"LZW minimum code size {min_code} outside spec range 2..8"
+            )
         pos += 1
         lzw, pos = _read_subblocks(data, pos)
         idx = np.array(
@@ -312,12 +324,18 @@ def probe_gif(
         # defeats probe-before-decode pruning (the png.py convention)
         if ipacked & 0x40:
             raise GifFormatError("interlaced GIF unsupported")
+        if _l + _w > width or _t2 + _h > height:
+            raise GifFormatError("image region exceeds canvas")
         if not (packed & 0x80) and not (ipacked & 0x80):
             raise GifFormatError("image without a color table")
         if ipacked & 0x80:
             pos += 3 * (2 << (ipacked & 0x07))
         if pos >= len(data):
             raise GifFormatError("truncated before LZW code size")
+        if not 2 <= data[pos] <= 8:  # parity with decode_gif's bound
+            raise GifFormatError(
+                f"LZW minimum code size {data[pos]} outside spec range 2..8"
+            )
         pos += 1  # LZW min code size
         pos = _skip_subblocks(data, pos)
         n_frames += 1

@@ -34,7 +34,9 @@ def pack_sequences(
     Deterministic across runs, partitionings, and engines (the SQL oracle
     mirrors it term for term), and append-only friendly: adding documents
     with larger ids never moves existing assignments."""
-    shard = (F.col(id_col) % n_shards).alias("shard")
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative id
+    # would yield a negative shard label outside [0, n_shards)
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
     # tokens_col: pack under a PRECOMPUTED token count (e.g. the trained
     # BPE tokenizer's) instead of the whitespace heuristic
     if tokens_col is not None:
@@ -98,7 +100,8 @@ def length_bucket_batches(
     pre = df.select(
         F.col(id_col),
         F.greatest(toks, F.lit(1)).alias("n_tokens"),
-        (F.col(id_col) % n_shards).alias("shard"),
+        # pmod keeps shard in [0, n_shards) even for negative ids
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
     )
     # integer-exact floor(log2): base-2 digit count - 1
     band = (F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1).cast("long")

@@ -1578,7 +1578,7 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_sequences",
     """
     WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard,
+      SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END
                AS n_tokens
@@ -1614,7 +1614,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_length_buckets",
     """
     WITH t AS (
-      SELECT doc_id, doc_id % 4 AS shard,
+      SELECT doc_id, ((doc_id % 4) + 4) % 4 AS shard,
              greatest(CASE WHEN text IS NULL OR length(trim(text)) = 0
                            THEN 0
                            ELSE len(string_split_regex(trim(text), '\\s+'))

@@ -59,6 +59,9 @@ def write_shards(
     dead-letter check. Keys must not contain '.' (the WebDataset member
     convention splits key from extension on the FIRST dot) — violating
     rows raise rather than silently corrupting reader-side pairing.
+    One payload member per key: a duplicate key within a shard raises
+    here, and ``read_shards`` raises on a second non-json member for
+    the same stem — data is never silently shadowed on either side.
 
     Write protocol: each task writes shard-NNNNN.tar.<attempt>.tmp and
     atomically os.replace()s it into place on completion — a retried or
@@ -80,6 +83,7 @@ def write_shards(
         path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
         tmp = f"{path}.{ctx.taskAttemptId()}.tmp"
         n = 0
+        seen: set[str] = set()
         with tarfile.open(tmp, "w") as tar:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
@@ -92,6 +96,13 @@ def write_shards(
                             f"webdataset key {key!r} contains '.' — the "
                             "member convention splits on the first dot"
                         )
+                    skey = str(key)
+                    if skey in seen:
+                        raise ValueError(
+                            f"duplicate webdataset key {key!r} in shard "
+                            f"{pid} — one payload member per key"
+                        )
+                    seen.add(skey)
                     ext = getattr(row, ext_col) or "bin"
                     body = bytes(payload)
                     info = tarfile.TarInfo(name=f"{key}.{ext}")
@@ -146,6 +157,16 @@ def read_shards(spark: SparkSession, path: str) -> DataFrame:
                         if ext == "json":
                             entry["meta"] = body.decode()
                         else:
+                            # Single-payload-per-key restriction (see
+                            # write_shards): a second non-json member
+                            # would silently shadow the first, so fail
+                            # loudly instead of losing data.
+                            if entry["payload"] is not None:
+                                raise ValueError(
+                                    f"duplicate payload members for key "
+                                    f"{stem!r} in {shard}: .{entry['ext']} "
+                                    f"and .{ext} (one payload per key)"
+                                )
                             entry["payload"] = body
                             entry["ext"] = ext
                 for key, entry in samples.items():

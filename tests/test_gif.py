@@ -170,3 +170,54 @@ def test_extract_gif_frames_end_to_end(spark):
         media.filter("doc_id = 1"), fake_decode=False
     ).collect()}
     assert (meta[1].width, meta[1].height, meta[1].duration_ms) == (5, 5, 1000)
+
+
+def _minimal_gif(
+    *, min_code_byte: int = 2, left: int = 0, top: int = 0,
+    iw: int = 3, ih: int = 3, cw: int = 3, ch: int = 3
+) -> bytes:
+    """Hand-built 2-color GIF for hostile-input tests: canvas (cw, ch),
+    one image descriptor at (left, top) sized (iw, ih), arbitrary LZW
+    minimum-code-size byte, empty LZW data sub-blocks."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", cw, ch, 0x80, 0, 0)  # GCT, 2 entries
+    out += bytes([0, 0, 0, 255, 255, 255])
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+    out.append(min_code_byte)
+    out.append(0)  # no LZW sub-blocks
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_lzw_code_size_bomb_rejected_before_allocation():
+    """ADVICE r4 (high): a crafted min-code-size byte >= ~32 made
+    lzw_decode allocate 2^n base-table tuples — an OS-level OOM that
+    bypassed the max_out bomb guard. The byte must be bounds-checked
+    (GIF spec: 2..8) before ANY allocation, in lzw_decode, decode_gif,
+    and probe_gif (probe/decode parity)."""
+    for bad in (0, 1, 9, 32, 64, 255):
+        with pytest.raises(GifFormatError, match="code size"):
+            lzw_decode(b"\x00", bad)
+        hostile = _minimal_gif(min_code_byte=bad)
+        with pytest.raises(GifFormatError, match="code size"):
+            decode_gif(hostile)
+        with pytest.raises(GifFormatError, match="code size"):
+            probe_gif(hostile)
+    # boundary values stay accepted by the codec itself
+    assert lzw_decode(_textbook_lzw_compress([0, 1, 0], 2), 2) == [0, 1, 0]
+    seq = list(range(256)) * 2
+    assert lzw_decode(_textbook_lzw_compress(seq, 8), 8) == seq
+
+
+def test_probe_rejects_region_exceeding_canvas_like_decode():
+    """ADVICE r4 (low): probe_gif promised decode parity but skipped the
+    image-descriptor canvas-bounds check, so probe-then-decode pruning
+    could pass a GIF that decode rejects."""
+    for kw in ({"left": 1, "iw": 3}, {"top": 2, "ih": 2}):
+        hostile = _minimal_gif(**kw)
+        with pytest.raises(GifFormatError, match="exceeds canvas"):
+            decode_gif(hostile)
+        with pytest.raises(GifFormatError, match="exceeds canvas"):
+            probe_gif(hostile)

@@ -122,3 +122,25 @@ def test_length_bucket_batches_waste_bound_and_stability(spark):
                 more, batch_tokens=256, n_shards=4).collect()}
     for r in out:
         assert out2[r.doc_id] == (r.band, r.shard, r.batch_idx)
+
+
+def test_negative_ids_get_nonnegative_shards(spark):
+    """ADVICE r4 (low): `id % n` in Spark keeps the dividend's sign, so
+    a negative doc_id produced a negative shard label. Both packers now
+    use pmod — shard is always in [0, n_shards)."""
+    from erigon_extract_spark.operators.packing import (
+        length_bucket_batches,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(-7, "a b c"), (-1, "d e"), (0, "f"), (5, "g h i j")],
+        "doc_id long, text string",
+    )
+    for out in (
+        pack_sequences(df, n_shards=4).collect(),
+        length_bucket_batches(df, batch_tokens=64, n_shards=4).collect(),
+    ):
+        assert len(out) == 4
+        for r in out:
+            assert 0 <= r.shard < 4, (r.doc_id, r.shard)

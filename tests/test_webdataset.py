@@ -56,3 +56,41 @@ def test_webdataset_skips_null_rows(spark, tmp_path):
     rows = read_shards(spark, out).collect()
     assert [r.key for r in rows] == ["a"]
     assert bytes(rows[0].payload) == b"alpha"
+
+
+def test_webdataset_duplicate_payload_raises_both_sides(spark, tmp_path):
+    """ADVICE r4 (low): two payload members for one key (key.jpg +
+    key.txt — WebDataset permits it, this engine restricts to one) used
+    to silently keep whichever appeared last. Now the writer rejects a
+    duplicate key per shard and the reader rejects a second non-json
+    member per stem — no silent data loss on either side."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from erigon_extract_spark.sources.webdataset import (
+        read_shards,
+        write_shards,
+    )
+
+    # write side: duplicate key within a shard fails loudly
+    df = spark.createDataFrame(
+        [("k", bytearray(b"one"), "txt"), ("k", bytearray(b"two"), "jpg")],
+        "key string, payload binary, ext string",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="duplicate webdataset key"):
+        write_shards(df, str(tmp_path / "dup")).collect()
+
+    # read side: a foreign tar with key.jpg + key.txt fails loudly
+    # (json sidecars stay fine alongside one payload)
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    with tarfile.open(foreign / "shard-00000.tar", "w") as tar:
+        for name, body in [(b"k.jpg", b"img"), (b"k.json", b"{}"),
+                           (b"k.txt", b"txt")]:
+            info = tarfile.TarInfo(name=name.decode())
+            info.size = len(body)
+            tar.addfile(info, io.BytesIO(body))
+    with pytest.raises(Exception, match="duplicate payload members"):
+        read_shards(spark, str(foreign)).collect()
