@@ -319,3 +319,18 @@ def test_hll_register_agg_is_partial(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_max" in plan, plan
+
+
+def test_top_terms_reuses_corpus_tokenize_exchange(spark, sf_dir):
+    """text_top_terms' tf and df branches must share ONE corpus
+    tokenize+explode+partial-agg exchange: the df branch consumes tf's
+    value (via ttf), so both branches canonicalize to the same
+    (doc_id, term) exchange and AQE's exchange reuse collapses them.
+    Reuse is an AQE runtime decision — it appears in the FINAL plan
+    after execution, not in the compile-time plan (the r4 bench-drift
+    investigation's confound), so execute first and then assert."""
+    df = q.QUERIES["text_top_terms"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "ReusedExchange" in plan, plan
