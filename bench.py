@@ -116,6 +116,37 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # Scale curve (VERDICT r4 #2): the four synthetic throughput probes
+    # re-run at 10x volume via their `scale` parameter. Each probe's
+    # work is ∝ scale by construction, so ratio ≈ 10 (modulo fixed
+    # per-stage overheads, which push the ratio BELOW 10 on a warm
+    # session) is the linearity witness; a super-linear ratio flags a
+    # plan that would not survive 100 TB. One measured run per probe —
+    # the 1x side is min-of-3 from the headline loop above, and the 10x
+    # plans are codegen-warm from those runs (identical shapes).
+    scale10: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE10", "1") != "0":
+        for name in (
+            "erigon_transpose_scale",
+            "dedup_scale",
+            "curation_scale",
+            "multimodal_png_scale",
+        ):
+            try:
+                t0 = time.perf_counter()
+                q.QUERIES[name](spark, sf_dir, scale=10).count()
+                x10 = round(time.perf_counter() - t0, 3)
+                x1 = times.get(name)
+                scale10[name] = {
+                    "x1": x1,
+                    "x10": x10,
+                    "ratio": round(x10 / x1, 2) if x1 else None,
+                }
+                print(f"# scale10 {name}: {x10}s (x1={x1}s)", file=sys.stderr)
+            except Exception as exc:  # a broken probe must not hide in bench
+                print(f"# scale10 {name} failed: {exc}", file=sys.stderr)
+                scale10[name] = {"error": str(exc)[:200]}
+
     # BASELINE.md's one quantitative size target: sorted+zstd parquet vs
     # the ad-hoc encodings on a fixed corpus (tools/measure_compression).
     try:
@@ -142,6 +173,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "scale10": scale10,
                 "compression": compression,
                 "load_avg": load_avg,
             }

@@ -49,15 +49,20 @@ def _fake_probe(payload: bytes) -> tuple[int, int, int]:
 
 
 def _real_probe(payload: bytes) -> tuple[int, int, int]:
-    """Real image probe: PNG headers are parsed natively (pure
-    numpy+zlib, functions/png.py — no image library needed); other
-    formats fall back to PIL. Raises when neither path applies so a
-    misconfigured cluster fails loudly, not wrongly."""
+    """Real image probe: PNG/JPEG/GIF headers and WAV are parsed natively
+    (pure numpy, functions/{png,jpeg,gif,wav}.py — no image library
+    needed); other formats fall back to PIL. Raises when neither path
+    applies so a misconfigured cluster fails loudly, not wrongly."""
     from erigon_extract_spark.functions.png import _SIGNATURE, probe_png
     from erigon_extract_spark.functions.wav import probe_wav
 
     if payload[:8] == _SIGNATURE:
         w, h, _c = probe_png(payload)
+        return w, h, 0
+    if payload[:2] == b"\xff\xd8":
+        from erigon_extract_spark.functions.jpeg import probe_jpeg
+
+        w, h, _c = probe_jpeg(payload)
         return w, h, 0
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _rate, _ch, _bits, duration_ms = probe_wav(payload)
@@ -69,8 +74,8 @@ def _real_probe(payload: bytes) -> tuple[int, int, int]:
         return w, h, duration_ms
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "real probe of non-PNG/WAV/GIF media requires PIL — not in "
-            "this container (PNG, WAV and GIF probe natively)"
+            "real probe of non-PNG/JPEG/WAV/GIF media requires PIL — not "
+            "in this container (PNG, JPEG, WAV and GIF probe natively)"
         )
     import io
 
@@ -192,8 +197,9 @@ def resize_images(
         return header + _content_digest(src).to_bytes(4, "big")
 
     def _real_resize(src: bytes) -> bytes:
-        # PNG → native decode + vectorized bilinear + native re-encode
-        # (pure numpy+zlib, functions/png.py); other formats need PIL
+        # PNG/JPEG → native decode + vectorized bilinear + native
+        # re-encode in the same format (pure numpy, functions/png.py and
+        # functions/jpeg.py); other formats need PIL
         from erigon_extract_spark.functions.png import (
             _SIGNATURE,
             decode_png,
@@ -205,10 +211,19 @@ def resize_images(
             return encode_png(
                 resize_bilinear(decode_png(src), target_w, target_h)
             )
+        if src[:2] == b"\xff\xd8":
+            from erigon_extract_spark.functions.jpeg import (
+                decode_jpeg,
+                encode_jpeg,
+            )
+
+            return encode_jpeg(
+                resize_bilinear(decode_jpeg(src), target_w, target_h)
+            )
         if not _HAVE_PIL:
             raise NotImplementedError(
-                "real resize of non-PNG media requires PIL — not in this "
-                "container (PNG resizes natively)"
+                "real resize of non-PNG/JPEG media requires PIL — not in "
+                "this container (PNG and JPEG resize natively)"
             )
         import io
 

@@ -1963,17 +1963,22 @@ def _hex_history(sh: DataFrame) -> DataFrame:
 
 
 @query("erigon_transpose_scale")  # synthetic-volume perf probe → rows-only
-def erigon_transpose_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def erigon_transpose_scale_q(
+    spark: SparkSession, sf_dir: str, scale: int = 1
+) -> DataFrame:
     """The core ETL at benchmark volume: 2M account versions + 1M storage
     writes synthesized DISTRIBUTIVELY (spark.range + hash expressions — no
     driver-side data, no fixture collect), pushed through the real
     build_state_history (range shuffle + window re-key) and reduced to a
     checksum row. This is the measured-throughput witness that the
     transpose scales with rows, independent of the tiny correctness
-    fixtures; bench.py tracks it per round."""
+    fixtures; bench.py tracks it per round. ``scale`` multiplies the row
+    volume at FIXED key cardinality (history depth grows — the regime a
+    long-running chain produces); bench.py's scale section runs scale=10
+    to measure the work→time curve."""
     from erigon_extract_spark.plans.transpose import build_state_history
 
-    n_acct, n_keys = 2_000_000, 50_000
+    n_acct, n_keys = 2_000_000 * scale, 50_000
     acct = spark.range(n_acct).select(
         F.expr("substring(unhex(md5(cast(id % 50000 as string))), 1, 20)").alias(
             "address"
@@ -1986,7 +1991,7 @@ def erigon_transpose_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("incarnation"),
         F.lit(b"\x00" * 32).alias("code_hash"),
     )
-    n_stor, n_slots = 1_000_000, 20_000
+    n_stor, n_slots = 1_000_000 * scale, 20_000
     stor = spark.range(n_stor).select(
         F.expr("substring(unhex(md5(cast(id % 20000 as string))), 1, 20)").alias(
             "address"
@@ -2094,14 +2099,18 @@ def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_scale")  # synthetic-volume perf probe → rows-only
-def dedup_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_scale_q(
+    spark: SparkSession, sf_dir: str, scale: int = 1
+) -> DataFrame:
     """Minhash LSH at benchmark volume: 200k documents synthesized
     distributively (10 hash-words each; 25% exact duplicates of earlier
     seeds, plus a 10% near-dup band differing in the final word), pushed
     through the real banded-LSH candidate pipeline and reduced to a
     count row. The LLM-pipeline throughput witness at ~2M shingle rows —
-    independent of the 5k-doc correctness table."""
-    n_docs, n_uniq = 200_000, 150_000
+    independent of the 5k-doc correctness table. ``scale`` multiplies
+    docs AND unique-seed cardinality together (corpus growth, constant
+    dup rate); bench.py's scale section runs scale=10."""
+    n_docs, n_uniq = 200_000 * scale, 150_000 * scale
     words = [
         F.md5(F.concat((F.col("id") % n_uniq).cast("string"), F.lit(f"_{i}")))
         for i in range(9)
@@ -4844,15 +4853,93 @@ def multimodal_png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_jpeg_roundtrip",
+    """
+    WITH tiles AS (
+      SELECT d.d AS doc_id, ty.ty AS ty, tx.tx AS tx,
+             128 + 2 * ((d.d * 7 + ty.ty * 5 + tx.tx * 3) % 53 - 26) AS v
+      FROM UNNEST(generate_series(0, 29)) AS d(d),
+           UNNEST(generate_series(0, 3)) AS ty(ty),
+           UNNEST(generate_series(0, 3)) AS tx(tx)
+    )
+    SELECT doc_id,
+           CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max,
+           CAST(64 * COUNT(*) AS BIGINT) AS n_px
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL JPEG kernel under the value hash (functions/jpeg.py —
+    actual Huffman entropy coding, DCT, quantization, restart markers):
+    30 deterministic 32x32 grayscale images built from 8x8-constant
+    tiles are encoded and decoded per executor, and reduced to per-image
+    pixel statistics the oracle derives straight from the tile formula.
+
+    Why this is EXACT despite JPEG being lossy: a constant 8x8 block has
+    only a DC coefficient (orthonormal DCT: 8*(v-128)); at quality 50
+    the Annex K luminance DC quantizer is 16, and tile values are even
+    offsets from 128, so 8*(v-128) is divisible by 16 — quantization
+    loses nothing and the IDCT reconstructs v bit-exactly (the float
+    epsilon is ~1e-14, killed by the final round). The tile grid still
+    exercises the full codec: per-block DC prediction with negative
+    diffs, Huffman tables, bit packing with FF-stuffing, and the
+    restart-marker resync path (restart_interval=3 — 16 MCUs per image
+    means five RSTn markers under the hash). Lossy-path fidelity is
+    pytest-pinned by PSNR floors instead (tests/test_jpeg.py)."""
+    import pandas as pd
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            ty, tx = np.mgrid[0:4, 0:4]
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                tiles = 128 + 2 * ((d * 7 + ty * 5 + tx * 3) % 53 - 26)
+                img = np.repeat(
+                    np.repeat(tiles, 8, axis=0), 8, axis=1
+                ).astype("uint8")
+                back = decode_jpeg(
+                    encode_jpeg(img, quality=50, restart_interval=3)
+                )[:, :, 0].astype("int64")
+                rows.append(
+                    (d, int(back.sum()), int(back.min()),
+                     int(back.max()), int(back.size))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "px_sum", "px_min", "px_max", "n_px"],
+            )
+
+    return spark.range(30).mapInPandas(
+        roundtrip,
+        schema="doc_id long, px_sum long, px_min long, px_max long, "
+               "n_px long",
+    )
+
+
 @query("multimodal_png_scale")  # throughput probe -> rows-only (cf. keccak_scale)
-def multimodal_png_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_png_scale_q(
+    spark: SparkSession, sf_dir: str, scale: int = 1
+) -> DataFrame:
     """Real-PNG kernel throughput at benchmark volume: 2,000 synthetic
     64x64 RGB images per run, each taking the full encode -> zlib ->
     decode -> bilinear-resize-to-32x32 round trip inside the
     Arrow-batched executor path, reduced to one checksum row. The
     measured witness that the pure-numpy codec sustains corpus-scale
     image preprocessing (the fake-decode queries measure plumbing; this
-    measures the kernel)."""
+    measures the kernel). ``scale`` multiplies the image count;
+    bench.py's scale section runs scale=10 (embarrassingly parallel —
+    the curve should be the flattest of the four probes)."""
     import pandas as pd
 
     def work(batches):
@@ -4884,7 +4971,7 @@ def multimodal_png_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"n_images": [n], "checksum": [total]})
 
     return (
-        spark.range(2_000)
+        spark.range(2_000 * scale)
         .repartition(32)
         .mapInPandas(work, schema="n_images long, checksum long")
         .groupBy()
@@ -5323,13 +5410,18 @@ def source_jsonl_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("curation_scale")  # synthetic-volume perf probe → rows-only
-def curation_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_scale_q(
+    spark: SparkSession, sf_dir: str, scale: int = 1
+) -> DataFrame:
     """Model-based scoring at benchmark volume: 200k documents (20
     hash-derived tokens each, ~4M token rows) synthesized distributively
     and pushed through BOTH train-then-score passes — the hashed linear
     classifier and the corpus bigram-familiarity model — reduced to one
     summary row. The throughput witness for the curation-scoring family,
-    independent of the 5k-doc correctness table (cf. dedup_scale)."""
+    independent of the 5k-doc correctness table (cf. dedup_scale).
+    ``scale`` multiplies docs at the fixed Zipf-ish bigram domain (real
+    corpora reuse bigrams — domain growth is sublinear in corpus size);
+    bench.py's scale section runs scale=10."""
     from erigon_extract_spark.operators.text import (
         bigram_familiarity,
         hashed_linear_quality,
@@ -5339,7 +5431,7 @@ def curation_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zipf-ish bounded bigram domain (19 * n_uniq keys) — real corpora
     # REUSE bigrams heavily; an all-unique-bigram corpus would make the
     # model join degenerate in a way no real dataset does
-    n_docs, n_uniq = 200_000, 10_000
+    n_docs, n_uniq = 200_000 * scale, 10_000
     words = [
         F.substring(
             F.md5(((F.col("id") % n_uniq) + F.lit(i * 131)).cast("string")),
