@@ -1962,7 +1962,20 @@ def _hex_history(sh: DataFrame) -> DataFrame:
     )
 
 
-@query("erigon_transpose_scale")  # synthetic-volume perf probe → rows-only
+# Golden-value oracle (VERDICT r4 #5): the probe's synthetic input is a
+# pure function of spark.range ids (md5 expressions), so its reduction is
+# a DETERMINISTIC CONSTANT — pinned here after verifying bit-identity
+# under 32/7 shuffle partitions and codegen on/off. n_rows is derived
+# independently (2M + 1M versions minus the 70k genesis block-0 rows the
+# P7 filter drops); the checksum is the regression pin that catches any
+# value drift across configs/rounds.
+@query(
+    "erigon_transpose_scale",
+    """
+    SELECT CAST(2930000 AS BIGINT) AS n_rows,
+           CAST(60570000 AS BIGINT) AS block_from_checksum
+    """,
+)
 def erigon_transpose_scale_q(
     spark: SparkSession, sf_dir: str, scale: int = 1
 ) -> DataFrame:
@@ -2029,7 +2042,18 @@ def scalar_keccak_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("keccak_scale")  # no keccak in DuckDB → rows-only throughput probe
+# Golden-value oracle: DuckDB has no keccak, but the probe's input is a
+# deterministic md5 formula, so the reduction is a constant — the pin
+# regression-guards the numpy Keccak lane (algorithm itself is pinned to
+# the spec vectors in tests/test_keccak.py); config-sweep verified
+@query(
+    "keccak_scale",
+    """
+    SELECT CAST(200000 AS BIGINT) AS n_hashed,
+           'FFFF6D78D6E0970522AC605F6FC18FFF401680C806F1B03BD90C2B2530A3B1D0'
+             AS max_hash
+    """,
+)
 def keccak_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-state throughput probe: 200k synthetic 32-byte keys through
     the batched numpy Keccak lane (functions/keccak.py::keccak256_batch) —
@@ -2098,7 +2122,12 @@ def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_scale")  # synthetic-volume perf probe → rows-only
+# Golden-value oracle: deterministic md5-derived corpus -> constant
+# candidate count (config-sweep verified; see erigon_transpose_scale note)
+@query(
+    "dedup_scale",
+    "SELECT CAST(49226 AS BIGINT) AS n_candidates",
+)
 def dedup_scale_q(
     spark: SparkSession, sf_dir: str, scale: int = 1
 ) -> DataFrame:
@@ -4927,7 +4956,15 @@ def multimodal_jpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_png_scale")  # throughput probe -> rows-only (cf. keccak_scale)
+# Golden-value oracle: deterministic synthetic pixels through the real
+# PNG codec -> constant pixel checksum (config-sweep verified)
+@query(
+    "multimodal_png_scale",
+    """
+    SELECT CAST(2000 AS BIGINT) AS n_images,
+           CAST(783592384 AS BIGINT) AS checksum
+    """,
+)
 def multimodal_png_scale_q(
     spark: SparkSession, sf_dir: str, scale: int = 1
 ) -> DataFrame:
@@ -5409,7 +5446,23 @@ def source_jsonl_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("curation_scale")  # synthetic-volume perf probe → rows-only
+# Golden-value oracle: all outputs are integer-exact sums of a
+# deterministic md5-derived corpus (config-sweep verified; see
+# erigon_transpose_scale note). tokens_total = 20 tokens x 200k docs and
+# bigrams_total = 19 x 200k are independently derivable; the rest pin
+# the trained-model math against drift.
+@query(
+    "curation_scale",
+    """
+    SELECT CAST(200000 AS BIGINT) AS n_scored,
+           CAST(-26533360 AS BIGINT) AS weight_total,
+           CAST(4000000 AS BIGINT) AS tokens_total,
+           CAST(97460 AS BIGINT) AS n_keep,
+           CAST(200000 AS BIGINT) AS n_familiarity,
+           CAST(1324528000 AS BIGINT) AS familiarity_total,
+           CAST(3800000 AS BIGINT) AS bigrams_total
+    """,
+)
 def curation_scale_q(
     spark: SparkSession, sf_dir: str, scale: int = 1
 ) -> DataFrame:
@@ -5452,14 +5505,20 @@ def curation_scale_q(
         )
         .localCheckpoint()
     )
+    # integer-exact aggregates ONLY: float avgs would be partition-order
+    # dependent at the ulp level, which forbids the golden-value oracle
+    # (weight_sum, n_tokens, familiarity_sum are exact int64 sums;
+    # division for human-readable averages is the consumer's one-liner)
     q1 = hashed_linear_quality(docs).agg(
         F.count("*").alias("n_scored"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.sum("weight_sum").cast("long").alias("weight_total"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
     )
     q2 = bigram_familiarity(docs).agg(
         F.count("*").alias("n_familiarity"),
-        F.round(F.avg("familiarity"), 2).alias("avg_familiarity"),
+        F.sum("familiarity_sum").cast("long").alias("familiarity_total"),
+        F.sum("n_bigrams").cast("long").alias("bigrams_total"),
     )
     return q1.crossJoin(q2)
 
