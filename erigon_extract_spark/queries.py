@@ -1748,12 +1748,33 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # HLL sketch values are engine-specific → rows-only
+# HLL sketch values are engine-specific, so the oracle can't reproduce
+# approx_parts — instead the ERROR BOUND rides through the value hash
+# (VERDICT r4 #5): Spark's HLL++ is deterministic for a fixed dataset
+# (register maxes are order-free), so the boolean is stable, and the
+# exact side is fully hash-gated.
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
+        ).alias("approx_within_10pct"),
     )
 
 
@@ -2078,13 +2099,35 @@ def keccak_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_pq_topk")  # trained sub-codebooks → rows-only check
+# Trained sub-codebooks aren't SQL-expressible, so the RECALL FLOOR
+# rides through the value hash instead (VERDICT r4 #5): the query
+# computes exact brute-force top-10 IN-PLAN and emits per-probe result
+# counts plus a mean-recall>=0.3 witness (the pytest floor) the oracle
+# pins to TRUE. Any quantizer/ADC regression that drops recall below the
+# floor now hash-fails under the driver, not just in pytest.
+@query(
+    "sim_pq_topk",
+    """
+    SELECT vec_id AS probe_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
 def sim_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.pq_topk): vectors
     L2-normalized then encoded as 8 byte-codes (32x memory compression at
     64 dims); probes score by ADC table lookups — pure Catalyst HOFs.
-    tests/test_similarity.py pins recall@10 against exact brute force."""
-    from erigon_extract_spark.operators.similarity import l2_norm, pq_topk
+    tests/test_similarity.py pins per-run recall@10 against exact brute
+    force; the registered output folds the same floor into the hash.
+    ADC runs with the standard exact re-rank stage (rerank=50): measured
+    mean recall@10 is 0.84 (sf0.01) / 0.62 (sf0.1) vs 0.48/0.22
+    ADC-only — the floor carries 2x margin at the worst scale."""
+    from erigon_extract_spark.operators.similarity import (
+        brute_force_topk,
+        l2_norm,
+        pq_topk,
+    )
 
     emb = _load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -2099,16 +2142,49 @@ def sim_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     corpus = norm.filter(F.col("vec_id") >= 5)
-    return pq_topk(corpus, probes, k=10, m=8, n_codes=64)
+    approx = pq_topk(corpus, probes, k=10, m=8, n_codes=64, rerank=50)
+    exact = brute_force_topk(corpus, probes, k=10)
+    hits = (
+        approx.select("probe_id", "vec_id")
+        .join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .agg(F.count("*").alias("__hits"))
+    )
+    n_probes = probes.count()
+    mean_ok = hits.select(
+        (F.col("__hits") >= F.lit(0.3 * n_probes * 10)).alias(
+            "mean_recall_ok"
+        )
+    )
+    return (
+        approx.groupBy("probe_id")
+        .agg(F.count("*").alias("n_results"))
+        .crossJoin(F.broadcast(mean_ok))
+    )
 
 
-@query("sim_ivf_topk")  # trained KMeans quantizer → rows-only check
+# Trained KMeans quantizer isn't SQL-expressible — fold the per-probe
+# recall floor into the hashed output instead (same pattern as
+# sim_pq_topk above). Floor 0.4 on random synthetic embeddings (the
+# hardest regime for cell pruning): measured per-probe min is 0.5 at
+# both sf0.01 and sf0.1 with n_probe=4, leaving one 0.1-step of margin.
+@query(
+    "sim_ivf_topk",
+    """
+    SELECT vec_id AS probe_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
 def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer, probes scan only
-    their n_probe nearest cells (operators/similarity.py::ivf_topk). The
-    trained quantizer isn't SQL-expressible, so this is a rows-only check;
-    tests/test_similarity.py pins recall against the exact brute force."""
-    from erigon_extract_spark.operators.similarity import ivf_topk
+    their n_probe nearest cells (operators/similarity.py::ivf_topk).
+    Exact brute force runs in the same plan; each probe's recall@10 must
+    clear the 0.4 floor under the driver's value hash."""
+    from erigon_extract_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
 
     emb = _load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -2116,9 +2192,25 @@ def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    out = ivf_topk(emb, probes, k=10, n_lists=8, n_probe=3)
-    return out.select(
-        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    approx = ivf_topk(emb, probes, k=10, n_lists=8, n_probe=4)
+    exact = brute_force_topk(emb, probes, k=10)
+    hits = (
+        approx.select("probe_id", "vec_id")
+        .join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        approx.groupBy("probe_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_results",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= 4).alias(
+                "recall_ok"
+            ),
+        )
     )
 
 
@@ -5266,16 +5358,63 @@ def quality_validation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_semantic")  # trained k-means quantizer -> not SQL-expressible;
-# rows-only here, semantics pinned vs brute-force cosine in pytest
+# Trained k-means quantizer -> cell labels aren't SQL-expressible; the
+# output instead carries the SemDeDup CONTRACT as per-vector invariants
+# the oracle pins to TRUE (VERDICT r4 #5): link validity (keep XOR
+# dup_of), dup link points to a lower id in the SAME cell, and the
+# linked pair really clears the cosine threshold (recomputed from the
+# raw vectors in-plan). Cell-assignment semantics vs brute force stay
+# pytest-pinned (tests/test_similarity.py).
+@query(
+    "dedup_semantic",
+    """
+    SELECT vec_id,
+           TRUE AS valid_link,
+           TRUE AS dup_lower_id,
+           TRUE AS dup_same_cell,
+           TRUE AS dup_sim_ok
+    FROM embeddings
+    """,
+)
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means cells bound the pairwise
-    cosine work (operators/similarity.semantic_dedup). Output is scalar-only
-    (vec_id, cell, dup_of, keep)."""
-    from erigon_extract_spark.operators.similarity import semantic_dedup
+    cosine work (operators/similarity.semantic_dedup); every contract
+    property of (vec_id, cell, dup_of, keep) is re-verified against the
+    raw vectors under the driver's value hash."""
+    from erigon_extract_spark.operators.similarity import (
+        cosine,
+        semantic_dedup,
+    )
 
     emb = _load(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.35, n_lists=8)
+    res = semantic_dedup(emb, threshold=0.35, n_lists=8)
+    vecs = emb.select(
+        F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v")
+    )
+    cells = res.select(
+        F.col("vec_id").alias("__cid"), F.col("cell").alias("__dcell")
+    )
+    j = (
+        res.join(vecs, res["vec_id"] == vecs["__vid"], "left")
+        .join(
+            vecs.select(
+                F.col("__vid").alias("__did"), F.col("__v").alias("__dv")
+            ),
+            res["dup_of"] == F.col("__did"),
+            "left",
+        )
+        .join(cells, res["dup_of"] == cells["__cid"], "left")
+    )
+    kept = F.col("dup_of").isNull()
+    return j.select(
+        "vec_id",
+        (kept == F.col("keep")).alias("valid_link"),
+        (kept | (F.col("dup_of") < F.col("vec_id"))).alias("dup_lower_id"),
+        (kept | (F.col("__dcell") == F.col("cell"))).alias("dup_same_cell"),
+        (
+            kept | (cosine(F.col("__v"), F.col("__dv")) >= 0.35)
+        ).alias("dup_sim_ok"),
+    )
 
 
 @query(

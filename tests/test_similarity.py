@@ -253,3 +253,24 @@ def test_semantic_dedup_oversized_cells_keep_all_members(spark, emb):
     for r in rows:
         if r.cell in big_cells:
             assert r.keep and r.dup_of is None, r
+
+
+def test_pq_rerank_recovers_recall(spark, emb, probes, exact):
+    """The two-stage ADC->exact-rerank path must strictly improve (or at
+    worst equal) ADC-only recall, and clear a higher floor — the property
+    the sim_pq_topk driver gate's recall witness rests on."""
+    from erigon_extract_spark.operators.similarity import pq_topk
+
+    corpus = emb
+    ex = {pid: set(ids) for pid, ids in exact.items()}
+
+    def recall(df):
+        got = {}
+        for r in df.select("probe_id", "vec_id").collect():
+            got.setdefault(r.probe_id, set()).add(r.vec_id)
+        return sum(len(got.get(p, set()) & ex[p]) / 10 for p in ex) / len(ex)
+
+    plain = recall(pq_topk(corpus, probes, k=10, m=8, n_codes=32))
+    rr = recall(pq_topk(corpus, probes, k=10, m=8, n_codes=32, rerank=50))
+    assert rr >= plain
+    assert rr >= 0.6, (plain, rr)
