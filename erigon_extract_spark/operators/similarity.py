@@ -321,6 +321,208 @@ def ivf_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    m: int = 4,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    seed: int = 42,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF+PQ composed index (the FAISS IVFPQ layout, public and
+    standard): coarse KMeans cells bound WHICH rows a probe scans
+    (sublinear scan, the IVF part), product-quantized RESIDUALS bound
+    the BYTES per scanned row (the PQ part), and an optional exact
+    re-rank restores recall from raw vectors.
+
+    Residual encoding is what makes the composition work: a vector is
+    stored as (cell, codes(vec - centroid[cell])), and a probe scores a
+    row as dot(p, centroid[cell]) + Σ_j ADC_table[j, code_j] — the ADC
+    table depends only on the probe and the residual codebooks, NOT on
+    the cell, so one broadcast table serves every probed cell.
+
+    At 100 TB: 2B 64-dim float vectors (512 GB raw) become ~2B x (1+m)
+    bytes of cell+codes; the candidate join is a shuffle equi-join on
+    the cell id (CI plan tests forbid cartesian products), and with the
+    corpus persisted PARTITIONED BY cell the scan is a pruned file read.
+    Score is inner product — pass L2-normalized vectors for cosine
+    semantics (the registered query does).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    d = len(corpus.select(vec_col).first()[0])
+    dsub = d // m
+    assert m * dsub == d, f"dim {d} not divisible by m={m}"
+
+    # 1. coarse quantizer: cell assignment + broadcastable centroids
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    coarse = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(coarse.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    assigned = (
+        coarse.transform(
+            corpus.select(
+                id_col, vec_col,
+                array_to_vector(F.col(vec_col)).alias("features"),
+            )
+        )
+        .select(id_col, vec_col, F.col("prediction").alias("cell"))
+        .join(F.broadcast(centers), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("center"), lambda a, b: a - b
+            ).alias("__res"),
+        )
+    )
+
+    def subvec(col, j):
+        return F.slice(col, j * dsub + 1, dsub)
+
+    # 2. residual PQ: m sub-codebooks trained on residual subvectors
+    encoded = assigned
+    books = []
+    for j in range(m):
+        sub_train = assigned.select(
+            array_to_vector(subvec(F.col("__res"), j)).alias("features")
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + 100 + j, featuresCol="features"
+        ).fit(sub_train)
+        books.extend(
+            (j, c, [float(x) for x in cen])
+            for c, cen in enumerate(model.clusterCenters())
+        )
+        encoded = model.transform(
+            encoded.withColumn(
+                "features", array_to_vector(subvec(F.col("__res"), j))
+            )
+        ).select(*encoded.columns, F.col("prediction").alias(f"__c{j}"))
+    codes = encoded.select(
+        id_col, "cell",
+        F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes"),
+    )
+    books_df = spark.createDataFrame(
+        books, "j int, code int, centroid array<double>"
+    )
+
+    # 3. probe side: n_probe nearest cells by centroid inner product,
+    # plus the cell-independent ADC lookup table per probe
+    p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
+    dotc = F.aggregate(
+        F.zip_with(F.col("__pvec"), F.col("center"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_cells = (
+        p.crossJoin(F.broadcast(centers))
+        .select(probe_id_col, "cell", dotc.alias("__cdot"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(probe_id_col).orderBy(
+                    F.col("__cdot").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(probe_id_col, "cell", "__cdot")
+    )
+    table = (
+        p.crossJoin(F.broadcast(books_df))
+        .select(
+            probe_id_col,
+            (F.col("j") * n_codes + F.col("code")).alias("slot"),
+            F.aggregate(
+                F.zip_with(
+                    subvec(F.col("__pvec"), F.col("j")),
+                    F.col("centroid"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("partial"),
+        )
+        .groupBy(probe_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("slot", "partial"))
+            ).getField("partial").alias("table")
+        )
+    )
+
+    # 4. candidates: equi-join on cell (NOT a corpus cross join), score
+    # via centroid dot + ADC residual sum
+    scored = (
+        codes.join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(table), probe_id_col)
+        .select(
+            probe_id_col,
+            id_col,
+            (
+                F.col("__cdot")
+                + F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda j: F.element_at(
+                            F.col("table"),
+                            (
+                                j * n_codes
+                                + F.element_at(F.col("codes"), j + 1)
+                                + 1
+                            ).cast("int"),
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    n_cand = max(k, rerank) if rerank else k
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cand)
+        .drop("__rn")
+    )
+    if not rerank:
+        return out
+    cvec = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    exact = (
+        out.select(probe_id_col, id_col)
+        .join(cvec, id_col)
+        .join(F.broadcast(p), probe_id_col)
+        .select(
+            probe_id_col,
+            id_col,
+            cosine(F.col("__cv"), F.col("__pvec")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (LCG, no numpy to
     keep it importable everywhere)."""

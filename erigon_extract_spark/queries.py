@@ -2214,6 +2214,67 @@ def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF+PQ composed (FAISS IVFPQ): cells bound WHICH rows a probe scans,
+# residual PQ codes bound the BYTES per row, exact re-rank restores
+# recall. Same hashed-witness pattern as sim_pq/sim_ivf above.
+@query(
+    "sim_ivfpq_topk",
+    """
+    SELECT vec_id AS probe_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composed ANN path (operators/similarity.ivfpq_topk):
+    coarse cells scanned per probe (n_probe/n_lists of the corpus),
+    ADC over residual codes, exact re-rank of 50 candidates. Mean
+    recall@10 vs in-plan brute force must clear 0.3 under the value
+    hash; note brute force here is restricted to the same probed rows'
+    UNIVERSE (full corpus) so cell misses count against recall."""
+    from erigon_extract_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        l2_norm,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    probes = norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = norm.filter(F.col("vec_id") >= 5)
+    approx = ivfpq_topk(
+        corpus, probes, k=10, n_lists=8, n_probe=4, m=8, n_codes=32,
+        rerank=50,
+    )
+    exact = brute_force_topk(corpus, probes, k=10)
+    hits = (
+        approx.select("probe_id", "vec_id")
+        .join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .agg(F.count("*").alias("__hits"))
+    )
+    n_probes = probes.count()
+    mean_ok = hits.select(
+        (F.col("__hits") >= F.lit(0.3 * n_probes * 10)).alias(
+            "mean_recall_ok"
+        )
+    )
+    return (
+        approx.groupBy("probe_id")
+        .agg(F.count("*").alias("n_results"))
+        .crossJoin(F.broadcast(mean_ok))
+    )
+
+
 # Golden-value oracle: deterministic md5-derived corpus -> constant
 # candidate count (config-sweep verified; see erigon_transpose_scale note)
 @query(

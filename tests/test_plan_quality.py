@@ -233,6 +233,12 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # and probes x sub-codebooks (m*n_codes rows) — both broadcast
         # sides are constant-size; the scan is linear in the corpus
         "sim_pq_topk",
+        # IVFPQ composition: the same constant-size broadcast shapes as
+        # sim_ivf (probes x n_lists centroids) and sim_pq (probes x
+        # m*n_codes codebooks, mean-recall scalar crossJoin); the
+        # candidate join itself is a cell equi-join, linear in the
+        # probed fraction of the corpus
+        "sim_ivfpq_topk",
         # scalar-subquery shapes: BNLJ against a ONE-ROW global aggregate
         # (avg threshold / scalar combine) — linear by construction
         "erigon_txbodies_stats",

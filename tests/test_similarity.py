@@ -274,3 +274,32 @@ def test_pq_rerank_recovers_recall(spark, emb, probes, exact):
     rr = recall(pq_topk(corpus, probes, k=10, m=8, n_codes=32, rerank=50))
     assert rr >= plain
     assert rr >= 0.6, (plain, rr)
+
+
+def test_ivfpq_recall_and_candidate_bound(spark, emb, probes, exact):
+    """Composed IVF+PQ: recall@10 with re-rank clears the floor, and the
+    candidate universe is genuinely restricted to the probed cells (the
+    sublinear-scan property — candidates << corpus when n_probe < n_lists)."""
+    from erigon_extract_spark.operators.similarity import ivfpq_topk
+
+    ex = {pid: set(ids) for pid, ids in exact.items()}
+    out = ivfpq_topk(
+        emb, probes, k=10, n_lists=8, n_probe=3, m=8, n_codes=32, rerank=50
+    )
+    got = {}
+    for r in out.select("probe_id", "vec_id").collect():
+        got.setdefault(r.probe_id, set()).add(r.vec_id)
+    mean_recall = sum(
+        len(got.get(p, set()) & ex[p]) / 10 for p in ex
+    ) / len(ex)
+    assert mean_recall >= 0.3, mean_recall
+
+    # scan restriction: with 1 of 8 cells probed and no re-rank, ADC-only
+    # candidates for a probe are at most that cell's population
+    narrow = ivfpq_topk(
+        emb, probes, k=10_000, n_lists=8, n_probe=1, m=8, n_codes=32
+    )
+    per_probe = narrow.groupBy("probe_id").count().collect()
+    n = emb.count()
+    for r in per_probe:
+        assert r["count"] < n, "probe scanned the whole corpus"
