@@ -305,6 +305,113 @@ def _category(v: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# Shared segment parsers (decode and probe validate IDENTICALLY — the
+# probe/decode parity contract)
+# --------------------------------------------------------------------------
+
+def _parse_dqt(body: bytes) -> dict[int, np.ndarray]:
+    """DQT segment -> {table_id: 64 raster-order int64 divisors}."""
+    out: dict[int, np.ndarray] = {}
+    b = 0
+    while b < len(body):
+        pq, tq_id = body[b] >> 4, body[b] & 0x0F
+        b += 1
+        if pq not in (0, 1):
+            raise JpegFormatError(f"bad DQT precision {pq}")
+        n = 64 * (2 if pq else 1)
+        if b + n > len(body):
+            raise JpegFormatError("truncated DQT")
+        if pq:
+            vals = np.frombuffer(body[b:b + n], dtype=">u2").astype(np.int64)
+        else:
+            vals = np.frombuffer(
+                body[b:b + n], dtype=np.uint8
+            ).astype(np.int64)
+        if np.any(vals == 0):
+            raise JpegFormatError("zero quantizer value")
+        table = np.empty(64, dtype=np.int64)
+        table[_ZZ] = vals  # DQT stores zigzag order
+        out[tq_id] = table
+        b += n
+    return out
+
+
+def _parse_dht(body: bytes) -> list[tuple[int, int, dict]]:
+    """DHT segment -> [(class, id, decode_map)] with full code-space
+    validation (an overfull table is rejected here, not mid-scan)."""
+    out = []
+    b = 0
+    while b < len(body):
+        if b + 17 > len(body):
+            raise JpegFormatError("truncated DHT")
+        tc, th = body[b] >> 4, body[b] & 0x0F
+        bits = list(body[b + 1:b + 17])
+        nvals = sum(bits)
+        if b + 17 + nvals > len(body):
+            raise JpegFormatError("truncated DHT values")
+        values = list(body[b + 17:b + 17 + nvals])
+        if tc not in (0, 1):
+            raise JpegFormatError(f"bad DHT class {tc}")
+        out.append((tc, th, _build_decode_map(bits, values)))
+        b += 17 + nvals
+    return out
+
+
+def _parse_sof(body: bytes, max_pixels: int):
+    """SOF0/SOF1 segment -> (w, h, comps, hmax, vmax) with every
+    header-level rejection both decode and probe apply."""
+    if len(body) < 6:
+        raise JpegFormatError("truncated SOF")
+    precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+    if precision != 8:
+        raise JpegFormatError(f"unsupported precision {precision}")
+    if ncomp not in (1, 3):
+        raise JpegFormatError(f"unsupported component count {ncomp}")
+    if w == 0 or h == 0:
+        raise JpegFormatError("zero image dimension")
+    if len(body) < 6 + 3 * ncomp:
+        raise JpegFormatError("truncated SOF components")
+    comps = []
+    for i in range(ncomp):
+        cid, hv, tq_id = body[6 + 3 * i:9 + 3 * i]
+        hs, vs = hv >> 4, hv & 0x0F
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise JpegFormatError(
+                f"sampling factor {hs}x{vs} outside supported 1..2"
+            )
+        comps.append((cid, hs, vs, tq_id))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    pw = -(-w // (8 * hmax)) * 8 * hmax
+    ph = -(-h // (8 * vmax)) * 8 * vmax
+    if pw * ph > max_pixels:
+        raise JpegFormatError(
+            f"{w}x{h} (padded {pw}x{ph}) exceeds max_pixels={max_pixels}"
+        )
+    return w, h, comps, hmax, vmax
+
+
+_UNSUPPORTED_SOF = {
+    0xC2: "progressive", 0xC3: "SOF3", 0xC5: "SOF5", 0xC6: "SOF6",
+    0xC7: "SOF7", 0xC9: "SOF9", 0xCA: "SOF10", 0xCB: "SOF11",
+    0xCD: "SOF13", 0xCE: "SOF14", 0xCF: "SOF15",
+}
+
+
+def _next_marker(data: bytes, pos: int) -> tuple[int, int]:
+    """Read a marker at ``pos`` (expects 0xFF), skipping any number of
+    legal 0xFF fill bytes (T.81 B.1.1.2) -> (marker, new_pos)."""
+    if data[pos] != 0xFF:
+        raise JpegFormatError(f"expected marker at byte {pos}")
+    pos += 1
+    while pos < len(data) and data[pos] == 0xFF:
+        pos += 1  # fill byte
+    if pos >= len(data):
+        raise JpegFormatError("truncated at marker")
+    return data[pos], pos + 1
+
+
+# --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
@@ -324,11 +431,8 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     restart_interval = 0
     planes = None
 
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise JpegFormatError(f"expected marker at byte {pos}")
-        marker = data[pos + 1]
-        pos += 2
+    while pos + 3 <= len(data):
+        marker, pos = _next_marker(data, pos)
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -342,85 +446,21 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         pos += seglen
 
         if marker == 0xDB:  # DQT
-            b = 0
-            while b < len(body):
-                pq, tq_id = body[b] >> 4, body[b] & 0x0F
-                b += 1
-                if pq not in (0, 1):
-                    raise JpegFormatError(f"bad DQT precision {pq}")
-                n = 64 * (2 if pq else 1)
-                if b + n > len(body):
-                    raise JpegFormatError("truncated DQT")
-                if pq:
-                    vals = np.frombuffer(
-                        body[b:b + n], dtype=">u2"
-                    ).astype(np.int64)
-                else:
-                    vals = np.frombuffer(
-                        body[b:b + n], dtype=np.uint8
-                    ).astype(np.int64)
-                if np.any(vals == 0):
-                    raise JpegFormatError("zero quantizer value")
-                table = np.empty(64, dtype=np.int64)
-                table[_ZZ] = vals  # DQT stores zigzag order
-                qt[tq_id] = table
-                b += n
+            qt.update(_parse_dqt(body))
         elif marker == 0xC4:  # DHT
-            b = 0
-            while b < len(body):
-                if b + 17 > len(body):
-                    raise JpegFormatError("truncated DHT")
-                tc, th = body[b] >> 4, body[b] & 0x0F
-                bits = list(body[b + 1:b + 17])
-                nvals = sum(bits)
-                if b + 17 + nvals > len(body):
-                    raise JpegFormatError("truncated DHT values")
-                values = list(body[b + 17:b + 17 + nvals])
-                if tc == 0:
-                    dc_maps[th] = _build_decode_map(bits, values)
-                elif tc == 1:
-                    ac_maps[th] = _build_decode_map(bits, values)
-                else:
-                    raise JpegFormatError(f"bad DHT class {tc}")
-                b += 17 + nvals
+            for tc, th, dmap in _parse_dht(body):
+                (dc_maps if tc == 0 else ac_maps)[th] = dmap
         elif marker == 0xC0 or marker == 0xC1:
             # SOF0 baseline / SOF1 extended-sequential (same decode at
-            # 8-bit precision)
-            if len(body) < 6:
-                raise JpegFormatError("truncated SOF")
-            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
-                raise JpegFormatError(f"unsupported precision {precision}")
-            if ncomp not in (1, 3):
-                raise JpegFormatError(f"unsupported component count {ncomp}")
-            if w == 0 or h == 0:
-                raise JpegFormatError("zero image dimension")
-            if len(body) < 6 + 3 * ncomp:
-                raise JpegFormatError("truncated SOF components")
-            comps = []
-            for i in range(ncomp):
-                cid, hv, tq_id = body[6 + 3 * i:9 + 3 * i]
-                hs, vs = hv >> 4, hv & 0x0F
-                if hs not in (1, 2) or vs not in (1, 2):
-                    raise JpegFormatError(
-                        f"sampling factor {hs}x{vs} outside supported 1..2"
-                    )
-                comps.append((cid, hs, vs, tq_id))
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            # padded-canvas bound BEFORE allocating planes
-            pw = -(-w // (8 * hmax)) * 8 * hmax
-            ph = -(-h // (8 * vmax)) * 8 * vmax
-            if pw * ph > max_pixels:
-                raise JpegFormatError(
-                    f"{w}x{h} (padded {pw}x{ph}) exceeds "
-                    f"max_pixels={max_pixels}"
-                )
-            frame = (w, h, comps, hmax, vmax)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
-            raise JpegFormatError(f"unsupported JPEG type: {kind}")
+            # 8-bit precision); dims/sampling/canvas bounds checked
+            # BEFORE any allocation they size
+            frame = _parse_sof(body, max_pixels)
+        elif marker in _UNSUPPORTED_SOF:
+            raise JpegFormatError(
+                f"unsupported JPEG type: {_UNSUPPORTED_SOF[marker]}"
+            )
+        elif marker == 0xDC:  # DNL: redefines line count mid-stream
+            raise JpegFormatError("DNL segments unsupported")
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 raise JpegFormatError("bad DRI length")
@@ -458,8 +498,16 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
 
 def _decode_scan(data, pos, comps, sel, qt, dc_maps, ac_maps,
                  w, h, hmax, vmax, restart_interval):
-    """Entropy-decode the single interleaved baseline scan into full-size
-    (padded) per-component planes."""
+    """Entropy-decode the single baseline scan into full-size (padded)
+    per-component planes. A single-component scan is NON-INTERLEAVED by
+    definition (T.81 A.2): its MCU is one data unit and the SOF sampling
+    factors do not shape the stream — treating it as interleaved would
+    scramble block order and the DC prediction chain on conforming
+    grayscale files that declare e.g. 2x2 sampling."""
+    if len(comps) == 1:
+        cid, _hs, _vs, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
+        hmax = vmax = 1
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     comp_info = []
@@ -646,10 +694,11 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """(H, W[, C]) uint8 -> baseline JFIF JPEG bytes. C=1/absent writes
-    grayscale; C=3 writes YCbCr with 4:4:4 or 4:2:0 (``subsampling``).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (the stream-resync feature real encoders use for robustness;
-    here it also round-trip-exercises the decoder's restart path)."""
+    grayscale; C=3 writes YCbCr with 4:4:4, 4:2:2, or 4:2:0
+    (``subsampling``). ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (the stream-resync feature real encoders use
+    for robustness; here it also round-trip-exercises the decoder's
+    restart path)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -657,13 +706,20 @@ def encode_jpeg(
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 3):
         raise ValueError("encode_jpeg expects (H, W), (H, W, 1) or (H, W, 3)")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        # SOF dimension fields are u16; raise the module's controlled
+        # error class instead of leaking struct.error mid-assembly
+        raise ValueError(f"{w}x{h} exceeds the JPEG 65535-pixel dim limit")
     gray = a.shape[2] == 1
-    sub = 2 if (not gray and subsampling == "420") else 1
+    # luma sampling factors (horizontal, vertical); chroma is always 1x1
+    sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if gray:
+        sh = sv = 1
 
     ql = _scaled_quant(_QUANT_LUMA, quality)
     qc = _scaled_quant(_QUANT_CHROMA, quality)
@@ -682,7 +738,7 @@ def encode_jpeg(
 
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    sof += bytes([1, (sub << 4) | sub, 0])
+    sof += bytes([1, (sh << 4) | sv, 0])
     if not gray:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
@@ -710,15 +766,16 @@ def encode_jpeg(
         planes = [(_pad_to(a[:, :, 0].astype(np.float64), 8, 8), ql, 1, 1)]
     else:
         ycc = _rgb_to_ycbcr(a)
-        ypad = _pad_to(ycc[:, :, 0], 8 * sub, 8 * sub)
+        ypad = _pad_to(ycc[:, :, 0], 8 * sv, 8 * sh)
         chroma = []
         for c in (1, 2):
-            p = _pad_to(ycc[:, :, c], 8 * sub, 8 * sub)
-            if sub == 2:
-                p = (p[0::2, 0::2] + p[1::2, 0::2]
-                     + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+            p = _pad_to(ycc[:, :, c], 8 * sv, 8 * sh)
+            if sh > 1 or sv > 1:
+                ph, pw = p.shape
+                # box mean over the sv x sh sampling block
+                p = p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
             chroma.append(p)
-        planes = [(ypad, ql, sub, sub)] + [(p, qc, 1, 1) for p in chroma]
+        planes = [(ypad, ql, sh, sv)] + [(p, qc, 1, 1) for p in chroma]
 
     coefs = [_forward_blocks(p, q) for p, q, _hs, _vs in planes]
     dc_l, ac_l = _build_codes(*_DC_LUMA), _build_codes(*_AC_LUMA)
@@ -762,20 +819,20 @@ def encode_jpeg(
 def probe_jpeg(
     data: bytes, max_pixels: int = 64_000_000
 ) -> tuple[int, int, int]:
-    """Header-only probe -> (width, height, n_components). Applies every
-    header-level rejection decode_jpeg applies (baseline-only, precision,
-    component count, sampling bounds, padded-canvas max_pixels), so
-    probe-before-decode pruning never admits a frame decode rejects at
-    parse time (the png/gif parity convention; entropy-stream defects are
-    by nature only visible to the full decode)."""
+    """Header-only probe -> (width, height, n_components). Walks every
+    segment up to SOS through the SAME parsers decode_jpeg uses
+    (_parse_sof/_parse_dqt/_parse_dht — baseline-only, precision,
+    component count, sampling bounds, padded-canvas max_pixels, zero
+    quantizers, overfull Huffman tables, DNL, fill bytes), so
+    probe-before-decode pruning never admits a file decode rejects at
+    parse time. Entropy-stream defects are by nature only visible to the
+    full decode."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise JpegFormatError(f"expected marker at byte {pos}")
-        marker = data[pos + 1]
-        pos += 2
+    sof = None
+    while pos + 3 <= len(data):
+        marker, pos = _next_marker(data, pos)
         if marker == 0xD9:
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -788,38 +845,20 @@ def probe_jpeg(
         body = data[pos + 2:pos + seglen]
         pos += seglen
         if marker in (0xC0, 0xC1):
-            if len(body) < 6:
-                raise JpegFormatError("truncated SOF")
-            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
-                raise JpegFormatError(f"unsupported precision {precision}")
-            if ncomp not in (1, 3):
-                raise JpegFormatError(f"unsupported component count {ncomp}")
-            if w == 0 or h == 0:
-                raise JpegFormatError("zero image dimension")
-            if len(body) < 6 + 3 * ncomp:
-                raise JpegFormatError("truncated SOF components")
-            hmax = vmax = 1
-            for i in range(ncomp):
-                hv = body[7 + 3 * i]
-                hs, vs = hv >> 4, hv & 0x0F
-                if hs not in (1, 2) or vs not in (1, 2):
-                    raise JpegFormatError(
-                        f"sampling factor {hs}x{vs} outside supported 1..2"
-                    )
-                hmax, vmax = max(hmax, hs), max(vmax, vs)
-            pw = -(-w // (8 * hmax)) * 8 * hmax
-            ph = -(-h // (8 * vmax)) * 8 * vmax
-            if pw * ph > max_pixels:
-                raise JpegFormatError(
-                    f"{w}x{h} (padded {pw}x{ph}) exceeds "
-                    f"max_pixels={max_pixels}"
-                )
-            return w, h, ncomp
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
-            raise JpegFormatError(f"unsupported JPEG type: {kind}")
-        if marker == 0xDA:
-            break  # scan before SOF: fall through to the error below
-    raise JpegFormatError("no SOF frame header found")
+            sof = _parse_sof(body, max_pixels)
+        elif marker == 0xDB:
+            _parse_dqt(body)
+        elif marker == 0xC4:
+            _parse_dht(body)
+        elif marker in _UNSUPPORTED_SOF:
+            raise JpegFormatError(
+                f"unsupported JPEG type: {_UNSUPPORTED_SOF[marker]}"
+            )
+        elif marker == 0xDC:
+            raise JpegFormatError("DNL segments unsupported")
+        elif marker == 0xDA:
+            break  # header section over; entropy data is decode's job
+    if sof is None:
+        raise JpegFormatError("no SOF frame header found")
+    w, h, comps, _hmax, _vmax = sof
+    return w, h, len(comps)

@@ -182,9 +182,15 @@ def pq_topk(
         )
         .groupBy(probe_id_col)
         .agg(
-            F.array_sort(
+            # keyed map, NOT a positionally-dense array: KMeans may
+            # return FEWER than n_codes centers on degenerate data
+            # (heavy exact duplicates), and a dense-array table would
+            # silently shift every slot after a gap — map lookup by
+            # slot key is gap-safe (codes only ever reference centers
+            # the model actually has)
+            F.map_from_entries(
                 F.collect_list(F.struct("slot", "partial"))
-            ).getField("partial").alias("table")
+            ).alias("table")
         )
     )
 
@@ -195,7 +201,9 @@ def pq_topk(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: F.element_at(
-                    F.col("table"), (j * n_codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+                    F.col("table"),
+                    (j * n_codes + F.element_at(F.col("codes"), j + 1))
+                    .cast("int"),
                 ),
             ),
             F.lit(0.0),
@@ -457,9 +465,11 @@ def ivfpq_topk(
         )
         .groupBy(probe_id_col)
         .agg(
-            F.array_sort(
+            # slot-keyed map (see pq_topk): gap-safe when a residual
+            # sub-codebook trains to fewer than n_codes centers
+            F.map_from_entries(
                 F.collect_list(F.struct("slot", "partial"))
-            ).getField("partial").alias("table")
+            ).alias("table")
         )
     )
 
@@ -481,7 +491,6 @@ def ivfpq_topk(
                             (
                                 j * n_codes
                                 + F.element_at(F.col("codes"), j + 1)
-                                + 1
                             ).cast("int"),
                         ),
                     ),

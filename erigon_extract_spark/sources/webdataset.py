@@ -155,6 +155,12 @@ def read_shards(spark: SparkSession, path: str) -> DataFrame:
                             stem, {"payload": None, "ext": None, "meta": None}
                         )
                         if ext == "json":
+                            if entry["meta"] is not None:
+                                raise ValueError(
+                                    f"duplicate json sidecar for key "
+                                    f"{stem!r} in {shard} — one sidecar "
+                                    "per key"
+                                )
                             entry["meta"] = body.decode()
                         else:
                             # Single-payload-per-key restriction (see

@@ -211,16 +211,67 @@ def test_hostile_inputs_quarantine():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
 
-def test_decoder_accepts_422_chroma():
-    """4:2:2 (luma 2x1) is decode-supported even though the encoder only
-    emits 4:4:4/4:2:0 — build a 2x1 stream by patching sampling factors
-    is fragile, so synthesize via the public path: encode 420, then
-    verify the generic (hs, vs) decode loop handled mixed factors (420
-    already exercises hs=vs=2 luma with 1x1 chroma upsampling both
-    axes)."""
-    img = _gradient(16, 24)
-    out = decode_jpeg(encode_jpeg(img, quality=92, subsampling="420"))
-    assert _psnr(img, out) >= 40.0
+def test_422_mixed_axis_round_trip():
+    """Real 4:2:2 (luma 2x1): the mixed-axis sampling path — horizontal
+    chroma downsample on encode, horizontal-only upsample on decode —
+    round-trips above the 420 floor (it keeps full vertical chroma)."""
+    img = _gradient(40, 52)
+    p422 = _psnr(img, decode_jpeg(encode_jpeg(img, quality=90,
+                                              subsampling="422")))
+    p420 = _psnr(img, decode_jpeg(encode_jpeg(img, quality=90,
+                                              subsampling="420")))
+    assert p422 >= 42.0, p422
+    assert p422 >= p420  # half the chroma loss of 420 on this gradient
+    # odd dims through the mixed grid: padded and cropped back exactly
+    odd = _gradient(19, 23)
+    assert decode_jpeg(
+        encode_jpeg(odd, quality=90, subsampling="422")
+    ).shape == (19, 23, 3)
+
+
+def test_single_component_scan_is_non_interleaved():
+    """T.81 A.2: a one-component scan has MCU = 1 data unit and IGNORES
+    the SOF sampling factors. A conforming grayscale file declaring 2x2
+    sampling (common when luma factors survive from a color source) must
+    decode IDENTICALLY to the 1x1 declaration — the interleaved reading
+    would scramble block order and the DC prediction chain."""
+    yy, xx = np.mgrid[0:37, 0:41]
+    g = ((yy * 5 + xx * 7) % 256).astype(np.uint8)
+    data = encode_jpeg(g, quality=90)
+    forged = bytearray(data)
+    i = forged.find(b"\xff\xc0")
+    assert forged[i + 11] == 0x11
+    forged[i + 11] = 0x22  # declare 2x2 luma sampling
+    assert np.array_equal(decode_jpeg(data), decode_jpeg(bytes(forged)))
+    assert probe_jpeg(bytes(forged)) == (41, 37, 1)
+
+
+def test_probe_full_parse_time_parity_and_fill_bytes():
+    """Probe walks DQT/DHT/DNL through the same parsers as decode —
+    zero quantizers, overfull Huffman tables, and DNL segments are
+    probe-rejected too (r5 review finding); legal 0xFF fill bytes
+    before a marker are accepted by BOTH (T.81 B.1.1.2)."""
+    img = _gradient(16, 16)
+    good = encode_jpeg(img)
+
+    zq = bytearray(good)
+    zq[zq.find(b"\xff\xdb") + 5] = 0
+    with pytest.raises(JpegFormatError, match="zero quantizer"):
+        probe_jpeg(bytes(zq))
+
+    dnl = good[:2] + b"\xff\xdc\x00\x04\x00\x10" + good[2:]
+    for fn in (decode_jpeg, probe_jpeg):
+        with pytest.raises(JpegFormatError, match="DNL"):
+            fn(dnl)
+
+    fill = good[:2] + b"\xff\xff" + good[3:]  # FF fill bytes before APP0
+    assert probe_jpeg(fill) == (16, 16, 3)
+    assert decode_jpeg(fill).shape == (16, 16, 3)
+
+
+def test_encode_rejects_oversized_dims_with_value_error():
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(np.zeros((70000, 8), dtype=np.uint8))
 
 
 def test_jpeg_through_spark_probe_and_resize(spark):

@@ -6,10 +6,13 @@ reported a meaningless ~1.0 ratio)."""
 from __future__ import annotations
 
 
-def test_scale_parameter_multiplies_work(spark):
+def test_scale_parameter_multiplies_work(spark, sf_dir):
     from erigon_extract_spark import queries as q
 
-    sf = "/root/testdata/sf0.001"
+    # probes synthesize their own data; sf_dir only satisfies the
+    # (spark, sf_dir) query signature — use the suite's fixture so the
+    # SPARK_GRAFT_TEST_SF_DIR override applies here like everywhere else
+    sf = sf_dir
 
     r1 = q.QUERIES["curation_scale"](spark, sf).collect()[0]
     r2 = q.QUERIES["curation_scale"](spark, sf, scale=2).collect()[0]

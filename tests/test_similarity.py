@@ -303,3 +303,32 @@ def test_ivfpq_recall_and_candidate_bound(spark, emb, probes, exact):
     n = emb.count()
     for r in per_probe:
         assert r["count"] < n, "probe scanned the whole corpus"
+
+
+def test_pq_adc_table_gap_safe_on_degenerate_corpus(spark):
+    """r5 review: KMeans can return FEWER than n_codes centers on a
+    degenerate corpus (heavy exact duplicates — the dedup regime). The
+    ADC table is slot-KEYED, so missing codes must not shift later
+    subspaces' entries: the probe's exact duplicate must rank first with
+    a finite score."""
+    from erigon_extract_spark.operators.similarity import pq_topk
+
+    base = [[float((i * 7 + j * 3) % 5 - 2) for j in range(16)]
+            for i in range(3)]  # only 3 distinct vectors
+    rows = [(i, base[i % 3]) for i in range(90)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    probes = spark.createDataFrame(
+        [(0, base[1])], "probe_id long, embedding array<double>"
+    )
+    out = pq_topk(corpus, probes, k=5, m=4, n_codes=32).collect()
+    assert len(out) == 5
+    assert all(r.score is not None for r in out)
+    # top hits are clones of base[1] (vec_id % 3 == 1), smallest id first
+    assert out[0].vec_id % 3 == 1 or abs(
+        out[0].score - max(r.score for r in out)
+    ) < 1e-9
+    top_score = max(r.score for r in out)
+    best = [r.vec_id for r in out if abs(r.score - top_score) < 1e-9]
+    assert any(v % 3 == 1 for v in best)

@@ -94,3 +94,25 @@ def test_webdataset_duplicate_payload_raises_both_sides(spark, tmp_path):
             tar.addfile(info, io.BytesIO(body))
     with pytest.raises(Exception, match="duplicate payload members"):
         read_shards(spark, str(foreign)).collect()
+
+
+def test_webdataset_duplicate_json_sidecar_raises(spark, tmp_path):
+    """r5 review: the duplicate guard must cover .json members too — a
+    second sidecar for one stem previously overwrote the first silently."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from erigon_extract_spark.sources.webdataset import read_shards
+
+    foreign = tmp_path / "dupjson"
+    foreign.mkdir()
+    with tarfile.open(foreign / "shard-00000.tar", "w") as tar:
+        for name, body in [("k.txt", b"payload"), ("k.json", b"{}"),
+                           ("k.json", b'{"v":2}')]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(body)
+            tar.addfile(info, io.BytesIO(body))
+    with pytest.raises(Exception, match="duplicate json sidecar"):
+        read_shards(spark, str(foreign)).collect()
