@@ -415,21 +415,22 @@ def _next_marker(data: bytes, pos: int) -> tuple[int, int]:
 # Decoder
 # --------------------------------------------------------------------------
 
-def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
-    """JPEG bytes → (H, W, 3) RGB or (H, W, 1) grayscale uint8.
+def _parse_headers(data: bytes, max_pixels: int):
+    """The ONE header walk both decode_jpeg and probe_jpeg run — every
+    parse-time validation lives here (or in _link_scan), so probe/decode
+    parity is structural, not two hand-synchronized loops (the r5 review
+    found the duplicated-loop version drifting on DRI validation).
 
-    Baseline sequential only; see module docstring for the exact scope.
-    ``max_pixels`` bounds the decoded canvas INCLUDING the sampling-grid
-    padding, so a crafted SOF cannot size a giant allocation."""
+    Returns (qt, dc_maps, ac_maps, frame, restart_interval, sos_body,
+    scan_pos); sos_body is None when the stream ends without a scan."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
-    frame = None  # (w, h, comps) comps: list of (cid, hs, vs, tq)
+    frame = None  # (w, h, comps, hmax, vmax); comps: (cid, hs, vs, tq)
     restart_interval = 0
-    planes = None
 
     while pos + 3 <= len(data):
         marker, pos = _next_marker(data, pos)
@@ -468,28 +469,55 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
-            w, h, comps, hmax, vmax = frame
-            ns = body[0] if body else 0
-            if ns != len(comps):
-                raise JpegFormatError(
-                    "non-interleaved or partial scans unsupported"
-                )
-            if len(body) < 1 + 2 * ns + 3:
-                raise JpegFormatError("truncated SOS")
-            sel = {}
-            for i in range(ns):
-                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            planes = _decode_scan(
-                data, pos, comps, sel, qt, dc_maps, ac_maps,
-                w, h, hmax, vmax, restart_interval,
-            )
-            break  # baseline: single scan carries the whole image
+            return qt, dc_maps, ac_maps, frame, restart_interval, body, pos
         # all other markers (APPn, COM): skipped via seglen
+    return qt, dc_maps, ac_maps, frame, restart_interval, None, pos
 
-    if planes is None:
+
+def _link_scan(frame, body, qt, dc_maps, ac_maps) -> dict:
+    """Validate the SOS header against the frame and table set (shared by
+    decode and probe): component coverage, quant/Huffman table presence.
+    Returns {component_id: (dc_table, ac_table)}."""
+    _w, _h, comps, _hmax, _vmax = frame
+    ns = body[0] if body else 0
+    if ns != len(comps):
+        raise JpegFormatError(
+            "non-interleaved or partial scans unsupported"
+        )
+    if len(body) < 1 + 2 * ns + 3:
+        raise JpegFormatError("truncated SOS")
+    sel = {}
+    for i in range(ns):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        sel[cs] = (tt >> 4, tt & 0x0F)
+    for cid, _hs, _vs, tq_id in comps:
+        if tq_id not in qt:
+            raise JpegFormatError(f"missing quant table {tq_id}")
+        if cid not in sel:
+            raise JpegFormatError(f"scan omits component {cid}")
+        td, ta = sel[cid]
+        if td not in dc_maps or ta not in ac_maps:
+            raise JpegFormatError(f"missing Huffman table {td}/{ta}")
+    return sel
+
+
+def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+    """JPEG bytes → (H, W, 3) RGB or (H, W, 1) grayscale uint8.
+
+    Baseline sequential only; see module docstring for the exact scope.
+    ``max_pixels`` bounds the decoded canvas INCLUDING the sampling-grid
+    padding, so a crafted SOF cannot size a giant allocation."""
+    qt, dc_maps, ac_maps, frame, restart_interval, sos_body, scan_pos = (
+        _parse_headers(data, max_pixels)
+    )
+    if sos_body is None:
         raise JpegFormatError("no scan data (missing SOS)")
+    sel = _link_scan(frame, sos_body, qt, dc_maps, ac_maps)
     w, h, comps, hmax, vmax = frame
+    planes = _decode_scan(
+        data, scan_pos, comps, sel, qt, dc_maps, ac_maps,
+        w, h, hmax, vmax, restart_interval,
+    )
     if len(comps) == 1:
         return planes[0][:h, :w, None]
     ycc = np.stack([p[:h, :w] for p in planes], axis=2).astype(np.float64)
@@ -512,13 +540,9 @@ def _decode_scan(data, pos, comps, sel, qt, dc_maps, ac_maps,
     mcus_y = -(-h // (8 * vmax))
     comp_info = []
     for cid, hs, vs, tq_id in comps:
-        if tq_id not in qt:
-            raise JpegFormatError(f"missing quant table {tq_id}")
-        if cid not in sel:
-            raise JpegFormatError(f"scan omits component {cid}")
+        # table presence already validated by _link_scan (shared with
+        # probe_jpeg — the parse-time parity contract)
         td, ta = sel[cid]
-        if td not in dc_maps or ta not in ac_maps:
-            raise JpegFormatError(f"missing Huffman table {td}/{ta}")
         bw, bh = mcus_x * hs, mcus_y * vs  # blocks per axis
         comp_info.append({
             "hs": hs, "vs": vs, "q": qt[tq_id],
@@ -819,46 +843,18 @@ def encode_jpeg(
 def probe_jpeg(
     data: bytes, max_pixels: int = 64_000_000
 ) -> tuple[int, int, int]:
-    """Header-only probe -> (width, height, n_components). Walks every
-    segment up to SOS through the SAME parsers decode_jpeg uses
-    (_parse_sof/_parse_dqt/_parse_dht — baseline-only, precision,
-    component count, sampling bounds, padded-canvas max_pixels, zero
-    quantizers, overfull Huffman tables, DNL, fill bytes), so
-    probe-before-decode pruning never admits a file decode rejects at
-    parse time. Entropy-stream defects are by nature only visible to the
-    full decode."""
-    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
-        raise JpegFormatError("not a JPEG (missing SOI)")
-    pos = 2
-    sof = None
-    while pos + 3 <= len(data):
-        marker, pos = _next_marker(data, pos)
-        if marker == 0xD9:
-            break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            continue
-        if pos + 2 > len(data):
-            raise JpegFormatError("truncated segment length")
-        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
-        if seglen < 2 or pos + seglen > len(data):
-            raise JpegFormatError("segment length out of bounds")
-        body = data[pos + 2:pos + seglen]
-        pos += seglen
-        if marker in (0xC0, 0xC1):
-            sof = _parse_sof(body, max_pixels)
-        elif marker == 0xDB:
-            _parse_dqt(body)
-        elif marker == 0xC4:
-            _parse_dht(body)
-        elif marker in _UNSUPPORTED_SOF:
-            raise JpegFormatError(
-                f"unsupported JPEG type: {_UNSUPPORTED_SOF[marker]}"
-            )
-        elif marker == 0xDC:
-            raise JpegFormatError("DNL segments unsupported")
-        elif marker == 0xDA:
-            break  # header section over; entropy data is decode's job
-    if sof is None:
+    """Header-only probe -> (width, height, n_components). Runs the SAME
+    _parse_headers walk and _link_scan validation as decode_jpeg —
+    probe/decode parity is structural: any file probe admits, decode
+    accepts at parse time (entropy-stream defects are by nature only
+    visible to the full decode)."""
+    qt, dc_maps, ac_maps, frame, _ri, sos_body, _pos = _parse_headers(
+        data, max_pixels
+    )
+    if frame is None:
         raise JpegFormatError("no SOF frame header found")
-    w, h, comps, _hmax, _vmax = sof
+    if sos_body is None:
+        raise JpegFormatError("no scan data (missing SOS)")
+    _link_scan(frame, sos_body, qt, dc_maps, ac_maps)
+    w, h, comps, _hmax, _vmax = frame
     return w, h, len(comps)

@@ -300,3 +300,38 @@ def test_jpeg_through_spark_probe_and_resize(spark):
     back = decode_jpeg(bytes(out[1].payload))
     assert back.shape == (6, 10, 3)
     assert out[2].resize_error and "Jpeg" in out[2].resize_error
+
+
+def test_probe_parity_is_structural():
+    """r5 review pass 2: probe must also reject what decode rejects at
+    parse time in the SOS-adjacent cases the first parity fix missed —
+    missing SOS, malformed DRI, and an SOS/SOF component-count mismatch.
+    Parity is now structural (one shared _parse_headers + _link_scan),
+    so these pin the contract, not per-marker patches."""
+    img = _gradient(8, 8)
+    good = encode_jpeg(img)
+
+    # (a) headers-only stream: everything up to SOS, then EOI
+    sos = good.find(b"\xff\xda")
+    headers_only = good[:sos] + b"\xff\xd9"
+    for fn in (decode_jpeg, probe_jpeg):
+        with pytest.raises(JpegFormatError, match="missing SOS"):
+            fn(headers_only)
+
+    # (b) DRI with a wrong body length
+    bad_dri = good[:2] + b"\xff\xdd\x00\x05\x00\x10\x00" + good[2:]
+    for fn in (decode_jpeg, probe_jpeg):
+        with pytest.raises(JpegFormatError, match="bad DRI length"):
+            fn(bad_dri)
+
+    # (c) 3-component SOF with a 1-component SOS header
+    tricolor = bytearray(encode_jpeg(_gradient(8, 8)))
+    s = tricolor.find(b"\xff\xda")
+    one_comp_sos = (
+        bytes(tricolor[:s])
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + bytes(tricolor[s + 2 + 12:])
+    )
+    for fn in (decode_jpeg, probe_jpeg):
+        with pytest.raises(JpegFormatError, match="partial scans"):
+            fn(one_comp_sos)

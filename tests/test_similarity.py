@@ -325,10 +325,11 @@ def test_pq_adc_table_gap_safe_on_degenerate_corpus(spark):
     out = pq_topk(corpus, probes, k=5, m=4, n_codes=32).collect()
     assert len(out) == 5
     assert all(r.score is not None for r in out)
-    # top hits are clones of base[1] (vec_id % 3 == 1), smallest id first
-    assert out[0].vec_id % 3 == 1 or abs(
-        out[0].score - max(r.score for r in out)
-    ) < 1e-9
+    # the probe IS base[1]: its clones (vec_id % 3 == 1) carry the
+    # strictly-highest ADC score (dot(b1,b1) > dot(b1,b_other) — the
+    # vectors are non-parallel), and ties break by smallest id, so the
+    # first result must be vec_id 1 exactly
+    assert out[0].vec_id == 1, [(r.vec_id, r.score) for r in out]
     top_score = max(r.score for r in out)
     best = [r.vec_id for r in out if abs(r.score - top_score) < 1e-9]
-    assert any(v % 3 == 1 for v in best)
+    assert all(v % 3 == 1 for v in best), best
