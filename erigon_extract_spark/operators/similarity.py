@@ -362,10 +362,36 @@ def ivfpq_topk(
     Score is inner product — pass L2-normalized vectors for cosine
     semantics (the registered query does).
     """
+    centers_rows, books_rows, codes, dsub = _ivfpq_train(
+        corpus, m=m, n_lists=n_lists, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    spark = corpus.sparkSession
+    centers = spark.createDataFrame(
+        centers_rows, "cell int, center array<double>"
+    )
+    books_df = spark.createDataFrame(
+        books_rows, "j int, code int, centroid array<double>"
+    )
+    rerank_vecs = corpus.select(id_col, vec_col) if rerank else None
+    return _ivfpq_score(
+        codes, centers, books_df, probes,
+        k=k, n_probe=n_probe, m=m, n_codes=n_codes, dsub=dsub,
+        id_col=id_col, vec_col=vec_col, probe_id_col=probe_id_col,
+        rerank=rerank, rerank_vecs=rerank_vecs,
+    )
+
+
+def _ivfpq_train(
+    corpus: DataFrame, *, m, n_lists, n_codes, id_col, vec_col, seed
+):
+    """Train the IVFPQ state: coarse cells + residual sub-codebooks.
+    Returns (centers_rows, books_rows, codes_df, dsub) with the trained
+    state as plain python lists — JSON-serializable, so
+    ``build_ivfpq_index`` can persist it as the index sidecar."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
     d = len(corpus.select(vec_col).first()[0])
     dsub = d // m
     assert m * dsub == d, f"dim {d} not divisible by m={m}"
@@ -373,10 +399,12 @@ def ivfpq_topk(
     # 1. coarse quantizer: cell assignment + broadcastable centroids
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     coarse = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c])
-         for i, c in enumerate(coarse.clusterCenters())],
-        "cell int, center array<double>",
+    centers_rows = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(coarse.clusterCenters())
+    ]
+    centers = corpus.sparkSession.createDataFrame(
+        centers_rows, "cell int, center array<double>"
     )
     assigned = (
         coarse.transform(
@@ -401,7 +429,7 @@ def ivfpq_topk(
 
     # 2. residual PQ: m sub-codebooks trained on residual subvectors
     encoded = assigned
-    books = []
+    books_rows = []
     for j in range(m):
         sub_train = assigned.select(
             array_to_vector(subvec(F.col("__res"), j)).alias("features")
@@ -409,7 +437,7 @@ def ivfpq_topk(
         model = KMeans(
             k=n_codes, seed=seed + 100 + j, featuresCol="features"
         ).fit(sub_train)
-        books.extend(
+        books_rows.extend(
             (j, c, [float(x) for x in cen])
             for c, cen in enumerate(model.clusterCenters())
         )
@@ -422,11 +450,27 @@ def ivfpq_topk(
         id_col, "cell",
         F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes"),
     )
-    books_df = spark.createDataFrame(
-        books, "j int, code int, centroid array<double>"
-    )
+    return centers_rows, books_rows, codes, dsub
 
-    # 3. probe side: n_probe nearest cells by centroid inner product,
+
+def _ivfpq_score(
+    codes: DataFrame,
+    centers: DataFrame,
+    books_df: DataFrame,
+    probes: DataFrame,
+    *,
+    k, n_probe, m, n_codes, dsub, id_col, vec_col, probe_id_col,
+    rerank, rerank_vecs,
+):
+    """Score probes against an encoded IVFPQ corpus (in-memory or read
+    back from a persisted index): probe-cell selection, per-probe ADC
+    table, cell equi-join candidates, optional exact re-rank against
+    ``rerank_vecs`` (id, vec)."""
+
+    def subvec(col, j):
+        return F.slice(col, j * dsub + 1, dsub)
+
+    # probe side: n_probe nearest cells by centroid inner product,
     # plus the cell-independent ADC lookup table per probe
     p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
     dotc = F.aggregate(
@@ -511,7 +555,7 @@ def ivfpq_topk(
     )
     if not rerank:
         return out
-    cvec = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    cvec = rerank_vecs.select(id_col, F.col(vec_col).alias("__cv"))
     exact = (
         out.select(probe_id_col, id_col)
         .join(cvec, id_col)
@@ -529,6 +573,132 @@ def ivfpq_topk(
         exact.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_lists: int = 16,
+    m: int = 4,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVFPQ layout at rest: the encoded corpus PARTITIONED
+    BY cell (codes + the raw vector for the refine stage), plus a JSON
+    sidecar holding the trained state (coarse centroids + residual
+    sub-codebooks) so queries never retrain.
+
+    The at-rest composition completes the ANN ladder next to
+    ``build_lsh_index``: a probe's candidate read is PARTITION-PRUNED to
+    its n_probe cells at planning time (the reference's O(log N) page
+    seeks as partitioned-columnar layout), and within those files the
+    ADC scan touches (1+m)-byte codes, falling back to the stored raw
+    vectors only for the top-``rerank`` refine join. Drop ``vec_col``
+    from the written set for a pure-codes index if refine will join back
+    to the source table instead."""
+    import json
+    import os
+
+    centers_rows, books_rows, codes, dsub = _ivfpq_train(
+        corpus, m=m, n_lists=n_lists, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    (
+        codes.join(corpus.select(id_col, vec_col), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    meta = {
+        "version": 1,
+        "m": m,
+        "n_lists": n_lists,
+        "n_codes": n_codes,
+        "dsub": dsub,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centers": centers_rows,
+        "books": books_rows,
+    }
+    # underscore-prefixed: Spark's parquet reader ignores it as metadata
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Top-k against a persisted IVFPQ index via partition-pruned scan.
+
+    The probe batch's cell set (n_probe nearest centroids per probe,
+    centroids from the sidecar — no training, no corpus pass) collects
+    to the driver and becomes an ``isin`` partition filter, visible as
+    PartitionFilters in the scan node. Scoring and refine match
+    ``ivfpq_topk`` exactly — same ADC table, same tie-breaks — so a
+    query answered from the index equals the in-memory answer."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    centers = spark.createDataFrame(
+        [(c, v) for c, v in meta["centers"]],
+        "cell int, center array<double>",
+    )
+    books_df = spark.createDataFrame(
+        [(j, c, v) for j, c, v in meta["books"]],
+        "j int, code int, centroid array<double>",
+    )
+    # driver-side cell list for PLANNING-time partition pruning (small
+    # by regime: n_probe cells per probe in the batch)
+    p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
+    dotc = F.aggregate(
+        F.zip_with(F.col("__pvec"), F.col("center"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cells = [
+        r.cell
+        for r in (
+            p.crossJoin(F.broadcast(centers))
+            .select(probe_id_col, "cell", dotc.alias("__cdot"))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(probe_id_col).orderBy(
+                        F.col("__cdot").desc(), F.col("cell")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") <= n_probe)
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+    ]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    codes = idx.select(meta["id_col"], "cell", "codes")
+    rerank_vecs = (
+        idx.select(meta["id_col"], meta["vec_col"]) if rerank else None
+    )
+    return _ivfpq_score(
+        codes, centers, books_df, probes,
+        k=k, n_probe=n_probe, m=meta["m"], n_codes=meta["n_codes"],
+        dsub=meta["dsub"], id_col=meta["id_col"],
+        vec_col=meta["vec_col"], probe_id_col=probe_id_col,
+        rerank=rerank, rerank_vecs=rerank_vecs,
     )
 
 

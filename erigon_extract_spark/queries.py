@@ -2275,6 +2275,97 @@ def sim_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The at-rest IVFPQ index: built once per dataset fingerprint, queried
+# by partition-pruned scan; equality with the in-memory ivfpq_topk is
+# pytest-pinned exactly, so the driver witness is the same recall floor.
+@query(
+    "sim_ivfpq_index_topk",
+    """
+    SELECT vec_id AS probe_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_ivfpq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFPQ (operators/similarity.build_ivfpq_index /
+    query_ivfpq_index): cells as partition directories — the probe's
+    candidate read is partition-pruned at planning time; ADC + exact
+    re-rank answer from the stored codes/vectors without retraining.
+    Index built once per dataset fingerprint in the uid-scoped cache
+    (the sim_lsh_index_topk convention)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from erigon_extract_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        l2_norm,
+        query_ivfpq_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    probes = norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = norm.filter(F.col("vec_id") >= 5)
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|ivfpq1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.stat(root).st_uid != os.getuid():
+        raise RuntimeError(f"cache dir {root} owned by another user")
+    parent = os.path.join(root, f"ivfpq_{tag}")
+    path = os.path.join(parent, "idx")
+    if not os.path.isdir(parent):
+        tmp_parent = f"{parent}.build.{os.getpid()}"
+        build_ivfpq_index(
+            corpus, os.path.join(tmp_parent, "idx"),
+            n_lists=8, m=8, n_codes=32,
+        )
+        try:
+            os.rename(tmp_parent, parent)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_parent, ignore_errors=True)  # lost the race
+    approx = query_ivfpq_index(
+        spark, path, probes, k=10, n_probe=4, rerank=50
+    )
+    exact = brute_force_topk(corpus, probes, k=10)
+    hits = (
+        approx.select("probe_id", "vec_id")
+        .join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .agg(F.count("*").alias("__hits"))
+    )
+    n_probes = probes.count()
+    mean_ok = hits.select(
+        (F.col("__hits") >= F.lit(0.3 * n_probes * 10)).alias(
+            "mean_recall_ok"
+        )
+    )
+    return (
+        approx.groupBy("probe_id")
+        .agg(F.count("*").alias("n_results"))
+        .crossJoin(F.broadcast(mean_ok))
+    )
+
+
 # Golden-value oracle: deterministic md5-derived corpus -> constant
 # candidate count (config-sweep verified; see erigon_transpose_scale note)
 @query(

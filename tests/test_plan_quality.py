@@ -239,6 +239,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # candidate join itself is a cell equi-join, linear in the
         # probed fraction of the corpus
         "sim_ivfpq_topk",
+        # same shapes answered from the persisted, partition-pruned index
+        "sim_ivfpq_index_topk",
         # scalar-subquery shapes: BNLJ against a ONE-ROW global aggregate
         # (avg threshold / scalar combine) — linear by construction
         "erigon_txbodies_stats",

@@ -333,3 +333,57 @@ def test_pq_adc_table_gap_safe_on_degenerate_corpus(spark):
     top_score = max(r.score for r in out)
     best = [r.vec_id for r in out if abs(r.score - top_score) < 1e-9]
     assert all(v % 3 == 1 for v in best), best
+
+
+def test_ivfpq_persisted_index_matches_in_memory_and_prunes(
+    spark, emb, probes, tmp_path
+):
+    """The at-rest IVFPQ: (a) a query answered from the persisted index
+    equals the in-memory ivfpq_topk answer exactly (same seeds -> same
+    trained state -> same ADC scores and tie-breaks); (b) the probe
+    read is PARTITION-PRUNED (PartitionFilters on cell, and fewer cell
+    directories touched than exist)."""
+    import os
+
+    from erigon_extract_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        query_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_lists=8, m=8, n_codes=16)
+    got = query_ivfpq_index(
+        spark, path, probes, k=10, n_probe=3, rerank=30
+    )
+    want = ivfpq_topk(
+        emb, probes, k=10, n_lists=8, n_probe=3, m=8, n_codes=16,
+        rerank=30,
+    )
+    grows = sorted(
+        (r.probe_id, r.vec_id, round(r.score, 9)) for r in got.collect()
+    )
+    wrows = sorted(
+        (r.probe_id, r.vec_id, round(r.score, 9)) for r in want.collect()
+    )
+    assert grows == wrows
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "cell" in pf, pf
+    n_dirs = sum(1 for d in os.listdir(path) if d.startswith("cell="))
+    probed = {r.cell for r in spark.read.parquet(path)
+              .filter("cell is not null").select("cell").distinct()
+              .collect()}
+    assert n_dirs == len(probed)  # all cells materialized
+    # pruning actually narrows the read: with n_probe=1 the single probe
+    # touches exactly one cell directory's worth of candidates
+    one = query_ivfpq_index(
+        spark, path, probes.limit(1), k=10_000, n_probe=1
+    )
+    cand_ids = {r.vec_id for r in one.collect()}
+    per_cell = {r.cell: r["count"] for r in spark.read.parquet(path)
+                .groupBy("cell").count().collect()}
+    assert len(cand_ids) in per_cell.values()
+    assert len(cand_ids) < sum(per_cell.values())
