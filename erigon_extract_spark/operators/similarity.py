@@ -362,18 +362,14 @@ def ivfpq_topk(
     Score is inner product — pass L2-normalized vectors for cosine
     semantics (the registered query does).
     """
-    centers_rows, books_rows, codes, dsub = _ivfpq_train(
+    _rows, _brows, codes, dsub, centers, books_df = _ivfpq_train(
         corpus, m=m, n_lists=n_lists, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
-    spark = corpus.sparkSession
-    centers = spark.createDataFrame(
-        centers_rows, "cell int, center array<double>"
+    rerank_vecs = (
+        corpus.select(id_col, F.col(vec_col).alias("__cv"))
+        if rerank else None
     )
-    books_df = spark.createDataFrame(
-        books_rows, "j int, code int, centroid array<double>"
-    )
-    rerank_vecs = corpus.select(id_col, vec_col) if rerank else None
     return _ivfpq_score(
         codes, centers, books_df, probes,
         k=k, n_probe=n_probe, m=m, n_codes=n_codes, dsub=dsub,
@@ -386,9 +382,10 @@ def _ivfpq_train(
     corpus: DataFrame, *, m, n_lists, n_codes, id_col, vec_col, seed
 ):
     """Train the IVFPQ state: coarse cells + residual sub-codebooks.
-    Returns (centers_rows, books_rows, codes_df, dsub) with the trained
-    state as plain python lists — JSON-serializable, so
-    ``build_ivfpq_index`` can persist it as the index sidecar."""
+    Returns (centers_rows, books_rows, codes_df, dsub, centers_df,
+    books_df) — the trained state both as plain python lists
+    (JSON-serializable, so ``build_ivfpq_index`` can persist the
+    sidecar) and as the DataFrames scoring consumes."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -424,15 +421,14 @@ def _ivfpq_train(
         )
     )
 
-    def subvec(col, j):
-        return F.slice(col, j * dsub + 1, dsub)
-
     # 2. residual PQ: m sub-codebooks trained on residual subvectors
     encoded = assigned
     books_rows = []
     for j in range(m):
         sub_train = assigned.select(
-            array_to_vector(subvec(F.col("__res"), j)).alias("features")
+            array_to_vector(_subvec(F.col("__res"), j, dsub)).alias(
+                "features"
+            )
         )
         model = KMeans(
             k=n_codes, seed=seed + 100 + j, featuresCol="features"
@@ -443,14 +439,50 @@ def _ivfpq_train(
         )
         encoded = model.transform(
             encoded.withColumn(
-                "features", array_to_vector(subvec(F.col("__res"), j))
+                "features",
+                array_to_vector(_subvec(F.col("__res"), j, dsub)),
             )
         ).select(*encoded.columns, F.col("prediction").alias(f"__c{j}"))
     codes = encoded.select(
         id_col, "cell",
         F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes"),
     )
-    return centers_rows, books_rows, codes, dsub
+    books_df = corpus.sparkSession.createDataFrame(
+        books_rows, "j int, code int, centroid array<double>"
+    )
+    return centers_rows, books_rows, codes, dsub, centers, books_df
+
+
+def _subvec(col, j, dsub):
+    """j-th length-``dsub`` subvector (1-based slice)."""
+    return F.slice(col, j * dsub + 1, dsub)
+
+
+def _probe_cells(p: DataFrame, centers: DataFrame, n_probe: int,
+                 probe_id_col: str) -> DataFrame:
+    """Each probe's ``n_probe`` nearest cells by centroid inner product
+    -> (probe_id, cell, __cdot). ONE definition shared by scoring and by
+    the index query's pruning collect — if these diverged, the pruned
+    read could miss cells scoring selects (silently short results)."""
+    dotc = F.aggregate(
+        F.zip_with(F.col("__pvec"), F.col("center"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        p.crossJoin(F.broadcast(centers))
+        .select(probe_id_col, "cell", dotc.alias("__cdot"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(probe_id_col).orderBy(
+                    F.col("__cdot").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(probe_id_col, "cell", "__cdot")
+    )
 
 
 def _ivfpq_score(
@@ -465,33 +497,17 @@ def _ivfpq_score(
     """Score probes against an encoded IVFPQ corpus (in-memory or read
     back from a persisted index): probe-cell selection, per-probe ADC
     table, cell equi-join candidates, optional exact re-rank against
-    ``rerank_vecs`` (id, vec)."""
+    ``rerank_vecs`` — which must carry columns (id_col, "__cv") so the
+    probe table's and corpus's vector column names can differ.
+    ``vec_col`` names the PROBE frame's vector column."""
 
     def subvec(col, j):
-        return F.slice(col, j * dsub + 1, dsub)
+        return _subvec(col, j, dsub)
 
     # probe side: n_probe nearest cells by centroid inner product,
     # plus the cell-independent ADC lookup table per probe
     p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
-    dotc = F.aggregate(
-        F.zip_with(F.col("__pvec"), F.col("center"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    probe_cells = (
-        p.crossJoin(F.broadcast(centers))
-        .select(probe_id_col, "cell", dotc.alias("__cdot"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(probe_id_col).orderBy(
-                    F.col("__cdot").desc(), F.col("cell")
-                )
-            ),
-        )
-        .filter(F.col("__rn") <= n_probe)
-        .select(probe_id_col, "cell", "__cdot")
-    )
+    probe_cells = _probe_cells(p, centers, n_probe, probe_id_col)
     table = (
         p.crossJoin(F.broadcast(books_df))
         .select(
@@ -555,7 +571,7 @@ def _ivfpq_score(
     )
     if not rerank:
         return out
-    cvec = rerank_vecs.select(id_col, F.col(vec_col).alias("__cv"))
+    cvec = rerank_vecs.select(id_col, "__cv")
     exact = (
         out.select(probe_id_col, id_col)
         .join(cvec, id_col)
@@ -603,7 +619,7 @@ def build_ivfpq_index(
     import json
     import os
 
-    centers_rows, books_rows, codes, dsub = _ivfpq_train(
+    centers_rows, books_rows, codes, dsub, _c, _b = _ivfpq_train(
         corpus, m=m, n_lists=n_lists, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
@@ -646,8 +662,13 @@ def query_ivfpq_index(
     centroids from the sidecar — no training, no corpus pass) collects
     to the driver and becomes an ``isin`` partition filter, visible as
     PartitionFilters in the scan node. Scoring and refine match
-    ``ivfpq_topk`` exactly — same ADC table, same tie-breaks — so a
-    query answered from the index equals the in-memory answer."""
+    ``ivfpq_topk`` exactly — same ADC table, same tie-breaks (one shared
+    ``_probe_cells`` serves pruning AND scoring) — so a query answered
+    from the index equals the in-memory answer. ``vec_col`` names the
+    PROBE frame's vector column; the index's own column names come from
+    the sidecar. The probe batch is materialized once (localCheckpoint)
+    so a nondeterministic probe source (limit/sample) cannot make the
+    pruned read disagree with the cells scoring later selects."""
     import json
     import os
 
@@ -661,43 +682,31 @@ def query_ivfpq_index(
         [(j, c, v) for j, c, v in meta["books"]],
         "j int, code int, centroid array<double>",
     )
+    probes = probes.select(
+        probe_id_col, F.col(vec_col).alias(vec_col)
+    ).localCheckpoint()
     # driver-side cell list for PLANNING-time partition pruning (small
-    # by regime: n_probe cells per probe in the batch)
+    # by regime: n_probe cells per probe in the batch) — computed by the
+    # SAME _probe_cells scoring uses
     p = probes.select(probe_id_col, F.col(vec_col).alias("__pvec"))
-    dotc = F.aggregate(
-        F.zip_with(F.col("__pvec"), F.col("center"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     cells = [
         r.cell
-        for r in (
-            p.crossJoin(F.broadcast(centers))
-            .select(probe_id_col, "cell", dotc.alias("__cdot"))
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(probe_id_col).orderBy(
-                        F.col("__cdot").desc(), F.col("cell")
-                    )
-                ),
-            )
-            .filter(F.col("__rn") <= n_probe)
-            .select("cell")
-            .distinct()
-            .collect()
-        )
+        for r in _probe_cells(p, centers, n_probe, probe_id_col)
+        .select("cell").distinct().collect()
     ]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     codes = idx.select(meta["id_col"], "cell", "codes")
     rerank_vecs = (
-        idx.select(meta["id_col"], meta["vec_col"]) if rerank else None
+        idx.select(
+            meta["id_col"], F.col(meta["vec_col"]).alias("__cv")
+        )
+        if rerank else None
     )
     return _ivfpq_score(
         codes, centers, books_df, probes,
         k=k, n_probe=n_probe, m=meta["m"], n_codes=meta["n_codes"],
         dsub=meta["dsub"], id_col=meta["id_col"],
-        vec_col=meta["vec_col"], probe_id_col=probe_id_col,
+        vec_col=vec_col, probe_id_col=probe_id_col,
         rerank=rerank, rerank_vecs=rerank_vecs,
     )
 

@@ -108,6 +108,51 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+def _cached_artifact(sf_dir: str, src_table: str, family: str,
+                     params: str, build) -> str:
+    """Build-once artifact cache shared by the index/shard queries.
+
+    The cache key fingerprints the source dataset CONTENT (path + size +
+    mtime — a regenerated fixture invalidates it) AND the build
+    ``params`` string, so changing build parameters can never silently
+    serve an artifact built with the old ones (r5 review finding). The
+    root is uid-scoped 0o700 so another user on a shared machine can
+    neither pre-create nor read it. ``build(tmp_dir)`` materializes the
+    artifact into ``tmp_dir``; it is atomically renamed into place, so a
+    killed build never leaves a partial artifact at the final path. A
+    failed rename is tolerated ONLY when the final artifact actually
+    exists (a lost build race); any other failure re-raises instead of
+    silently deleting the fresh build and querying nothing."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{src_table}.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{family}|{params}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.stat(root).st_uid != os.getuid():
+        raise RuntimeError(f"cache dir {root} owned by another user")
+    final = os.path.join(root, f"{family}_{tag}")
+    if not os.path.isdir(final):
+        tmp_dir = f"{final}.build.{os.getpid()}"
+        build(tmp_dir)
+        try:
+            os.rename(tmp_dir, final)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not os.path.isdir(final):  # not a lost race — surface it
+                raise
+    return final
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytic queries (generic surface, SURVEY.md §2.6/§2.7/§3)
 # ---------------------------------------------------------------------------
@@ -2294,9 +2339,7 @@ def sim_ivfpq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank answer from the stored codes/vectors without retraining.
     Index built once per dataset fingerprint in the uid-scoped cache
     (the sim_lsh_index_topk convention)."""
-    import hashlib
     import os
-    import tempfile
 
     from erigon_extract_spark.operators.similarity import (
         brute_force_topk,
@@ -2319,31 +2362,14 @@ def sim_ivfpq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = norm.filter(F.col("vec_id") >= 5)
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|ivfpq1".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    if os.stat(root).st_uid != os.getuid():
-        raise RuntimeError(f"cache dir {root} owned by another user")
-    parent = os.path.join(root, f"ivfpq_{tag}")
-    path = os.path.join(parent, "idx")
-    if not os.path.isdir(parent):
-        tmp_parent = f"{parent}.build.{os.getpid()}"
-        build_ivfpq_index(
-            corpus, os.path.join(tmp_parent, "idx"),
+    parent = _cached_artifact(
+        sf_dir, "embeddings", "ivfpq", "n_lists=8,m=8,n_codes=32,seed=42",
+        lambda tmp: build_ivfpq_index(
+            corpus, os.path.join(tmp, "idx"),
             n_lists=8, m=8, n_codes=32,
-        )
-        try:
-            os.rename(tmp_parent, parent)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp_parent, ignore_errors=True)  # lost the race
+        ),
+    )
+    path = os.path.join(parent, "idx")
     approx = query_ivfpq_index(
         spark, path, probes, k=10, n_probe=4, rerank=50
     )
@@ -5280,41 +5306,20 @@ def source_webdataset_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
     binaryFile + tarfile path; the reassembled rows must hash-match the
     original table. Shards are built once per dataset fingerprint in a
     uid-scoped 0o700 cache (the sim_lsh_index_topk convention)."""
-    import hashlib
     import os
-    import tempfile
 
     from erigon_extract_spark.sources.webdataset import (
         documents_to_shards,
         read_shards,
     )
 
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|wds1".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    if os.stat(root).st_uid != os.getuid():
-        raise RuntimeError(f"cache dir {root} owned by another user")
-    out_dir = os.path.join(root, f"wds_{tag}")
     docs = _load(spark, sf_dir, "documents")
-    if not os.path.isdir(out_dir):
-        # build-then-rename: an interrupted build must never leave a
-        # partial directory at the final path (it would poison every
-        # later run), and a concurrent builder loses the rename race
-        # harmlessly
-        tmp_dir = f"{out_dir}.build.{os.getpid()}"
-        documents_to_shards(spark, docs, tmp_dir, n_shards=4).collect()
-        try:
-            os.rename(tmp_dir, out_dir)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp_dir, ignore_errors=True)  # lost the race
+    out_dir = _cached_artifact(
+        sf_dir, "documents", "wds", "n_shards=4",
+        lambda tmp: documents_to_shards(
+            spark, docs, tmp, n_shards=4
+        ).collect(),
+    )
     back = read_shards(spark, out_dir)
     return back.select(
         F.col("key").cast("long").alias("doc_id"),
@@ -5881,9 +5886,7 @@ def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_lsh_topk — the layout changes WHERE candidates are read from (a
     pruned directory subset), not what they are; pruning is asserted in
     tests/test_similarity.py."""
-    import hashlib
     import os
-    import tempfile
 
     from erigon_extract_spark.operators.similarity import (
         build_lsh_index,
@@ -5897,38 +5900,13 @@ def sim_lsh_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    # deterministic per-dataset path, built once and REUSED across calls
-    # (a mkdtemp per invocation leaked one full index copy per gate/plan
-    # run). The tag fingerprints the source CONTENT (path + size + mtime),
-    # not just the path, so a regenerated fixture invalidates the cache
-    # instead of silently serving a stale index; the cache root is created
-    # 0o700 under a uid-scoped name so another user on a shared machine
-    # can neither pre-create nor read it.
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
+    parent = _cached_artifact(
+        sf_dir, "embeddings", "lshidx", "dim=64,n_planes=6",
+        lambda tmp: build_lsh_index(
+            emb, os.path.join(tmp, "idx"), dim=64, n_planes=6
+        ),
     )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    if os.stat(root).st_uid != os.getuid():
-        raise RuntimeError(f"cache dir {root} owned by another user")
-    parent = os.path.join(root, f"lshidx_{tag}")
     path = os.path.join(parent, "idx")
-    if not os.path.isdir(parent):
-        # build-then-rename (the wds cache convention): a killed build
-        # never leaves a partial index at the final path
-        tmp_parent = f"{parent}.build.{os.getpid()}"
-        build_lsh_index(emb, os.path.join(tmp_parent, "idx"),
-                        dim=64, n_planes=6)
-        try:
-            os.rename(tmp_parent, parent)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp_parent, ignore_errors=True)  # lost the race
     out = query_lsh_index(spark, path, probes, dim=64, k=10, n_planes=6)
     return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
