@@ -2088,7 +2088,12 @@ def erigon_transpose_scale_q(
         "block",
         "value",
     )
-    sh = build_state_history(acct, stor, num_partitions=32)
+    # partitions scale WITH the data (32 at x1 -> ~100K rows/partition
+    # at every scale): holding them fixed while rows grow 100x makes the
+    # per-partition external sort spill-bound — the measured x100 curve
+    # inflected 2.7x super-linear at fixed 32, and is restored to ~linear
+    # by this line (the knob a real cluster turns via AQE/conf)
+    sh = build_state_history(acct, stor, num_partitions=32 * scale)
     return sh.groupBy().agg(
         F.count("*").alias("n_rows"),
         F.sum("block_from").alias("block_from_checksum"),
@@ -6014,6 +6019,68 @@ def text_bpe_synthetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
     )
+
+
+def _pack_bpe_budget_oracle_sql(context_tokens: int = 16) -> str:
+    """Expected packing of _BPE_CORPUS under the reference BPE's token
+    counts, computed in plain python (shard = pmod(doc_id, 8), per-shard
+    exclusive running sum in doc_id order, chunk = cum // budget) and
+    embedded as literals — the composed trainer+packer differential."""
+    per_doc: dict[int, int] = {}
+    for d, _i, _w, n in _ref_bpe_expected(12):
+        per_doc[d] = per_doc.get(d, 0) + n
+    rows = []
+    cum_by_shard: dict[int, int] = {}
+    for d in sorted(per_doc):
+        shard = d % 8
+        cum = cum_by_shard.get(shard, 0)
+        rows.append(
+            (d, shard, per_doc[d], cum // context_tokens,
+             cum % context_tokens)
+        )
+        cum_by_shard[shard] = cum + per_doc[d]
+    vals = ",\n      ".join(
+        f"({d}, {s}, {n}, {c}, {o})" for d, s, n, c, o in rows
+    )
+    return f"""
+    SELECT CAST(c0 AS BIGINT) AS doc_id,
+           CAST(c1 AS BIGINT) AS shard,
+           CAST(c2 AS BIGINT) AS n_tokens,
+           CAST(c3 AS BIGINT) AS chunk_id,
+           CAST(c4 AS BIGINT) AS chunk_offset
+    FROM (VALUES
+      {vals}
+    ) AS t(c0, c1, c2, c3, c4)
+    """
+
+
+# Composed trainer->packer differential gate: the REAL distributed BPE
+# feeds pack_sequences(tokens_col=...) on the fixed corpus; expected
+# chunk assignments come from the independent python BPE + a python
+# mirror of the packing arithmetic. Closes the last trained-BPE surface
+# without a driver-visible check (the corpus-scale pack_by_bpe_budget
+# stays rows-only for the same reason text_bpe_tokenize does).
+@query("pack_bpe_budget_synthetic", _pack_bpe_budget_oracle_sql())
+def pack_bpe_budget_synthetic_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from erigon_extract_spark.operators.bpe import encode_bpe, train_bpe
+    from erigon_extract_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        list(enumerate(_BPE_CORPUS)), "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=12, checkpoint_every=4)
+    counts = (
+        encode_bpe(docs, merges)
+        .groupBy("doc_id")
+        .agg(F.sum("n_word_tokens").alias("n_bpe"))
+    )
+    return pack_sequences(
+        docs.join(counts, "doc_id", "left"),
+        context_tokens=16,
+        tokens_col="n_bpe",
+    ).select("doc_id", "shard", "n_tokens", "chunk_id", "chunk_offset")
 
 
 def _profile_oracle_sql() -> str:
