@@ -2088,11 +2088,14 @@ def erigon_transpose_scale_q(
         "block",
         "value",
     )
-    # partitions scale WITH the data (32 at x1 -> ~100K rows/partition
-    # at every scale): holding them fixed while rows grow 100x makes the
-    # per-partition external sort spill-bound — the measured x100 curve
-    # inflected 2.7x super-linear at fixed 32, and is restored to ~linear
-    # by this line (the knob a real cluster turns via AQE/conf)
+    # partitions scale WITH the data (32 at x1 -> ~100K rows/partition at
+    # every scale) — the knob a real cluster turns via AQE/conf, held
+    # proportional here so partition sizing stays a controlled variable.
+    # NOTE (measured, SCALE.md "100x point"): this is hygiene, not the
+    # x100 fix — partition count moved the x100 time <10%; the measured
+    # 2.7x-over-linear inflection at x100 is the ~45GB shuffle crossing
+    # this single box's page cache (disk-bandwidth-bound), which a real
+    # cluster avoids by scaling nodes with data.
     sh = build_state_history(acct, stor, num_partitions=32 * scale)
     return sh.groupBy().agg(
         F.count("*").alias("n_rows"),
@@ -6007,12 +6010,12 @@ def _bpe_synthetic_oracle_sql() -> str:
 # its merges depend on corpus content no static SQL can reproduce.
 @query("text_bpe_synthetic", _bpe_synthetic_oracle_sql())
 def text_bpe_synthetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from erigon_extract_spark.operators.bpe import encode_bpe, train_bpe
+    from erigon_extract_spark.operators.bpe import encode_bpe
 
     docs = spark.createDataFrame(
         list(enumerate(_BPE_CORPUS)), "doc_id long, text string"
     )
-    merges = train_bpe(docs, n_merges=12, checkpoint_every=4)
+    merges = _synthetic_merges(spark, 12)
     return encode_bpe(docs, merges).select(
         "doc_id",
         F.col("word_idx").cast("long").alias("word_idx"),
@@ -6021,24 +6024,32 @@ def text_bpe_synthetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pack_bpe_budget_oracle_sql(context_tokens: int = 16) -> str:
+def _pack_bpe_budget_oracle_sql(
+    context_tokens: int = 8, n_shards: int = 2
+) -> str:
     """Expected packing of _BPE_CORPUS under the reference BPE's token
-    counts, computed in plain python (shard = pmod(doc_id, 8), per-shard
-    exclusive running sum in doc_id order, chunk = cum // budget) and
-    embedded as literals — the composed trainer+packer differential."""
+    counts, computed in plain python (shard = pmod(doc_id, n_shards),
+    per-shard exclusive running sum in doc_id order, chunk = cum //
+    budget) and embedded as literals — the composed trainer+packer
+    differential. n_shards=2 and an 8-token budget are chosen so shards
+    hold MULTIPLE docs and both chunk_id and chunk_offset take nonzero
+    values (with one doc per shard every accumulator would be zero and
+    the packing arithmetic would go untested — r5 review finding)."""
     per_doc: dict[int, int] = {}
     for d, _i, _w, n in _ref_bpe_expected(12):
         per_doc[d] = per_doc.get(d, 0) + n
     rows = []
     cum_by_shard: dict[int, int] = {}
     for d in sorted(per_doc):
-        shard = d % 8
+        shard = d % n_shards
         cum = cum_by_shard.get(shard, 0)
         rows.append(
             (d, shard, per_doc[d], cum // context_tokens,
              cum % context_tokens)
         )
         cum_by_shard[shard] = cum + per_doc[d]
+    assert any(c for _d, _s, _n, c, _o in rows), "chunking untested"
+    assert any(o for _d, _s, _n, _c, o in rows), "offsets untested"
     vals = ",\n      ".join(
         f"({d}, {s}, {n}, {c}, {o})" for d, s, n, c, o in rows
     )
@@ -6054,6 +6065,50 @@ def _pack_bpe_budget_oracle_sql(context_tokens: int = 16) -> str:
     """
 
 
+_BPE_SYNTH_MERGES: dict[int, list] = {}
+
+
+def _synthetic_merges(spark: SparkSession, n_merges: int) -> list:
+    """Train-once cache for the fixed _BPE_CORPUS: both synthetic gates
+    need the same merge list, and each training is ~n_merges sequential
+    driver rounds — memoize per process (the corpus is a module literal,
+    so the result can never go stale)."""
+    from erigon_extract_spark.operators.bpe import train_bpe
+
+    if n_merges not in _BPE_SYNTH_MERGES:
+        docs = spark.createDataFrame(
+            list(enumerate(_BPE_CORPUS)), "doc_id long, text string"
+        )
+        _BPE_SYNTH_MERGES[n_merges] = train_bpe(
+            docs, n_merges=n_merges, checkpoint_every=4
+        )
+    return _BPE_SYNTH_MERGES[n_merges]
+
+
+def _pack_under_bpe(docs, merges, *, context_tokens: int, n_shards: int):
+    """The trained-tokenizer packing composition (ONE definition — the
+    corpus-scale pack_by_bpe_budget and the synthetic gate run literally
+    the same code path): BPE token counts per doc feed
+    pack_sequences(tokens_col=...)."""
+    from erigon_extract_spark.operators.bpe import encode_bpe
+    from erigon_extract_spark.operators.packing import pack_sequences
+
+    counts = (
+        encode_bpe(docs, merges)
+        .groupBy("doc_id")
+        .agg(F.sum("n_word_tokens").alias("n_bpe"))
+    )
+    # LEFT join: a whitespace-only doc yields no encode_bpe rows; it must
+    # still pack (n_tokens=0 via the tokens_col coalesce), matching the
+    # whitespace-count path's behavior
+    return pack_sequences(
+        docs.join(counts, "doc_id", "left"),
+        context_tokens=context_tokens,
+        n_shards=n_shards,
+        tokens_col="n_bpe",
+    )
+
+
 # Composed trainer->packer differential gate: the REAL distributed BPE
 # feeds pack_sequences(tokens_col=...) on the fixed corpus; expected
 # chunk assignments come from the independent python BPE + a python
@@ -6064,22 +6119,11 @@ def _pack_bpe_budget_oracle_sql(context_tokens: int = 16) -> str:
 def pack_bpe_budget_synthetic_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from erigon_extract_spark.operators.bpe import encode_bpe, train_bpe
-    from erigon_extract_spark.operators.packing import pack_sequences
-
     docs = spark.createDataFrame(
         list(enumerate(_BPE_CORPUS)), "doc_id long, text string"
     )
-    merges = train_bpe(docs, n_merges=12, checkpoint_every=4)
-    counts = (
-        encode_bpe(docs, merges)
-        .groupBy("doc_id")
-        .agg(F.sum("n_word_tokens").alias("n_bpe"))
-    )
-    return pack_sequences(
-        docs.join(counts, "doc_id", "left"),
-        context_tokens=16,
-        tokens_col="n_bpe",
+    return _pack_under_bpe(
+        docs, _synthetic_merges(spark, 12), context_tokens=8, n_shards=2
     ).select("doc_id", "shard", "n_tokens", "chunk_id", "chunk_offset")
 
 
@@ -6484,24 +6528,14 @@ def pack_by_bpe_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per doc (operators/bpe.py) feed concat-and-chunk packing
     (operators/packing.pack_sequences tokens_col) — the composition a real
     pretraining assembly runs, where context budgets are tokenizer tokens,
-    not whitespace words."""
-    from erigon_extract_spark.operators.bpe import encode_bpe, train_bpe
-    from erigon_extract_spark.operators.packing import pack_sequences
+    not whitespace words. Shares the _pack_under_bpe composition with
+    the synthetic differential gate — the hash-gated path IS this path."""
+    from erigon_extract_spark.operators.bpe import train_bpe
 
     docs = _load(spark, sf_dir, "documents")
     merges = train_bpe(docs, n_merges=8, checkpoint_every=4)
-    counts = (
-        encode_bpe(docs, merges)
-        .groupBy("doc_id")
-        .agg(F.sum("n_word_tokens").alias("n_bpe"))
-    )
-    # LEFT join: a whitespace-only doc yields no encode_bpe rows; it must
-    # still pack (n_tokens=0 via the tokens_col coalesce), matching the
-    # whitespace-count path's behavior
-    return pack_sequences(
-        docs.join(counts, "doc_id", "left"),
-        context_tokens=2048,
-        tokens_col="n_bpe",
+    return _pack_under_bpe(
+        docs, merges, context_tokens=2048, n_shards=8
     ).select("doc_id", "shard", "n_tokens", "chunk_id", "chunk_offset")
 
 
