@@ -8,6 +8,8 @@ reference binary (show_usage, erigon_extract.c:2595-2611), Spark-side.
     python -m erigon_extract_spark.cli build --fixtures <outdir>   # pipeline -> sorted parquet
     python -m erigon_extract_spark.cli dump <state_history_parquet>  # K5 canonical dump
     python -m erigon_extract_spark.cli state-at <parquet> --block N [--address hex]
+    python -m erigon_extract_spark.cli ann-build <emb.parquet> <idx> # persisted IVFPQ
+    python -m erigon_extract_spark.cli ann-query <idx> <probes.parquet> -k 10
 
 ``show`` mirrors the reference's output line formats (print_account /
 print_storage / the dim "(set ...)" trace lines, erigon_extract.c:361-424)
@@ -248,6 +250,86 @@ def _media_probe(args) -> int:
     return 0
 
 
+def _ann_build(args) -> int:
+    """Build a persisted ANN index (IVFPQ) from an embeddings parquet:
+    cells as partition directories, PQ codes + raw vectors inside, the
+    trained quantizer state in a JSON sidecar."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.similarity import (
+        build_ivfpq_index,
+        l2_norm,
+    )
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-ann-build")
+    emb = spark.read.parquet(args.parquet).select(
+        args.id_col,
+        F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
+    )
+    if args.normalize:
+        emb = emb.select(
+            args.id_col,
+            F.transform(
+                args.vec_col, lambda x: x / l2_norm(F.col(args.vec_col))
+            ).alias(args.vec_col),
+        )
+    build_ivfpq_index(
+        emb, args.out_dir,
+        n_lists=args.lists, m=args.m, n_codes=args.codes,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    import json
+    import os
+
+    with open(os.path.join(args.out_dir, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    n = spark.read.parquet(args.out_dir).count()
+    print(f"indexed {n} vectors into {meta['n_lists']} cells at "
+          f"{args.out_dir} (m={meta['m']}, {meta['n_codes']} codes/"
+          f"subspace, {1 + meta['m']} bytes/vector + refine vectors)")
+    return 0
+
+
+def _ann_query(args) -> int:
+    """Query a persisted IVFPQ index with probe vectors from a parquet
+    (same column contract as ann-build); prints per-probe top-k."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.similarity import (
+        l2_norm,
+        query_ivfpq_index,
+    )
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-ann-query")
+    probes = spark.read.parquet(args.probes).select(
+        F.col(args.id_col).alias("probe_id"),
+        F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
+    )
+    if args.normalize:
+        probes = probes.select(
+            "probe_id",
+            F.transform(
+                args.vec_col, lambda x: x / l2_norm(F.col(args.vec_col))
+            ).alias(args.vec_col),
+        )
+    out_df = query_ivfpq_index(
+        spark, args.index, probes,
+        k=args.k, n_probe=args.probe_cells, vec_col=args.vec_col,
+        rerank=args.rerank,
+    )
+    id_name = out_df.columns[1]  # (probe_id, <index id col>, score)
+    by_probe: dict = {}
+    for r in out_df.collect():
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid in sorted(by_probe):
+        hits = sorted(by_probe[pid], key=lambda r: -r.score)
+        ids = " ".join(f"{r[id_name]}:{r.score:.4f}" for r in hits)
+        print(f"probe {pid}: {ids}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="erigon_extract_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -310,6 +392,31 @@ def main(argv=None) -> int:
                        help="probe one media file with the real kernels")
     p.add_argument("file")
     p.set_defaults(fn=_media_probe)
+
+    p = sub.add_parser("ann-build",
+                       help="build a persisted IVFPQ ANN index")
+    p.add_argument("parquet")
+    p.add_argument("out_dir")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--lists", type=int, default=16)
+    p.add_argument("--m", type=int, default=8)
+    p.add_argument("--codes", type=int, default=32)
+    p.add_argument("--normalize", action="store_true",
+                   help="L2-normalize vectors (cosine semantics)")
+    p.set_defaults(fn=_ann_build)
+
+    p = sub.add_parser("ann-query",
+                       help="top-k probe against a persisted IVFPQ index")
+    p.add_argument("index")
+    p.add_argument("probes", help="parquet of probe vectors")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--probe-cells", type=int, default=4)
+    p.add_argument("--rerank", type=int, default=50)
+    p.add_argument("--normalize", action="store_true")
+    p.set_defaults(fn=_ann_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)

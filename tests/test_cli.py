@@ -133,3 +133,37 @@ def test_cli_media_probe_and_wds_pack(tmp_path, capsys, spark):
     assert main(["wds-pack", str(src), str(dst), "--shards", "2"]) == 0
     out = capsys.readouterr().out
     assert "packed 2 samples into 2 shards" in out
+
+
+def test_cli_ann_build_and_query(spark, sf_dir, tmp_path, capsys):
+    """End-to-end persisted-ANN CLI: build an IVFPQ index from the
+    embeddings parquet, query it with a small probe set, and check the
+    self-match property (a probe vector's own id appears among its
+    top-k with the highest score on normalized vectors)."""
+    idx = str(tmp_path / "annidx")
+    rc, out = _run(
+        ["ann-build", f"{sf_dir}/embeddings.parquet", idx,
+         "--lists", "6", "--m", "8", "--codes", "16", "--normalize"],
+        capsys,
+    )
+    assert rc == 0
+    assert "cells at" in out and "bytes/vector" in out
+
+    probes = str(tmp_path / "probes.parquet")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 3"
+    ).write.parquet(probes)
+    rc, out = _run(
+        ["ann-query", idx, probes, "-k", "5", "--probe-cells", "3",
+         "--rerank", "20", "--normalize"],
+        capsys,
+    )
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith("probe ")]
+    assert len(lines) == 3
+    for line in lines:
+        pid = int(line.split()[1].rstrip(":"))
+        first_hit = line.split(": ", 1)[1].split()[0]
+        hit_id, score = first_hit.split(":")
+        # the probe is IN the corpus: exact self-match ranks first
+        assert int(hit_id) == pid and float(score) > 0.999, line
