@@ -73,9 +73,51 @@ HEADLINE = [
 ]
 
 
+def _idle_gate(
+    threshold: float = 2.0, budget_s: float = 600.0, poll_s: float = 20.0
+) -> dict:
+    """VERDICT r5 #3: the committed bench must be the IDLE bench. Wait
+    (bounded) for 1-min load to drop under ``threshold`` before starting;
+    the outcome rides in the JSON so a loaded run is visibly tagged
+    instead of silently polluting cross-round per-query comparisons.
+    SPARK_GRAFT_LOAD_GATE=0 skips the wait (still samples)."""
+    samples = []
+    t0 = time.monotonic()
+    wait = os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") != "0"
+    while True:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return {"passed": None, "samples": [], "threshold": threshold}
+        samples.append(round(load1, 2))
+        if load1 <= threshold or not wait or time.monotonic() - t0 > budget_s:
+            gate = {
+                "passed": load1 <= threshold,
+                "samples": samples[-30:],
+                "threshold": threshold,
+                "waited_s": round(time.monotonic() - t0, 1),
+            }
+            if not gate["passed"]:
+                print(
+                    f"# WARNING: starting bench at load {load1} > "
+                    f"{threshold} after {gate['waited_s']}s wait — "
+                    "numbers carry co-tenant noise",
+                    file=sys.stderr,
+                )
+            return gate
+        print(
+            f"# load {load1} > {threshold}; waiting for idle box "
+            f"({round(budget_s - (time.monotonic() - t0))}s budget left)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    load_gate = _idle_gate()
 
     from erigon_extract_spark.session import get_spark
     from erigon_extract_spark import queries as q
@@ -98,17 +140,19 @@ def main() -> None:
             except Exception as exc:  # a broken warm-up must not hide in bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    # min of three measured runs per query: this box's run-to-run noise is
-    # +/-50% and worse under driver co-tenancy (r3 observed a FIRST run of
-    # 9.4s settle to 1.8s warm on identical code), and min-of-k is the
-    # standard steady-state estimator. NOTE for cross-round comparison:
-    # rounds 1-2 published single-run/min-of-2 numbers — treat sub-30%
-    # deltas against those as noise.
+    # min of five measured runs per query (r6; rounds 3-5 used min-of-3):
+    # this box's run-to-run noise is +/-50% and worse under driver
+    # co-tenancy (r3 observed a FIRST run of 9.4s settle to 1.8s warm on
+    # identical code), and min-of-k is the standard steady-state
+    # estimator. NOTE for cross-round comparison: rounds 1-2 published
+    # single-run/min-of-2 numbers — treat sub-30% deltas against those
+    # as noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -176,6 +220,7 @@ def main() -> None:
                 "scale10": scale10,
                 "compression": compression,
                 "load_avg": load_avg,
+                "load_gate": load_gate,
             }
         )
     )

@@ -486,6 +486,14 @@ def _link_scan(frame, body, qt, dc_maps, ac_maps) -> dict:
         )
     if len(body) < 1 + 2 * ns + 3:
         raise JpegFormatError("truncated SOS")
+    # Baseline sequential requires Ss=0, Se=63, Ah=Al=0 (T.81 B.2.3); a
+    # progressive-style scan header on a SOF0 file must fail loudly, not
+    # decode as full-spectrum sequential.
+    ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    if (ss, se, a) != (0, 63, 0):
+        raise JpegFormatError(
+            f"non-baseline scan header Ss={ss} Se={se} AhAl={a:#04x}"
+        )
     sel = {}
     for i in range(ns):
         cs, tt = body[1 + 2 * i], body[2 + 2 * i]

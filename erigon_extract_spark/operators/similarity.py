@@ -113,8 +113,10 @@ def pq_topk(
 
     ``rerank``: the standard two-stage refinement (FAISS's
     IndexRefineFlat pattern) — ADC selects ``rerank`` candidates per
-    probe, then the true cosine against the RAW candidate vectors picks
-    the final k. Recall recovers most of what quantization loses for
+    probe, then the TRUE INNER PRODUCT against the RAW candidate vectors
+    picks the final k (same metric as the ADC stage, so ``score`` keeps
+    one meaning end-to-end; L2-normalize inputs for cosine semantics).
+    Recall recovers most of what quantization loses for
     the cost of ``rerank`` exact dot products per probe (measured here:
     mean recall@10 on 2k random 64-dim vectors 0.22 ADC-only -> 0.62
     with rerank=50 at k=10); the raw-vector fetch is a join on
@@ -230,7 +232,7 @@ def pq_topk(
         .select(
             probe_id_col,
             id_col,
-            cosine(F.col("__cv"), F.col("__pv")).alias("score"),
+            dot(F.col("__cv"), F.col("__pv")).alias("score"),
         )
     )
     w2 = Window.partitionBy(probe_id_col).orderBy(
@@ -579,7 +581,7 @@ def _ivfpq_score(
         .select(
             probe_id_col,
             id_col,
-            cosine(F.col("__cv"), F.col("__pvec")).alias("score"),
+            dot(F.col("__cv"), F.col("__pvec")).alias("score"),
         )
     )
     w2 = Window.partitionBy(probe_id_col).orderBy(
@@ -590,6 +592,17 @@ def _ivfpq_score(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _require_local_path(path: str) -> None:
+    """The persisted-index meta sidecar goes through plain ``open()``
+    (local FS only); fail BEFORE the parquet write on any URI-scheme
+    path (hdfs://, s3a://, even file:) rather than after it."""
+    if "://" in path or path.startswith("file:"):
+        raise ValueError(
+            f"IVFPQ index paths must be local filesystem paths (the "
+            f"_ivfpq_meta.json sidecar uses local open()); got {path!r}"
+        )
 
 
 def build_ivfpq_index(
@@ -615,9 +628,17 @@ def build_ivfpq_index(
     ADC scan touches (1+m)-byte codes, falling back to the stored raw
     vectors only for the top-``rerank`` refine join. Drop ``vec_col``
     from the written set for a pure-codes index if refine will join back
-    to the source table instead."""
+    to the source table instead.
+
+    ``path`` must be a LOCAL filesystem path: the ``_ivfpq_meta.json``
+    sidecar is written with plain ``open()``, so an ``hdfs://``/``s3://``
+    destination would succeed for the parquet write and then fail on the
+    sidecar, leaving a meta-less (unqueryable) index behind — rejected up
+    front instead, BEFORE any data is written."""
     import json
     import os
+
+    _require_local_path(path)
 
     centers_rows, books_rows, codes, dsub, _c, _b = _ivfpq_train(
         corpus, m=m, n_lists=n_lists, n_codes=n_codes,
@@ -672,6 +693,7 @@ def query_ivfpq_index(
     import json
     import os
 
+    _require_local_path(path)
     with open(os.path.join(path, "_ivfpq_meta.json")) as f:
         meta = json.load(f)
     centers = spark.createDataFrame(

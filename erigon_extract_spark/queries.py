@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from erigon_extract_spark import rotation
 from erigon_extract_spark.operators.asof import as_of_join, state_at
 from erigon_extract_spark.operators.dedup import (
     exact_dedup,
@@ -141,7 +142,15 @@ def _cached_artifact(sf_dir: str, src_table: str, family: str,
     final = os.path.join(root, f"{family}_{tag}")
     if not os.path.isdir(final):
         tmp_dir = f"{final}.build.{os.getpid()}"
-        build(tmp_dir)
+        try:
+            build(tmp_dir)
+        except BaseException:
+            # a failed build must not leak a partial .build.<pid> dir
+            # into the uid cache (one per retry, forever)
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
         try:
             os.rename(tmp_dir, final)
         except OSError:
@@ -6648,136 +6657,33 @@ def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # burning gate slots.
 # ---------------------------------------------------------------------------
 
-# ROUND-5 QUEUE (plan; rotate once the r4 window lands green in
-# CORRECTNESS_r04): (1) the fifteen r4-session oracle-backed additions
-# enter for first driver evidence — agg_bloom_membership,
-# agg_hll_distinct, pack_length_buckets, corpus_mixture_plan,
-# dedup_winnowing, dedup_winnowing_matches, events_scd2_intervals,
-# graph_triangle_count, events_user_similarity,
-# quality_validation_report (P4's first gateable witness),
-# multimodal_audio_features, multimodal_png_roundtrip,
-# multimodal_gif_frames (the REAL media kernels under the hash),
-# source_webdataset_roundtrip, and dedup_minhash_portable (plan
-# restructured in r4: its r1+r2 durable rows predate the change;
-# re-verify); (2) convert the r4 first-timers
-# to durable where slots allow, prioritizing the six HUGEINT-fixed rows
-# (sessionize_events above all — red three rounds, its first green
-# needs confirmation) and TPC-H part 2; (3) the remaining once-green
-# rows (zorder, scalar surfaces, q4-q14 cousins, pii/repetition,
-# window_ranking, percentiles, stream_latest_state_batch) re-enter as
-# space permits. multimodal_png_scale stays rows-only (throughput
-# probe, cf. keccak_scale).
-#
-# ROUND-4 ROTATION: the window is a scarce verification resource, rotated
-# each round to ACCUMULATE driver evidence. Ledger entering r4 (from
-# CORRECTNESS_r01-r03): 49 queries twice+-green (durable — rest outside
-# the window), 31 once-green, 6 red in r3 (ALL the one HUGEINT-oracle
-# root cause, fixed this round with CAST(...AS BIGINT) — VERDICT r3), 33
-# oracle-backed queries never driver-checked. Composition (6+33+11 = 50):
-#  1. the six freshly-fixed red rows re-enter to prove the fix:
-#     sessionize_events, pack_sequences, corpus_mixture_sample,
-#     sample_stable_split, text_quality_classifier, text_strip_boilerplate;
-#  2. ALL 33 never-driver-checked oracle-backed queries enter for first
-#     evidence (TPC-H part 2, the late-r3 curation/profiling/events wave,
-#     json_extract_agg + text_bigram_familiarity + profile_documents +
-#     corpus_pipeline_v2 whose oracles carried the same latent HUGEINT
-#     defect, now fixed);
-#  3. the remaining 11 slots convert once-green rows to durable: the
-#     erigon domain sextet (tx_bodies — red in r2, one more green makes it
-#     durable — latest_state, canonical_dump, manifest_counts,
-#     storage_state_at, txbodies_stats) plus one representative of each
-#     once-green family: dedup_substring_spans, agg_cms_heavy_hitters,
-#     multimodal_resize, multimodal_framesample, curation_decontaminate.
-# Resting this round: all 49 durable rows, and the once-green
-# sessionize_debug / zorder / scalar surfaces / TPC-H q4-q14 cousins /
-# text_pii_scrub / text_repetition_ratio / window_ranking / percentiles /
-# stream_latest_state_batch (their green rows stand as evidence; next
-# round they re-enter for durability if slots allow). Rows-only probes
-# (*_scale, keccak, BPE, PQ/IVF, semantic dedup) stay outside — a driver
-# rows-only row is weak evidence and they are pytest-pinned instead.
-# ROUND-5 ROTATION (executes the r4 queue plan above; r4 landed 50/50
-# green, so every window member below either gains FIRST driver evidence
-# or converts a single green row to durable). Composition (15+1+20+14):
-#  1. all 14 never-driver-gated oracle-backed queries — the entire r4
-#     headline wave (real media chains, WebDataset, HLL/Bloom, winnowing,
-#     SCD2, triangles, trajectory similarity, mixture planner, length
-#     buckets) plus quality_validation_report FIRST (P4's abort
-#     semantics: the one SURVEY §2 row with no driver row yet) — and
-#     dedup_minhash_portable, whose durable rows predate the r4 plan
-#     restructure (bucket-local pair agreement): re-verify post-change;
-#  2. pack_sequences re-enters because its shard expression changed THIS
-#     round (pmod for negative ids; oracle mirrored) — a code-changed
-#     query never rests on pre-change evidence;
-#  3. the 20 once-green rows resting since their single r1-r3 green
-#     (TPC-H q4-q14 cousins, scalar/ranking/percentile/zorder surfaces,
-#     pii/repetition, sessionize_debug, explode_sentences,
-#     stream_latest_state_batch) convert to durable;
-#  4. 14 r4 first-timers convert to durable, prioritizing
-#     sessionize_events (red r1-r3 — its single green needs confirming),
-#     the HUGEINT-fixed family, TPC-H part-2 reps, and the composed
-#     pipelines (corpus_pipeline_v2, dedup_incremental, profile).
-# Resting: all durable rows, plus r4 first-timers whose single green
-# stands (q11/q15-q17/q19/q20/q22, cube, text_top_terms — unchanged
-# code, plan property now CI-pinned — mixture_sample cousins, funnel/
-# cohorts/zscore surfaces, jsonl source, projections). Rows-only probes
-# stay outside (pytest-pinned; driver rows-only evidence is weak).
-_GATE_PRIORITY = [
-    # 1. first driver evidence: the complete never-gated set
-    "quality_validation_report",
-    "multimodal_png_roundtrip",
-    "multimodal_audio_features",
-    "multimodal_gif_frames",
-    "source_webdataset_roundtrip",
-    "agg_hll_distinct",
-    "agg_bloom_membership",
-    "dedup_winnowing",
-    "dedup_winnowing_matches",
-    "events_scd2_intervals",
-    "graph_triangle_count",
-    "events_user_similarity",
-    "corpus_mixture_plan",
-    "pack_length_buckets",
-    "dedup_minhash_portable",
-    # 2. code changed this round (pmod shards) — re-gate
-    "pack_sequences",
-    # 3. once-green r1-r3 rows -> durable
-    "q4_order_priority",
-    "q6_revenue_change",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "text_lang_quality",
-    "sessionize_debug",
-    "text_pii_scrub",
-    "text_repetition_ratio",
-    "window_ranking_surface",
-    "grouping_sets_stats",
-    "agg_percentiles",
-    "zorder_curve",
-    "date_scalar_surface",
-    "array_scalar_surface",
-    "text_explode_sentences",
-    "stream_latest_state_batch",
-    # 4. r4 first-timers -> durable
-    "sessionize_events",
-    "corpus_mixture_sample",
-    "sample_stable_split",
-    "text_quality_classifier",
-    "text_strip_boilerplate",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q18_large_volume_customer",
-    "q21_waiting_supplier",
-    "json_extract_agg",
-    "profile_documents",
-    "corpus_pipeline_v2",
-    "dedup_incremental",
-    "sim_lsh_index_topk",
-]
-
+# ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
+# 1-5 hand-maintained this list and produced exactly one systematic
+# miss: agg_approx_distinct went red in r1 (no_oracle), gained its
+# error-bound oracle, and then sat outside four consecutive windows
+# while never-gated greens queued ahead of it. The window is now the
+# first 50 of a total order COMPUTED from the committed
+# CORRECTNESS_r*.json ledger itself (erigon_extract_spark/rotation.py):
+#   1. red-at-last-appearance      (re-admit fixed defects FIRST)
+#   2. never-gated, oracle-backed  (first evidence, strongest check)
+#   3. never-gated, rows-only      (first evidence, weaker rows check)
+#   4. once-green, oldest first    (single green row -> durable)
+#   5. durable, oldest-last-green  (freshness refresh)
+# with registration order breaking ties. On the r1-r5 ledger this
+# composes: agg_approx_distinct, then the 13 never-gated oracle-backed
+# r5 additions (JPEG roundtrip, PQ/IVF/IVFPQ + persisted index,
+# SemDeDup, BPE/pack synthetic gates, the golden-value scale probes),
+# then the 3 rows-only surfaces (scalar_keccak256, text_bpe_tokenize,
+# pack_by_bpe_budget — a driver row count is still evidence), then 33
+# durability seconds for the oldest once-green rows (all 24 r4
+# first-timers + the earliest 9 of the r5 wave). The composition is
+# CI-pinned: tests/test_oracle_gate.py replays the rule on the
+# committed ledger and asserts the live window matches, so neither the
+# rule nor the ledger can drift silently.
+_REGISTRATION_ORDER = list(QUERIES)
+_GATE_PRIORITY = rotation.compute_gate_priority(
+    rotation.load_ledger(), _REGISTRATION_ORDER, set(ORACLES)
+)
 
 def _reorder_registry() -> None:
     missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

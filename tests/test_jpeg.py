@@ -335,3 +335,24 @@ def test_probe_parity_is_structural():
     for fn in (decode_jpeg, probe_jpeg):
         with pytest.raises(JpegFormatError, match="partial scans"):
             fn(one_comp_sos)
+
+
+def test_progressive_style_scan_header_rejected():
+    """r5 advice: a SOF0 stream whose SOS carries progressive-style
+    spectral selection / successive approximation (Ss,Se,Ah/Al other
+    than 0,63,0) must fail loudly in BOTH decode and probe — not decode
+    as full-spectrum sequential."""
+    good = encode_jpeg(_gradient(8, 8))
+    s = good.find(b"\xff\xda")
+    (seglen,) = struct.unpack(">H", good[s + 2:s + 4])
+    body = bytearray(good[s + 4:s + 2 + seglen])
+    tail = good[s + 2 + seglen:]
+    for ss, se, a in ((0, 5, 0), (1, 63, 0), (0, 63, 0x10)):
+        body[-3:] = bytes([ss, se, a])
+        bad = good[:s + 4] + bytes(body) + tail
+        for fn in (decode_jpeg, probe_jpeg):
+            with pytest.raises(JpegFormatError, match="non-baseline"):
+                fn(bad)
+    # sanity: restoring (0, 63, 0) decodes again
+    body[-3:] = bytes([0, 63, 0])
+    assert decode_jpeg(good[:s + 4] + bytes(body) + tail).shape == (8, 8, 3)

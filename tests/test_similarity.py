@@ -387,3 +387,57 @@ def test_ivfpq_persisted_index_matches_in_memory_and_prunes(
                 .groupBy("cell").count().collect()}
     assert len(cand_ids) in per_cell.values()
     assert len(cand_ids) < sum(per_cell.values())
+
+
+def test_ivfpq_index_rejects_non_local_paths():
+    """r5 advice: the _ivfpq_meta.json sidecar goes through plain
+    open(), so a remote-URI destination would produce a meta-less
+    (unqueryable) index — both build and query must reject such paths
+    BEFORE touching the destination."""
+    from erigon_extract_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    for bad in ("hdfs://nn/idx", "s3a://bucket/idx", "file:/tmp/idx"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            build_ivfpq_index(None, bad)
+        with pytest.raises(ValueError, match="local filesystem"):
+            query_ivfpq_index(None, bad, None)
+
+
+def test_cached_artifact_cleans_tmp_on_build_failure(tmp_path, monkeypatch):
+    """r5 advice: a build() that raises must not leak its partial
+    .build.<pid> directory into the uid cache (one per retry, forever)."""
+    import os
+    import tempfile
+
+    from erigon_extract_spark.queries import _cached_artifact
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf_dir = os.path.dirname(os.path.abspath(__file__ + "/../fake"))
+    # point at any real file the fingerprint can stat
+    src_dir = str(tmp_path)
+    with open(os.path.join(src_dir, "embeddings.parquet"), "wb") as f:
+        f.write(b"x")
+
+    def failing_build(tmp_dir):
+        os.makedirs(tmp_dir)
+        with open(os.path.join(tmp_dir, "partial"), "w") as f:
+            f.write("partial")
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _cached_artifact(src_dir, "embeddings", "fam", "p=1", failing_build)
+    cache_root = os.path.join(str(tmp_path), f"spark_graft_cache_{os.getuid()}")
+    leftovers = [d for d in os.listdir(cache_root) if ".build." in d]
+    assert leftovers == [], leftovers
+
+    # and a SUCCEEDING retry still lands the artifact
+    def ok_build(tmp_dir):
+        os.makedirs(tmp_dir)
+        with open(os.path.join(tmp_dir, "ok"), "w") as f:
+            f.write("ok")
+
+    final = _cached_artifact(src_dir, "embeddings", "fam", "p=1", ok_build)
+    assert os.path.isfile(os.path.join(final, "ok"))
