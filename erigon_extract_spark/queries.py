@@ -2037,18 +2037,33 @@ def _hex_history(sh: DataFrame) -> DataFrame:
     )
 
 
-# Golden-value oracle (VERDICT r4 #5): the probe's synthetic input is a
-# pure function of spark.range ids (md5 expressions), so its reduction is
-# a DETERMINISTIC CONSTANT — pinned here after verifying bit-identity
-# under 32/7 shuffle partitions and codegen on/off. n_rows is derived
-# independently (2M + 1M versions minus the 70k genesis block-0 rows the
-# P7 filter drops); the checksum is the regression pin that catches any
-# value drift across configs/rounds.
+# Formula-derived oracle (VERDICT r5 #4; replaces the r4 pinned
+# constants 2930000/60570000): the probe synthesizes 50k addresses x 40
+# account versions (block = id/50k) and 20k slots x 50 storage writes
+# (block = id/20k); the transpose emits one history row per version
+# AFTER the first (the W4 lag re-key gives block_from = the previous
+# version's block; the P7 genesis filter drops each key's first row).
+# The oracle regenerates that closed form — per address block_from =
+# 0..38, per slot 0..48 — so a correctness bug in the engine cannot be
+# pinned into its own oracle. W4/P7 semantics are separately
+# fixture-oracled via w4_rekey_first_block.
 @query(
     "erigon_transpose_scale",
     """
-    SELECT CAST(2930000 AS BIGINT) AS n_rows,
-           CAST(60570000 AS BIGINT) AS block_from_checksum
+    WITH acct AS (
+      SELECT blk FROM UNNEST(generate_series(0, 49999)) AS a(addr),
+                      UNNEST(generate_series(0, 39)) AS b(blk)
+    ), stor AS (
+      SELECT blk FROM UNNEST(generate_series(0, 19999)) AS s(k),
+                      UNNEST(generate_series(0, 49)) AS b(blk)
+    ), hist AS (
+      SELECT blk - 1 AS block_from FROM acct WHERE blk >= 1
+      UNION ALL
+      SELECT blk - 1 FROM stor WHERE blk >= 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(block_from) AS BIGINT) AS block_from_checksum
+    FROM hist
     """,
 )
 def erigon_transpose_scale_q(
@@ -5243,13 +5258,37 @@ def multimodal_jpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Golden-value oracle: deterministic synthetic pixels through the real
-# PNG codec -> constant pixel checksum (config-sweep verified)
+# Formula-derived oracle (VERDICT r5 #4; replaces the r4 pinned
+# constant 783592384): PNG is lossless, so the decoded pixels ARE the
+# generator formula, and the 64->32 bilinear resize with
+# align-corners=False samples output centers at 2i+0.5 — exactly the
+# mean of each 2x2 block, rounded half-to-even per channel (np.rint).
+# The oracle recomputes the checksum from that closed form (s = the 2x2
+# block sum; round-half-even of s/4 is the CASE on s % 4), independent
+# of the engine's codec path.
 @query(
     "multimodal_png_scale",
     """
+    WITH px AS (
+      SELECT d.d AS d, i.i AS i, j.j AS j, c.c AS c,
+             SUM(CASE c.c
+                   WHEN 0 THEN ((2*i.i + dy.dy) * 3 + (2*j.j + dx.dx) * 5 + d.d) % 256
+                   WHEN 1 THEN ((2*i.i + dy.dy) * 7 + (2*j.j + dx.dx) + d.d * 11) % 256
+                   ELSE        ((2*i.i + dy.dy) + (2*j.j + dx.dx) * 13 + d.d * 2) % 256
+                 END) AS s
+      FROM UNNEST(generate_series(0, 1999)) AS d(d),
+           UNNEST(generate_series(0, 31)) AS i(i),
+           UNNEST(generate_series(0, 31)) AS j(j),
+           UNNEST(generate_series(0, 2)) AS c(c),
+           UNNEST(generate_series(0, 1)) AS dy(dy),
+           UNNEST(generate_series(0, 1)) AS dx(dx)
+      GROUP BY 1, 2, 3, 4
+    )
     SELECT CAST(2000 AS BIGINT) AS n_images,
-           CAST(783592384 AS BIGINT) AS checksum
+           CAST(SUM(CASE WHEN s % 4 = 3 THEN s // 4 + 1
+                         WHEN s % 4 = 2 THEN s // 4 + (s // 4) % 2
+                         ELSE s // 4 END) AS BIGINT) AS checksum
+    FROM px
     """,
 )
 def multimodal_png_scale_q(
