@@ -31,11 +31,34 @@ def connected_components(
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_iter: int = 25,
+    method: str = "minlabel",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     min node id reachable. Raises if not converged in ``max_iter`` rounds
     (diameter bound exceeded — raise the limit for pathological chains).
+
+    ``method`` picks the physical strategy (identical output):
+
+    * ``"minlabel"`` (default): O(diameter) rounds of neighbor-min
+      propagation — the right constant-factor trade for near-dup
+      clusters, whose diameter is 2-4.
+    * ``"star"``: alternating large-star/small-star (Kiveris et al.
+      2014, "Connected Components in MapReduce and Beyond") — O(log n)
+      rounds on ANY topology, the choice for general graphs with long
+      chains (social graphs, link graphs) where diameter ≫ log n.
+      tests/test_operators.py pins that a path graph converges in
+      strictly fewer rounds than minlabel needs.
     """
+    if method == "star":
+        return _cc_star(edges, src, dst, max_iter)[0]
+    if method != "minlabel":
+        raise ValueError(f"unknown method {method!r}")
+    return _cc_minlabel(edges, src, dst, max_iter)[0]
+
+
+def _cc_minlabel(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, int]:
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -48,7 +71,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         neighbor_min = (
             bidir.join(labels, bidir["v"] == labels["node"])
             .select(F.col("u").alias("node"), "component")
@@ -67,9 +90,101 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels
+            return labels, rounds
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def _cc_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star. Each round: large-star hangs
+    every neighbor LARGER than u off the minimum of u's closed
+    neighborhood; small-star (on the high→low directed view) re-points
+    every smaller neighbor and u itself at that minimum. Both are one
+    groupBy + one join (two shuffles); the edge set provably shrinks
+    toward stars rooted at each component's min in O(log n) rounds.
+    Convergence = edge multiset fixed point, checked with a single
+    count+hash aggregate (no exceptAll shuffle)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # every node ever seen — star rounds drop isolated star roots from
+    # the edge list's u side, but the contract is one row per node
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame):
+        # order-independent multiset signature: count + xor of row
+        # hashes (xor, not sum — sum overflows long under ANSI mode;
+        # rows are distinct() so xor cannot self-cancel a duplicate)
+        return df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+
+    sig = _sig(e)
+    for rounds in range(1, max_iter + 1):
+        # large-star: neighborhoods of the UNDIRECTED graph; emit
+        # (v, min(closed nbhd of u)) for strictly-larger neighbors v
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: high→low directed view; re-point u and all its
+        # smaller neighbors at min(N(u) ∪ {u})
+        mins = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), "m")
+            .unionByName(mins.select(F.col("u"), F.col("m")))
+            .filter(F.col("u") != F.col("m"))
+            .select("u", F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _sig(e)
+        if (new_sig.n, new_sig.h) == (sig.n, sig.h):
+            labels = (
+                nodes.join(
+                    e.select(F.col("u").alias("node"), F.col("v").alias("c")),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("c"), F.col("node")).alias("component"),
+                )
+            )
+            return labels, rounds
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iter} rounds"
     )
 
 
