@@ -191,6 +191,48 @@ def main() -> None:
                 print(f"# scale10 {name} failed: {exc}", file=sys.stderr)
                 scale10[name] = {"error": str(exc)[:200]}
 
+    # Full-headline sf1 point (VERDICT r5 #6): every headline query once
+    # at 10x the data (pyarrow-replicated, key-shifted — tools/make_sf1),
+    # ratio'd against the sf0.1 min. Plans are codegen-warm from the
+    # loop above, so this measures data scaling, not compilation. The
+    # seven fixture/synthetic-bound queries don't read the sf dir; they
+    # ride along tagged sf_independent (expect ratio ~1) rather than
+    # silently padding the section. SPARK_GRAFT_SF1=0 skips.
+    SF_INDEPENDENT = {
+        "erigon_state_history", "ref_dialect_decode",
+        "erigon_transpose_scale", "dedup_scale", "keccak_scale",
+        "curation_scale", "multimodal_png_scale",
+    }
+    sf1: dict[str, dict] = {}
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and sf_dir.rstrip("/").endswith("sf0.1")
+    ):
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
+        )
+        try:
+            if not os.path.isfile(f"{sf1_dir}/lineitem.parquet"):
+                from tools import make_sf1 as _mk
+
+                _mk.main(sf1_dir)
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                q.QUERIES[name](spark, sf1_dir).count()
+                t1 = round(time.perf_counter() - t0, 3)
+                x01 = times.get(name)
+                sf1[name] = {
+                    "sf0.1": x01,
+                    "sf1": t1,
+                    "ratio": round(t1 / x01, 2) if x01 else None,
+                }
+                if name in SF_INDEPENDENT:
+                    sf1[name]["sf_independent"] = True
+                print(f"# sf1 {name}: {t1}s (sf0.1={x01}s)", file=sys.stderr)
+        except Exception as exc:  # a broken sf1 section must not hide
+            print(f"# sf1 section failed: {exc}", file=sys.stderr)
+            sf1 = {"error": str(exc)[:200]}
+
     # BASELINE.md's one quantitative size target: sorted+zstd parquet vs
     # the ad-hoc encodings on a fixed corpus (tools/measure_compression).
     try:
@@ -218,6 +260,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "scale10": scale10,
+                "sf1": sf1,
                 "compression": compression,
                 "load_avg": load_avg,
                 "load_gate": load_gate,

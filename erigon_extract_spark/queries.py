@@ -835,6 +835,47 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, all_ids=docs).select("doc_id", "cluster")
 
 
+@query(
+    "graph_components_star",
+    """
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT o_custkey % 500 AS a, (o_custkey * 7 + 3) % 500 AS b
+      FROM orders
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM base
+      UNION
+      SELECT b AS u, a AS v FROM base
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS node, LEAST(u, MIN(v)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def graph_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    scheme (operators/graph.py method="star", Kiveris et al. 2014 —
+    O(log n) rounds on ANY topology) over a deliberately long-chained
+    graph: the functional graph x — (7x+3) mod 500 on customer-key
+    residues, whose components are cycles with long attached chains —
+    the diameter >> log n regime the method exists for (min-label
+    propagation is pytest-pinned to need strictly more rounds here).
+    Oracle: recursive transitive closure, the same fixpoint computed
+    independently."""
+    from erigon_extract_spark.operators.graph import connected_components
+
+    orders = _load(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 500).alias("doc_id_a"),
+        ((F.col("o_custkey") * 7 + 3) % 500).alias("doc_id_b"),
+    ).distinct()
+    return connected_components(edges, max_iter=40, method="star")
+
+
 
 
 @query(
