@@ -14,7 +14,7 @@ of 100 TB reads only what the filter keeps after row-group pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -218,4 +218,35 @@ def plan_token_mixture(
         "         * (((target_tokens % available_tokens) * 1000)"
         "            div available_tokens)) div 1000 END AS BIGINT)"
         " AS expected_tokens",
+    )
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic k-per-key uniform sample — the distributed stand-in
+    for per-group reservoir sampling. Rows rank by md5(key || id) within
+    their key; the first k win. Because the rank key is a content hash,
+    membership is independent of partitioning, engine, and arrival
+    order (append-stable: adding rows can evict at most the
+    highest-ranked members, never reshuffle survivors arbitrarily), and
+    a DuckDB oracle reproduces it exactly.
+
+    At 100 TB: one hash shuffle on ``key_col``; the window's sort is
+    per-key (external-sort backed). For heavily skewed keys the rank
+    expression also serves as a pre-filter: run a cheap
+    ``approx_quantile`` per key on the hash to drop rows that cannot
+    rank <= k before the shuffle (not needed at test scale)."""
+    rank_src = F.md5(
+        F.concat_ws("|", F.col(key_col).cast("string"),
+                    F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key_col).orderBy(rank_src.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -6737,6 +6737,125 @@ def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # burning gate slots.
 # ---------------------------------------------------------------------------
 
+@query(
+    "text_index_and_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'))
+             AS t(term)
+      WHERE t.term <> ''
+    ),
+    p AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ('spark', 'merge')
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM p GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = 2
+    """,
+)
+def text_index_and_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval from the PERSISTED inverted index
+    (operators/invindex.py): postings (term, doc_id, tf) partitioned by
+    xxhash64 term bucket; the query's terms route to buckets through
+    the same Spark expression the writer used, and the scan prunes to
+    those bucket directories at planning time (the LSH/IVFPQ index
+    convention, now for text). AND semantics = posting-list aggregate,
+    never a corpus join. Index built once per dataset fingerprint in
+    the uid-scoped cache. Oracle: DuckDB re-derives the postings from
+    the same tokenizer class and intersects."""
+    import os
+
+    from erigon_extract_spark.operators.invindex import (
+        build_inverted_index,
+        query_inverted_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    parent = _cached_artifact(
+        sf_dir, "documents", "invindex", "n_buckets=64,v1",
+        lambda tmp: build_inverted_index(
+            docs, os.path.join(tmp, "idx"), n_buckets=64
+        ),
+    )
+    return query_inverted_index(
+        spark, os.path.join(parent, "idx"), ["spark", "merge"], mode="and"
+    )
+
+
+@query(
+    "sample_reservoir_per_key",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat(lang, '|', CAST(doc_id AS VARCHAR))),
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def sample_reservoir_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-key uniform sample
+    (operators/sampling.reservoir_per_key): rows rank by
+    md5(key || '|' || id) within their key — membership independent of
+    partitioning, engine, and arrival order, so the oracle reproduces
+    the exact sample. The distributed stand-in for per-group reservoir
+    sampling (eval-subset carving, per-source spot checks)."""
+    from erigon_extract_spark.operators.sampling import reservoir_per_key
+
+    docs = _load(spark, sf_dir, "documents")
+    return reservoir_per_key(docs, "lang", "doc_id", k=3).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def source_csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink under the value hash: the documents table is
+    written as quoted/escaped CSV shards (Spark's native writer — the
+    interchange format every upstream dump eventually arrives in) and
+    read back with the explicit contract schema (no inferSchema pass;
+    multiLine + escape so embedded quotes/newlines survive). The
+    reassembled rows must hash-match the original table — the same
+    roundtrip discipline as source_webdataset_roundtrip. Shards are
+    built once per dataset fingerprint in the uid-scoped cache."""
+    import os
+
+    docs = _load(spark, sf_dir, "documents")
+    parent = _cached_artifact(
+        sf_dir, "documents", "csvshards", "v1",
+        lambda tmp: docs.repartition(4).write
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(os.path.join(tmp, "csv")),
+    )
+    return (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(os.path.join(parent, "csv"))
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
