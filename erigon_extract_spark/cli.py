@@ -10,6 +10,8 @@ reference binary (show_usage, erigon_extract.c:2595-2611), Spark-side.
     python -m erigon_extract_spark.cli state-at <parquet> --block N [--address hex]
     python -m erigon_extract_spark.cli ann-build <emb.parquet> <idx> # persisted IVFPQ
     python -m erigon_extract_spark.cli ann-query <idx> <probes.parquet> -k 10
+    python -m erigon_extract_spark.cli index-build <docs.parquet> <idx>  # inverted text index
+    python -m erigon_extract_spark.cli index-query <idx> term1 term2 --mode and
 
 ``show`` mirrors the reference's output line formats (print_account /
 print_storage / the dim "(set ...)" trace lines, erigon_extract.c:361-424)
@@ -250,6 +252,44 @@ def _media_probe(args) -> int:
     return 0
 
 
+def _index_build(args) -> int:
+    """Build a persisted inverted text index from a documents parquet:
+    postings partitioned by term-hash bucket + JSON sidecar (the text
+    retrieval sibling of ann-build)."""
+    from erigon_extract_spark.operators.invindex import build_inverted_index
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-index-build")
+    docs = spark.read.parquet(args.parquet)
+    build_inverted_index(
+        docs,
+        args.out_dir,
+        n_buckets=args.buckets,
+        text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    n = spark.read.parquet(args.out_dir).count()
+    print(f"index at {args.out_dir}: {n} postings, {args.buckets} buckets")
+    return 0
+
+
+def _index_query(args) -> int:
+    """Boolean term search against a persisted inverted index; prints
+    (doc_id, n_terms, total_tf) ordered by total_tf desc."""
+    from erigon_extract_spark.operators.invindex import query_inverted_index
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-index-query")
+    out = query_inverted_index(
+        spark, args.index, args.terms, mode=args.mode
+    )
+    rows = sorted(out.collect(), key=lambda r: (-r.total_tf, r.doc_id))
+    for r in rows[: args.limit]:
+        print(f"{r.doc_id}\t{r.n_terms}\t{r.total_tf}")
+    print(f"# {len(rows)} docs match ({args.mode} of {args.terms})")
+    return 0
+
+
 def _ann_build(args) -> int:
     """Build a persisted ANN index (IVFPQ) from an embeddings parquet:
     cells as partition directories, PQ codes + raw vectors inside, the
@@ -417,6 +457,23 @@ def main(argv=None) -> int:
     p.add_argument("--rerank", type=int, default=50)
     p.add_argument("--normalize", action="store_true")
     p.set_defaults(fn=_ann_query)
+
+    p = sub.add_parser("index-build",
+                       help="build a persisted inverted text index")
+    p.add_argument("parquet")
+    p.add_argument("out_dir")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--buckets", type=int, default=64)
+    p.set_defaults(fn=_index_build)
+
+    p = sub.add_parser("index-query",
+                       help="boolean term search against an inverted index")
+    p.add_argument("index")
+    p.add_argument("terms", nargs="+")
+    p.add_argument("--mode", choices=("and", "any"), default="and")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=_index_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -167,3 +167,44 @@ def test_cli_ann_build_and_query(spark, sf_dir, tmp_path, capsys):
         hit_id, score = first_hit.split(":")
         # the probe is IN the corpus: exact self-match ranks first
         assert int(hit_id) == pid and float(score) > 0.999, line
+
+
+def test_cli_index_build_and_query(spark, sf_dir, tmp_path, capsys):
+    """End-to-end inverted-index CLI: build from the documents parquet,
+    AND-query two terms, and cross-check the doc set against a naive
+    text filter over the same corpus."""
+    idx = str(tmp_path / "invidx")
+    rc, out = _run(
+        ["index-build", f"{sf_dir}/documents.parquet", idx,
+         "--buckets", "16"],
+        capsys,
+    )
+    assert rc == 0 and "postings" in out
+
+    rc, out = _run(
+        ["index-query", idx, "spark", "merge", "--mode", "and",
+         "--limit", "5000"],
+        capsys,
+    )
+    assert rc == 0
+    got = {
+        int(l.split("\t")[0])
+        for l in out.splitlines()
+        if l and not l.startswith("#")
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.text import word_tokens
+
+    naive = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", word_tokens(F.col("text")).alias("t")
+        )
+        .filter(
+            F.array_contains("t", "spark") & F.array_contains("t", "merge")
+        )
+        .collect()
+    }
+    assert got == naive and got  # non-empty on this corpus

@@ -129,3 +129,62 @@ def test_csv_roundtrip_survives_quotes_commas_newlines(spark, tmp_path):
         .csv(path)
     )
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_invindex_differential_random_corpora(spark, tmp_path):
+    """Seeded-random differential: for random corpora and random query
+    term sets, index-answered AND/ANY results equal a pure-python
+    tokenize-and-filter reference exactly (the repo's randomized
+    differential pattern)."""
+    import random
+    import re
+
+    from erigon_extract_spark.operators.invindex import (
+        build_inverted_index,
+        query_inverted_index,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2", "it's", "z"]
+    rng = random.Random(1306)
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(0, 12))
+                ),
+            )
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / f"idx{trial}")
+        build_inverted_index(docs, path, n_buckets=8)
+
+        def py_tokens(t):
+            return [w for w in re.split(r"[^a-z0-9']+", t.lower()) if w]
+
+        for _ in range(4):
+            terms = rng.sample(vocab, rng.randint(1, 3))
+            for mode in ("and", "any"):
+                got = {
+                    (r.doc_id, r.n_terms, r.total_tf)
+                    for r in query_inverted_index(
+                        spark, path, terms, mode=mode
+                    ).collect()
+                }
+                want = set()
+                for i, t in rows:
+                    toks = py_tokens(t)
+                    matched = {x for x in set(terms) if x in toks}
+                    if (mode == "and" and matched == set(terms)) or (
+                        mode == "any" and matched
+                    ):
+                        want.add(
+                            (
+                                i,
+                                len(matched),
+                                sum(toks.count(x) for x in matched),
+                            )
+                        )
+                assert got == want, (trial, terms, mode)
