@@ -269,3 +269,84 @@ def triangle_count(
         wedges.join(closing, ["a", "c"])
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    scale: int = 1_000_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-point integer PageRank: (node, rank_fp) after ``n_iter``
+    synchronous power iterations, where rank_fp is the rank in units of
+    ``1/scale`` (uniform start = ``scale`` per node, i.e. ranks average
+    ~1.0).
+
+    Why INTEGER arithmetic: float PageRank is not reproducible across
+    engines or even across partitionings of the same engine — the
+    per-vertex sum of float contributions depends on accumulation
+    order. Here every contribution is floored to an integer
+    (``(d*rank) div (D*outdeg)``) before summation, and integer sums
+    are order-independent, so the result is bit-identical on any
+    cluster layout and any SQL engine with 64-bit integer division —
+    which is what lets a DuckDB oracle hash-match the Spark plan. The
+    flooring loses < 1 rank-unit (1e-9) per edge per iteration —
+    far below any ranking-relevant difference (and deterministic, so
+    it is a DEFINITION, not an approximation drifting with the run).
+
+    Semantics: r_{k+1}(v) = (1-d) + d * sum_{u->v} r_k(u)/outdeg(u),
+    the per-node-mean-1 formulation. Dangling nodes (outdeg 0) leak
+    their damped mass, as in the original formulation; sinkless graphs
+    (every node has an out-edge) conserve mass up to flooring.
+
+    Scale shape: ranks and degrees are O(|V|); each iteration is one
+    hash join of the edge list with the rank vector on ``src`` plus one
+    groupBy on ``dst`` — two shuffles, both on vertex keys, so a real
+    cluster co-partitions them and AQE coalesces. Lineage is cut per
+    round with ``localCheckpoint`` (the iterative-DataFrame trap);
+    total driver rounds = ``n_iter``, independent of graph size.
+
+    Reference analog: none (the reference has no graph ops) — part of
+    the beyond-reference training-data surface, SURVEY.md §2.13.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # attach outdeg to each edge once, outside the loop
+    e_deg = e.join(outdeg, "u").localCheckpoint()
+    base = (damping_den - damping_num) * scale // damping_den
+    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+    for _ in range(n_iter):
+        contribs = (
+            e_deg.join(ranks, e_deg["u"] == ranks["node"])
+            .select(
+                F.col("v").alias("node"),
+                F.expr(
+                    f"({damping_num} * rank_fp) div "
+                    f"({damping_den} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

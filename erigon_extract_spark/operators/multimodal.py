@@ -24,6 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 try:  # the real-kernel branch: one import guard, one function swap
     from PIL import Image as _PILImage  # type: ignore
@@ -395,4 +396,119 @@ def extract_gif_frames(
 
     return media.select(id_col, payload_col).mapInPandas(
         kernel, schema=FRAMES_SCHEMA
+    )
+
+
+def ahash_from_png(
+    images: DataFrame, id_col: str = "img_id", png_col: str = "png"
+) -> DataFrame:
+    """Perceptual average-hash over a binary PNG column: (img_id, b0..b3)
+    where b0..b3 are the four 16-bit bands of the 64-bit aHash.
+
+    The hash is INTEGER-EXACT by construction — bit i (for 8x8 block i
+    of an 8x8 block grid) is ``block_sum * n_blocks > grand_sum``, a
+    pure integer comparison with no float mean, no rounding mode, no
+    engine dependence — which is what lets an image-dedup result sit
+    under a cross-engine value hash (pHash's float DCT cannot).
+
+    Decode runs in the Arrow-batched executor path through the real
+    PNG codec (functions/png.py); multi-channel images hash their
+    per-pixel channel SUM (integer luma stand-in — no float weights).
+    Requires 64x64 images (the standard aHash preprocessing resize is
+    the caller's step; resize_images/resize_bilinear compose here).
+    """
+    import pandas as pd
+
+    id_out = id_col
+
+    def work(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[png_col]):
+                a = decode_png(bytes(payload)).astype(np.int64).sum(axis=2)
+                if a.shape != (64, 64):
+                    raise ValueError(
+                        f"ahash_from_png expects 64x64, got {a.shape}"
+                    )
+                total = int(a.sum())
+                bs = a.reshape(8, 8, 8, 8).sum(axis=(1, 3)).reshape(-1)
+                bits = (bs * 64 > total).astype(np.int64)
+                bands = [
+                    int(sum(int(bits[k * 16 + j]) << j for j in range(16)))
+                    for k in range(4)
+                ]
+                rows.append((int(i), *bands))
+            yield pd.DataFrame(
+                rows, columns=[id_out, "b0", "b1", "b2", "b3"]
+            )
+
+    return images.mapInPandas(
+        work,
+        schema=f"{id_out} long, b0 long, b1 long, b2 long, b3 long",
+    )
+
+
+def ahash_near_pairs(
+    bands: DataFrame, threshold: int = 3, id_col: str = "img_id"
+) -> DataFrame:
+    """(img_a, img_b, hamming) for every image pair whose 64-bit aHash
+    is within ``threshold`` bits — image-level near-duplicate detection
+    (the standard aHash dedup used on crawl image corpora).
+
+    Candidates come from band blocking: hashes <= 3 bits apart must
+    agree EXACTLY on at least one of the four 16-bit bands
+    (pigeonhole), so the self-join runs per (band_idx, band_value)
+    bucket — identical to the SimHash chunk-bucket scheme, never an
+    all-pairs join. ``threshold`` must stay < 4 for that guarantee;
+    raise the band count (not the threshold) for looser matching.
+    """
+    if not 0 <= threshold <= 3:
+        raise ValueError(
+            "threshold must be in [0, 3]: the 4-band pigeonhole "
+            "guarantee breaks above bands-1 bits"
+        )
+    long = bands.select(
+        F.col(id_col).alias("img"),
+        F.expr(
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
+        ),
+    )
+    cand = (
+        long.alias("a")
+        .join(
+            long.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.img") < F.col("b.img")),
+        )
+        .select(
+            F.col("a.img").alias("img_a"), F.col("b.img").alias("img_b")
+        )
+        .distinct()
+    )
+    wa = bands.select(
+        F.col(id_col).alias("img_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    wb = bands.select(
+        F.col(id_col).alias("img_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(4)
+    )
+    return (
+        cand.join(wa, "img_a")
+        .join(wb, "img_b")
+        .select(
+            "img_a",
+            "img_b",
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= threshold)
     )

@@ -6856,6 +6856,187 @@ def source_csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_pagerank",
+    """
+    WITH RECURSIVE gen AS (
+      SELECT i FROM UNNEST(generate_series(0, 499)) AS t(i)
+    ),
+    edges AS (
+      SELECT i AS u, (i * 7 + 3) % 500 AS v FROM gen
+      UNION
+      SELECT i AS u, (i * 13 + 5) % 500 AS v FROM gen
+    ),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+    pr AS (
+      SELECT i AS node, CAST(1000000000 AS BIGINT) AS rank_fp, 0 AS iter
+      FROM gen
+      UNION ALL
+      SELECT e.v AS node,
+             CAST(150000000
+                  + SUM((85 * p.rank_fp) // (100 * d.outdeg)) AS BIGINT)
+               AS rank_fp,
+             MIN(p.iter) + 1 AS iter
+      FROM pr p
+      JOIN edges e ON e.u = p.node
+      JOIN deg d ON d.u = p.node
+      WHERE p.iter < 10
+      GROUP BY e.v
+    )
+    SELECT node, rank_fp FROM pr WHERE iter = 10
+    """,
+)
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.pagerank, 10
+    synchronous iterations, d=0.85, ranks in 1e-9 units): every
+    per-edge contribution is floored to an integer BEFORE summation,
+    so the result is bit-identical across engines and partitionings —
+    float PageRank can't hash-gate because per-vertex float sums vary
+    with accumulation order. Graph: the union of two affine functional
+    maps x -> 7x+3 and x -> 13x+5 (mod 500) — both invertible mod 500,
+    so every node has out- and in-edges (no dangling leak, no
+    empty-contribution rows) while out/in degrees still vary where the
+    two maps coincide. Oracle: DuckDB recursive CTE running the same
+    integer recurrence."""
+    from erigon_extract_spark.operators.graph import pagerank
+
+    gen = spark.range(500)
+    edges = gen.select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 500).alias("dst")
+    ).unionAll(
+        gen.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 13 + 5) % 500).alias("dst"),
+        )
+    )
+    return pagerank(edges, n_iter=10)
+
+
+@query(
+    "dedup_levenshtein",
+    """
+    WITH n AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM n a JOIN n b
+      ON a.lang = b.lang AND b.doc_id > a.doc_id
+      AND length(b.t) BETWEEN length(a.t) - 16 AND length(a.t) + 16
+    WHERE levenshtein(a.t, b.t) <= 16
+    """,
+)
+def dedup_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance near-dup pairs
+    (operators/dedup.levenshtein_near_pairs): every same-language pair
+    within 16 edits of each other on normalized text — the
+    entity-resolution verify stage that upgrades LSH's "probably
+    similar" to "provably within k edits". Candidates come from
+    length-bucket blocking (edit distance >= |len diff|, so bucket
+    floor(len/16) + {-1,0,+1} vs base enumerates exactly the
+    qualifying pairs — complete, no LSH recall loss); the O(len^2)
+    levenshtein kernel is the built-in JVM function and only runs on
+    survivors. Oracle: direct length-banded self-join with DuckDB's
+    levenshtein."""
+    from erigon_extract_spark.operators.dedup import levenshtein_near_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return levenshtein_near_pairs(docs, max_dist=16).select(
+        "doc_id_a", "doc_id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+@query(
+    "multimodal_image_ahash",
+    """
+    WITH px AS (
+      SELECT d.d AS d, (y.y // 8) * 8 + (x.x // 8) AS blk,
+             ((y.y * (3 + d.d % 40) + x.x * (5 + 2 * (d.d % 40))
+               + y.y * x.x) % 251
+              + CASE WHEN (y.y * 64 + x.x) % 101 < d.d // 40
+                     THEN d.d // 40 ELSE 0 END) AS v
+      FROM UNNEST(generate_series(0, 199)) AS d(d),
+           UNNEST(generate_series(0, 63)) AS y(y),
+           UNNEST(generate_series(0, 63)) AS x(x)
+    ),
+    blocks AS (SELECT d, blk, SUM(v) AS bs FROM px GROUP BY 1, 2),
+    tot AS (SELECT d, SUM(bs) AS t FROM blocks GROUP BY 1),
+    bands AS (
+      SELECT b.d, b.blk // 16 AS k,
+             CAST(SUM(CASE WHEN b.bs * 64 > t.t
+                           THEN 1 << (b.blk % 16) ELSE 0 END) AS BIGINT)
+               AS bv
+      FROM blocks b JOIN tot t USING (d)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.d AS img_a, b.d AS img_b
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.d < b.d
+    ),
+    wide AS (
+      SELECT d,
+             MAX(CASE WHEN k = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN k = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN k = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN k = 3 THEN bv END) AS b3
+      FROM bands GROUP BY d
+    )
+    SELECT c.img_a, c.img_b,
+           CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+              + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+             AS BIGINT) AS hamming
+    FROM cand c
+    JOIN wide wa ON wa.d = c.img_a
+    JOIN wide wb ON wb.d = c.img_b
+    WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+        + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) <= 3
+    """,
+)
+def multimodal_image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash over a
+    REAL binary image column (operators/multimodal.ahash_from_png +
+    ahash_near_pairs): 200 synthetic 64x64 grayscale images — 40 base
+    patterns x 5 noise replicas — are PNG-encoded, carried as a binary
+    column, decoded through the real codec (functions/png.py), hashed
+    with the integer-exact aHash (bit = block_sum*64 > grand_sum — no
+    float mean, so the hash is engine-independent), and paired via the
+    16-bit-band pigeonhole blocking at hamming <= 3. Replicas measure
+    <= 3 bits apart, distinct bases >= 17, so the result is exactly
+    the 400 intra-group pairs. Oracle: DuckDB rebuilds the hash from
+    the pixel formula (PNG is lossless, so decoded pixels ARE the
+    formula) and pairs with the same blocking."""
+    import pandas as pd
+
+    from erigon_extract_spark.operators.multimodal import (
+        ahash_from_png,
+        ahash_near_pairs,
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.png import encode_png
+
+        for pdf in batches:
+            yy, xx = np.mgrid[0:64, 0:64]
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                g, p = d % 40, d // 40
+                base = (yy * (3 + g) + xx * (5 + 2 * g) + yy * xx) % 251
+                img = (base + np.where((yy * 64 + xx) % 101 < p, p, 0))
+                rows.append((d, encode_png(img.astype("uint8"))))
+            yield pd.DataFrame(rows, columns=["img_id", "png"])
+
+    images = spark.range(200).mapInPandas(
+        synth, schema="img_id long, png binary"
+    )
+    return ahash_near_pairs(ahash_from_png(images), threshold=3)
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
