@@ -475,3 +475,87 @@ def top_terms(
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "term_rank", "term", "tf", "df", "ttf")
     )
+
+
+def bigram_lm_logprob(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model log-probability per document
+    — the actual perplexity-filter quantity (CCNet/KenLM class), not
+    just the integer familiarity skeleton (bigram_familiarity).
+
+    Model: add-one-smoothed bigram LM trained on the WHOLE corpus.
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), with c(w1) the context
+    count (bigram instances starting with w1) and V the corpus
+    vocabulary size. Score(doc) = sum over its bigram INSTANCES of
+    ln P — reported in MICRO-NATS as a BIGINT: each distinct bigram's
+    ln P is rounded to 1e-6 once, and the per-doc sum is then an
+    integer sum — order-independent, so the result hash-gates across
+    engines (a raw float sum would vary with accumulation order; the
+    rounding boundary sits ~1e8 ulps away from the ~1e-15 cross-libm
+    ln() disagreement). Low (very negative per-bigram average) =
+    improbable text under the corpus LM = the CCNet drop signal.
+
+    Scale shape: identical to bigram_familiarity — train is one
+    map-side-combined shuffle on the bigram key; score joins instances
+    to the model on the same key; V and nothing else crosses the
+    driver. Docs with < 2 tokens score (0, 0) via the left join.
+
+    Returns (doc_id, n_bigrams, logprob_unats).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    bg = words.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    toks = words.select(F.explode("w").alias("t")).filter(F.col("t") != "")
+    vocab = toks.agg(F.countDistinct("t").alias("v"))
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = counts.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    scores = (
+        counts.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("cu") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("unats"),
+        )
+    )
+    scored = (
+        bg.join(scores, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("unats").alias("logprob_unats"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logprob_unats", F.lit(0))
+            .cast("long")
+            .alias("logprob_unats"),
+        )
+    )

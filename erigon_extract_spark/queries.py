@@ -7037,6 +7037,84 @@ def multimodal_image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_pairs(ahash_from_png(images), threshold=3)
 
 
+@query(
+    "text_lm_logprob",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS w
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, w[s] AS w1, w[s + 1] AS w2
+      FROM w, UNNEST(generate_series(1, len(w) - 1)) AS g(s)
+      WHERE len(w) >= 2
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT t.t) AS v
+      FROM w, UNNEST(w.w) AS t(t) WHERE t.t != ''
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(cb) AS cu FROM counts GROUP BY 1),
+    scores AS (
+      SELECT c.w1, c.w2,
+             CAST(round(ln((c.cb + 1) / (x.cu + vocab.v)) * 1e6)
+                  AS BIGINT) AS unats
+      FROM counts c JOIN ctx x USING (w1), vocab
+    ),
+    scored AS (
+      SELECT b.doc_id, COUNT(*) AS n, SUM(s.unats) AS lp
+      FROM big b JOIN scores s USING (w1, w2)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(q.n, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(q.lp, 0) AS BIGINT) AS logprob_unats
+    FROM documents d LEFT JOIN scored q ON d.doc_id = q.doc_id
+    """,
+)
+def text_lm_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM log-probability per document
+    (operators/text.bigram_lm_logprob) — the perplexity-filter
+    quantity itself (CCNet/KenLM class): an add-one-smoothed bigram LM
+    is trained on the corpus, then each doc scores the sum of
+    ln P(w2|w1) over its bigram instances, reported in integer
+    MICRO-NATS so the per-doc float sum becomes an order-independent
+    integer sum and hash-gates across engines. Oracle: DuckDB trains
+    the same model and scores with its own ln()."""
+    from erigon_extract_spark.operators.text import bigram_lm_logprob
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_lm_logprob(docs)
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def source_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink under the value hash: the documents table takes a
+    full write-to-ORC -> read-back round trip (Spark's built-in
+    columnar ORC support — zlib-compressed stripes, predicate-pushdown
+    capable like the Parquet path), built once per dataset fingerprint
+    in the uid-scoped artifact cache. The oracle reads the ORIGINAL
+    parquet, so any value the ORC writer or reader mangles
+    (string encoding, nulls, int widths) hash-fails."""
+    import os
+
+    docs = _load(spark, sf_dir, "documents")
+    parent = _cached_artifact(
+        sf_dir, "documents", "orc", "v1",
+        lambda tmp: docs.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).repartition(4).write.orc(os.path.join(tmp, "orc")),
+    )
+    return spark.read.orc(os.path.join(parent, "orc"))
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
