@@ -962,8 +962,15 @@ def levenshtein_near_pairs(
     minhash_lsh_candidates) — per-bucket cost is |bucket|^2, never
     corpus^2.
 
-    The O(len^2) levenshtein kernel runs JVM-side (built-in function,
-    whole-stage codegen) only on pairs that survive the length filter.
+    The levenshtein kernel runs JVM-side (built-in function,
+    whole-stage codegen) only on pairs that survive the length filter,
+    and uses the THRESHOLDED form (Spark >= 3.5): the band-limited DP
+    is O(max_dist * len) per pair instead of O(len^2) and bails out the
+    moment the band exceeds max_dist — on long documents that is the
+    difference between a ~len/k-fold kernel cost and a quadratic one,
+    with identical results on every pair the query keeps (the -1
+    early-exit sentinel only replaces distances the <= max_dist filter
+    was about to drop anyway).
     """
     n = docs.select(
         F.col(id_col).alias("id"),
@@ -997,7 +1004,7 @@ def levenshtein_near_pairs(
         .select(
             F.col("l_id").alias("doc_id_a"),
             F.col("r_id").alias("doc_id_b"),
-            F.levenshtein("l_t", "r_t").alias("dist"),
+            F.levenshtein("l_t", "r_t", max_dist).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )

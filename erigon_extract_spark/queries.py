@@ -6936,10 +6936,11 @@ def dedup_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar" to "provably within k edits". Candidates come from
     length-bucket blocking (edit distance >= |len diff|, so bucket
     floor(len/16) + {-1,0,+1} vs base enumerates exactly the
-    qualifying pairs — complete, no LSH recall loss); the O(len^2)
-    levenshtein kernel is the built-in JVM function and only runs on
-    survivors. Oracle: direct length-banded self-join with DuckDB's
-    levenshtein."""
+    qualifying pairs — complete, no LSH recall loss); the levenshtein
+    kernel is the built-in JVM function in its THRESHOLDED band-limited
+    form (O(k*len) per pair, early exit past k — not O(len^2)) and only
+    runs on survivors. Oracle: direct length-banded self-join with
+    DuckDB's levenshtein."""
     from erigon_extract_spark.operators.dedup import levenshtein_near_pairs
 
     docs = _load(spark, sf_dir, "documents")
