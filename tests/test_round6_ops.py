@@ -1,0 +1,226 @@
+"""Unit tests for the round-6 operators: integer PageRank, exact
+edit-distance dedup, perceptual aHash, and bigram-LM scoring.
+
+Each pins the operator against an independently computed expectation
+(closed form or plain-python recompute), not against the engine's own
+output — the registered-query oracles already cover engine-vs-engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.dedup import levenshtein_near_pairs
+from erigon_extract_spark.operators.graph import pagerank
+from erigon_extract_spark.operators.multimodal import (
+    ahash_from_png,
+    ahash_near_pairs,
+)
+from erigon_extract_spark.operators.text import bigram_lm_logprob
+
+SCALE = 1_000_000_000
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_cycle_is_exact_fixpoint(spark):
+    # On a directed cycle every node has outdeg 1 and one in-edge, so
+    # r' = 0.15 + 0.85 * r keeps the uniform vector exactly at scale
+    # (in integer units: 150e6 + (85 * 1e9) div 100 = 1e9, no flooring
+    # loss). Any iteration count must return exactly `scale` per node.
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    ranks = {r.node: r.rank_fp for r in pagerank(edges, n_iter=7).collect()}
+    assert ranks == {i: SCALE for i in range(5)}
+
+
+def test_pagerank_star_matches_hand_recurrence(spark):
+    # Star 1..4 -> 0 plus 0 -> 1 (so node 0 is not dangling).  Replay
+    # the exact integer recurrence in plain python and require
+    # bit-identical ranks after 3 iterations.
+    edge_list = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    outdeg = {u: sum(1 for a, _ in edge_list if a == u) for u in range(5)}
+    r = {v: SCALE for v in range(5)}
+    base = 15 * SCALE // 100
+    for _ in range(3):
+        contrib: dict[int, int] = {}
+        for u, v in edge_list:
+            contrib[v] = contrib.get(v, 0) + (85 * r[u]) // (100 * outdeg[u])
+        r = {v: base + contrib.get(v, 0) for v in range(5)}
+    got = {
+        row.node: row.rank_fp
+        for row in pagerank(edges, n_iter=3).collect()
+    }
+    assert got == r
+
+
+def test_pagerank_zero_iters_is_uniform_and_negative_raises(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank(edges, n_iter=0).collect()}
+    assert got == {0: SCALE, 1: SCALE}
+    with pytest.raises(ValueError):
+        pagerank(edges, n_iter=-1)
+
+
+# ------------------------------------------------- levenshtein_near_pairs
+
+
+def _lev_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_levenshtein_pairs_exact_distances(spark):
+    docs = _lev_docs(
+        spark,
+        [
+            (1, "en", "the quick brown fox"),
+            (2, "en", "the quick brown cat"),  # dist 3 from 1
+            (3, "en", "the quick brown fox"),  # dist 0 from 1
+            (4, "en", "a completely different sentence entirely"),
+            (5, "de", "the quick brown fox"),  # other block: never paired
+        ],
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.dist
+        for r in levenshtein_near_pairs(docs, max_dist=4).collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 0, (2, 3): 3}
+
+
+def test_levenshtein_blocking_is_complete_across_buckets(spark):
+    # Lengths straddling a bucket boundary (floor(len/k) differs by 1)
+    # must still pair: len 15 vs len 17 with k=16 sit in buckets 0 and
+    # 1. Also pin the no-duplicate-candidates property: exactly one
+    # output row per qualifying pair.
+    docs = _lev_docs(
+        spark,
+        [
+            (1, "en", "aaaaaaaaaaaaaaa"),  # len 15, bucket 0
+            (2, "en", "aaaaaaaaaaaaaaaaa"),  # len 17, bucket 1, dist 2
+        ],
+    )
+    rows = levenshtein_near_pairs(docs, max_dist=16).collect()
+    assert [(r.doc_id_a, r.doc_id_b, r.dist) for r in rows] == [(1, 2, 2)]
+
+
+def test_levenshtein_length_gap_beyond_k_excluded(spark):
+    docs = _lev_docs(
+        spark,
+        [(1, "en", "a" * 10), (2, "en", "a" * 40)],
+    )
+    assert levenshtein_near_pairs(docs, max_dist=16).count() == 0
+
+
+# ----------------------------------------------------------------- ahash
+
+
+def _encode_img(arr):
+    from erigon_extract_spark.functions.png import encode_png
+
+    return encode_png(arr.astype("uint8"))
+
+
+def test_ahash_bits_match_numpy_recompute(spark):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_img(img)))], "img_id long, png binary"
+    )
+    row = ahash_from_png(df).collect()[0]
+    a = img.astype(np.int64)
+    total = int(a.sum())
+    bs = a.reshape(8, 8, 8, 8).sum(axis=(1, 3)).reshape(-1)
+    bits = (bs * 64 > total).astype(int)
+    for k in range(4):
+        expect = sum(int(bits[k * 16 + j]) << j for j in range(16))
+        assert getattr(row, f"b{k}") == expect
+
+
+def test_ahash_near_pairs_pigeonhole_and_threshold(spark):
+    # Hand-built band rows: b differs from a in exactly 2 bits of band
+    # 0 (hamming 2 -> kept, bands 1-3 agree so the pigeonhole bucket
+    # join finds it); c differs from a in 1 bit of EVERY band (hamming
+    # 4 AND no agreeing band -> correctly absent either way).
+    bands = spark.createDataFrame(
+        [
+            (1, 0b0000, 7, 9, 11),
+            (2, 0b0011, 7, 9, 11),
+            (3, 0b0001, 6, 8, 10),
+        ],
+        "img_id long, b0 long, b1 long, b2 long, b3 long",
+    )
+    got = {
+        (r.img_a, r.img_b): r.hamming
+        for r in ahash_near_pairs(bands, threshold=3).collect()
+    }
+    assert got == {(1, 2): 2}
+    with pytest.raises(ValueError):
+        ahash_near_pairs(bands, threshold=4)
+
+
+def test_ahash_rejects_wrong_size(spark):
+    img = np.zeros((32, 32), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_img(img)))], "img_id long, png binary"
+    )
+    with pytest.raises(Exception, match="64x64"):
+        ahash_from_png(df).collect()
+
+
+# ---------------------------------------------------- bigram_lm_logprob
+
+
+def test_bigram_lm_matches_plain_python_model(spark):
+    corpus = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the dog sat"),
+        (4, "solo"),  # 1 token -> no bigrams -> (0, 0)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    toks = {d: t.split() for d, t in corpus}
+    vocab = {w for ws in toks.values() for w in ws}
+    bigrams = [
+        (ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 1)
+    ]
+    cb: dict[tuple[str, str], int] = {}
+    for b in bigrams:
+        cb[b] = cb.get(b, 0) + 1
+    cu: dict[str, int] = {}
+    for (w1, _), c in cb.items():
+        cu[w1] = cu.get(w1, 0) + c
+    unats = {
+        b: round(math.log((c + 1) / (cu[b[0]] + len(vocab))) * 1e6)
+        for b, c in cb.items()
+    }
+    expect = {}
+    for d, ws in toks.items():
+        bs = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        expect[d] = (len(bs), sum(unats[b] for b in bs))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob_unats)
+        for r in bigram_lm_logprob(docs).collect()
+    }
+    assert got == expect
+    assert got[4] == (0, 0)
+
+
+def test_bigram_lm_probabilities_sum_below_one(spark):
+    # Sanity on the model itself: every per-bigram log-prob must be
+    # negative (P < 1 always, with add-one smoothing and V >= 2).
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    rows = bigram_lm_logprob(docs).collect()
+    for r in rows:
+        if r.n_bigrams:
+            assert r.logprob_unats < 0
