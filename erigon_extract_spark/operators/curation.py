@@ -226,3 +226,87 @@ def blocklist_filter(
         n.alias("n_blocked_terms"),
         (n == 0).alias("keep"),
     )
+
+
+# Gopher (Rae et al. 2021, Table A1) stop-word rule: a document must
+# contain at least 2 distinct words from this list. Fixed here so the
+# Spark plan and the SQL oracle interpolate the identical constant.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 class) as a
+    per-document signal report plus boolean rule flags and the combined
+    ``keep`` verdict:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio ('#' and non-overlapping '...') <= 0.1
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct stop words present (GOPHER_STOP_WORDS)
+
+    Every ratio rule is evaluated as a PURE INTEGER cross-multiplication
+    (e.g. mean-word-length in [3,10] <=> 3*n_words <= sum_wlen <=
+    10*n_words), so flags are engine-exact and the whole report
+    hash-gates — no float ratio, no rounding mode. Raw numerators and
+    denominators are returned alongside the flags so downstream policy
+    can re-threshold without recomputing.
+
+    Scale shape: one projection over the corpus — split, array
+    higher-order functions and two regexp counts, all whole-stage
+    codegen'd; zero shuffles, zero Python.
+
+    Returns (doc_id, n_words, sum_wlen, n_sym, n_alpha_words, n_stop,
+    f_word_count, f_mean_wlen, f_symbol, f_alpha, f_stop, keep).
+    """
+    t = normalize_text(F.col(text_col))
+    w = F.split(t, " ")
+    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(w)).cast("long")
+    # normalized text = words joined by single spaces, so total word
+    # length = length(t) - (n_words - 1) separators
+    sum_wlen = F.when(t == "", F.lit(0)).otherwise(
+        F.length(t) - F.size(w) + 1
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(w, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(w), stops)).cast(
+        "long"
+    )
+    n_sym = (
+        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_sym.alias("n_sym"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop"),
+    )
+    f_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    f_mean = (F.col("n_words") > 0) & (
+        (3 * F.col("n_words") <= F.col("sum_wlen"))
+        & (F.col("sum_wlen") <= 10 * F.col("n_words"))
+    )
+    f_sym = 10 * F.col("n_sym") <= F.col("n_words")
+    f_alpha = (F.col("n_words") > 0) & (
+        10 * F.col("n_alpha_words") >= 8 * F.col("n_words")
+    )
+    f_stop = F.col("n_stop") >= 2
+    return out.select(
+        "*",
+        f_wc.alias("f_word_count"),
+        f_mean.alias("f_mean_wlen"),
+        f_sym.alias("f_symbol"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        (f_wc & f_mean & f_sym & f_alpha & f_stop).alias("keep"),
+    )

@@ -1008,3 +1008,107 @@ def levenshtein_near_pairs(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric shingle containment: ordered pairs (a, b),
+    a != b, where containment(A in B) = |S(A) ∩ S(B)| / |S(A)| >=
+    ``threshold`` over distinct word ``shingle_n``-grams. The
+    quote/inclusion detector Jaccard cannot express — a short document
+    fully quoted inside a long one has containment 1.0 but Jaccard
+    ~|A|/|B|, far below any sane dedup threshold.
+
+    Scale shape: one-sided prefix filtering (the PPJoin family, adapted
+    to the asymmetric measure). Sort A's shingles by (global df,
+    shingle) ascending; if at least ceil(t*|A|) of A's shingles are in
+    B then fewer than |A| - ceil(t*|A|) + 1 are missing, so among A's
+    ``|A| - ceil(t*|A|) + 1`` RAREST shingles at least one is in B
+    (pigeonhole). Only that prefix feeds the candidate join against the
+    full inverted index; frequent boilerplate shingles land at the end
+    of the order and stay out of the join key's hot side. Candidates
+    are verified exactly on the full shingle sets (array_intersect), so
+    the result is IDENTICAL to the naive quadratic plan and the oracle
+    needs no cap modeling. Only the A side can be prefixed —
+    containment is asymmetric, B must stay complete.
+
+    The threshold compare and the reported score are integer-exact:
+    ``t_ppm = round(threshold * 1e6)`` once in the driver, then
+    ``n_common * 1e6 >= t_ppm * n_a`` and
+    ``containment_ppm = (1e6 * n_common) div n_a`` — no float ratio
+    ever crosses an engine boundary.
+
+    Returns (doc_id_a, doc_id_b, n_common, n_a, containment_ppm).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t_ppm = round(threshold * 1_000_000)
+    sh = exploded_shingles(docs, text_col, shingle_n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_a"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    # prefix_len = n_a - ceil(t * n_a) + 1, all-integer ceil
+    prefix_len = (
+        F.col("n_a")
+        - F.expr(f"(n_a * {t_ppm} + 999999) div 1000000")
+        + F.lit(1)
+    )
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("__df").asc(), F.col("sh").asc()
+                )
+            ),
+        )
+        .join(sizes, id_col)
+        .filter(F.col("__rank") <= prefix_len)
+        .select(id_col, "sh")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("__set"))
+    return (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("doc_id_a"), F.col("__set").alias("__sa")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_id_b"), F.col("__set").alias("__sb")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("__sa", "__sb"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("__sa").cast("long").alias("n_a"),
+        )
+        .filter(
+            F.col("n_common") * F.lit(1_000_000)
+            >= F.lit(t_ppm) * F.col("n_a")
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(n_common * 1000000) div n_a"),
+        )
+    )

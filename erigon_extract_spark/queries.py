@@ -7116,6 +7116,114 @@ def source_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(os.path.join(parent, "orc"))
 
 
+@query(
+    "dedup_containment",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+             COUNT(*) AS n_common
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id != r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n_a AS BIGINT) AS n_a,
+           CAST((n_common * 1000000) // sa.n_a AS BIGINT)
+             AS containment_ppm
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_id_a
+    WHERE n_common * 1000000 >= 600000 * sa.n_a
+    """,
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric shingle containment
+    (operators/dedup.containment_pairs, threshold 0.6, 3-gram
+    shingles): ordered pairs where >= 60% of A's distinct shingles
+    appear in B — the quote/inclusion detector Jaccard cannot express
+    (a short doc fully quoted in a long one has containment 1.0 but
+    tiny Jaccard). Spark side prunes candidates with one-sided prefix
+    filtering (PPJoin adapted to the asymmetric measure: only A's
+    rarest |A| - ceil(0.6*|A|) + 1 shingles feed the inverted-index
+    join, then exact array_intersect verification — identical results
+    to the naive plan). Score and threshold are integer ppm, no float
+    crossing engines. Oracle: DuckDB runs the naive quadratic plan."""
+    from erigon_extract_spark.operators.dedup import containment_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return containment_pairs(docs, shingle_n=3, threshold=0.6)
+
+
+@query(
+    "quality_gopher_report",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        CASE WHEN t = '' THEN 0
+             ELSE len(string_split(t, ' ')) END AS n_words,
+        CASE WHEN t = '' THEN 0
+             ELSE length(t) - len(string_split(t, ' ')) + 1 END AS sum_wlen,
+        len(regexp_extract_all(t, '#'))
+          + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_sym,
+        len(list_filter(string_split(t, ' '),
+                        x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+        len(list_intersect(list_distinct(string_split(t, ' ')),
+                           ['the','be','to','of','and','that','have','with']))
+          AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_wlen AS BIGINT) AS sum_wlen,
+           CAST(n_sym AS BIGINT) AS n_sym,
+           CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           n_words BETWEEN 50 AND 100000 AS f_word_count,
+           n_words > 0 AND 3 * n_words <= sum_wlen
+             AND sum_wlen <= 10 * n_words AS f_mean_wlen,
+           10 * n_sym <= n_words AS f_symbol,
+           n_words > 0 AND 10 * n_alpha_words >= 8 * n_words AS f_alpha,
+           n_stop >= 2 AS f_stop,
+           (n_words BETWEEN 50 AND 100000)
+             AND (n_words > 0 AND 3 * n_words <= sum_wlen
+                  AND sum_wlen <= 10 * n_words)
+             AND (10 * n_sym <= n_words)
+             AND (n_words > 0 AND 10 * n_alpha_words >= 8 * n_words)
+             AND (n_stop >= 2) AS keep
+    FROM sig
+    """,
+)
+def quality_gopher_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality report
+    (operators/curation.gopher_quality_rules): per-document word count,
+    mean-word-length band, symbol ratio, alphabetic-word fraction and
+    stop-word presence, each as raw integer signals plus a boolean rule
+    flag, combined into ``keep`` — the Rae et al. 2021 repetition-free
+    rule subset. Every ratio rule is an integer cross-multiplication
+    (3*n_words <= sum_wlen etc.), so the whole report is engine-exact.
+    One codegen'd projection, zero shuffles. Oracle: DuckDB recomputes
+    every signal from the same normalization."""
+    from erigon_extract_spark.operators.curation import gopher_quality_rules
+
+    docs = _load(spark, sf_dir, "documents")
+    return gopher_quality_rules(docs)
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

@@ -258,6 +258,9 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "text_top_terms",
         # three ONE-ROW stage counts cross-combined into the summary row
         "events_funnel",
+        # bigram LM: BNLJ against the ONE-ROW broadcast vocabulary-size
+        # aggregate — the same scalar-crossJoin shape
+        "text_lm_logprob",
     }
     # iterative/checkpointing queries EXECUTE work at plan-build time;
     # their component plans are covered by their own tests

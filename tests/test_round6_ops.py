@@ -224,3 +224,111 @@ def test_bigram_lm_probabilities_sum_below_one(spark):
     for r in rows:
         if r.n_bigrams:
             assert r.logprob_unats < 0
+
+
+# ---------------------------------------------------- containment_pairs
+
+
+def test_containment_quote_inclusion(spark):
+    from erigon_extract_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"  # 3 distinct 3-grams
+    long = (
+        "intro words here alpha beta gamma delta epsilon and then a "
+        "very long unrelated tail about distributed query engines"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different text entirely")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id_a, r.doc_id_b): (r.n_common, r.n_a, r.containment_ppm)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    # all 3 of short's shingles appear in long -> containment(1 in 2)=1.0;
+    # the reverse direction is far below 0.8; doc 3 shares nothing.
+    assert set(rows) == {(1, 2)}
+    n_common, n_a, ppm = rows[(1, 2)]
+    assert (n_common, n_a, ppm) == (3, 3, 1_000_000)
+
+
+def test_containment_prefix_filter_matches_naive(spark):
+    # The prefix-filtered plan must equal the naive all-shingle join
+    # (identical-result guarantee) on a corpus with shared boilerplate.
+    from erigon_extract_spark.operators.dedup import containment_pairs
+
+    base = "the common header line shared by every single document here"
+    rows = [
+        (i, base + f" unique tail {i} with words {i * 7} and {i * 13}")
+        for i in range(8)
+    ] + [(100, base)]  # pure-boilerplate doc contained in all others
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.n_common, r.n_a)
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    # naive recompute in python
+    import re as _re
+
+    def shingles(t):
+        w = _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    expect = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) * 1_000_000 >= 900_000 * len(sa):
+                expect.add((a, b, len(sa & sb), len(sa)))
+    assert got == expect
+    assert any(a == 100 for a, *_ in got)  # the contained doc is found
+
+
+def test_containment_threshold_validation(spark):
+    from erigon_extract_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        containment_pairs(docs, threshold=0.0)
+
+
+# ------------------------------------------------- gopher_quality_rules
+
+
+def test_gopher_rules_flags(spark):
+    from erigon_extract_spark.operators.curation import gopher_quality_rules
+
+    good = (
+        "the quick brown fox and the lazy dog have spent many days "
+        "running with friends over wide green fields of grass that "
+        "stretch far beyond the distant hills where rivers bend and "
+        "turn toward the sea while birds circle slowly watching the "
+        "world move beneath their wings in the warm light of morning"
+    )  # > 50 words, mean len in [3,10], no symbols, alpha, stops
+    short = "too short"  # fails word count + stop rule
+    symbols = " ".join(["###"] * 60)  # fails symbol + alpha rules
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert got[1].keep
+    assert got[1].n_words >= 50 and got[1].f_mean_wlen and got[1].f_stop
+    assert not got[2].keep and not got[2].f_word_count
+    assert not got[3].keep and not got[3].f_alpha and not got[3].f_symbol
+    assert got[4].n_words == 0 and got[4].sum_wlen == 0 and not got[4].keep
+
+
+def test_gopher_integer_ratios_exact(spark):
+    # mean word length boundary: 10 words of exactly 3 chars -> mean
+    # exactly 3.0 must PASS (<= is inclusive); 10 words of 2 chars must
+    # fail. Cross-multiplication keeps this exact.
+    from erigon_extract_spark.operators.curation import gopher_quality_rules
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["abc"] * 10)), (2, " ".join(["ab"] * 10))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert got[1].f_mean_wlen and got[1].sum_wlen == 30
+    assert not got[2].f_mean_wlen and got[2].sum_wlen == 20
