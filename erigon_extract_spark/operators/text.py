@@ -559,3 +559,139 @@ def bigram_lm_logprob(
             .alias("logprob_unats"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1000,
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between document pairs via the
+    classic inverted-index join — the bag-of-words complement to the
+    dense-embedding similarity stack (similarity.py): no embeddings
+    needed, exact over the chosen term weighting.
+
+    Weighting is INTEGER end-to-end until the final cosine: w(d, t) =
+    tf(d, t) * idf_milli(t) with idf_milli = round(ln(N / df) * 1e3)
+    rounded ONCE per term, so dot products and squared norms are
+    order-independent integer sums that agree bit-for-bit across
+    engines. The final cosine = dot / (sqrt(na2) * sqrt(nb2)) is three
+    correctly-rounded IEEE ops on exactly-representable integers
+    (all < 2^53), hence also engine-exact before the 6 dp round.
+
+    ``max_df`` is df PRUNING, not an approximation knob: terms with
+    df > max_df (corpus-wide boilerplate/stopwords) are excluded from
+    the MEASURE itself — standard IR practice — which simultaneously
+    caps the inverted-index join at O(max_df^2) per term. The oracle
+    applies the identical cap, so results still hash-gate. At 100 TB
+    max_df is the scale contract: the term-pair join volume is
+    sum_t min(df_t, max_df)^2, never corpus^2.
+
+    ``shingle_n`` sets the term granularity: 1 = unigrams; n > 1 uses
+    word n-gram shingles (the right choice when the corpus vocabulary
+    is small — n-grams restore a discriminative, long-tailed df
+    distribution that unigrams can't provide).
+
+    Returns (doc_id_a, doc_id_b, n_shared_terms, cosine) for pairs with
+    cosine >= threshold, a < b.
+    """
+    if shingle_n == 1:
+        words = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("t"),
+        ).filter(F.col("t") != "")
+    else:
+        # docs with < shingle_n words contribute no terms (sequence()
+        # with start > stop counts DOWN in Spark — guard, don't clamp)
+        pre = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        ).filter(F.size("__w") >= shingle_n)
+        words = pre.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__w) - {shingle_n}),"
+                    f" i -> concat_ws(' ', slice(__w, i + 1, {shingle_n})))"
+                )
+            ).alias("t"),
+        )
+    tf = words.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    df_ = (
+        tf.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    w = (
+        tf.join(df_, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * 1e3
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    dots = (
+        w.alias("a")
+        .join(w.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+        )
+    )
+    return (
+        dots.join(
+            norms.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("n2").alias("na2")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("n2").alias("nb2")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("n_shared_terms").cast("long").alias("n_shared_terms"),
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared_terms",
+            F.round("__cos", 6).alias("cosine"),
+        )
+    )

@@ -7224,6 +7224,100 @@ def quality_gopher_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_rules(docs)
 
 
+@query(
+    "text_tfidf_cosine",
+    """
+    WITH wsplit AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS w
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+      FROM wsplit, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    dfq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+      HAVING COUNT(*) <= 100
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.t,
+             tf.tf * CAST(round(ln(nd.n_docs / dfq.df) * 1000) AS BIGINT)
+               AS w
+      FROM tf JOIN dfq USING (t), nd
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             COUNT(*) AS n_shared_terms, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+           round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+    FROM dots
+      JOIN norms na ON na.doc_id = doc_id_a
+      JOIN norms nb ON nb.doc_id = doc_id_b
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
+    """,
+)
+def text_tfidf_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity
+    (operators/text.tfidf_cosine_pairs, 3-gram shingle terms,
+    max_df=100, threshold 0.8): the inverted-index bag-of-words
+    complement to the dense-embedding similarity stack. Weights are
+    integer (tf * milli-rounded idf) so dots and norms are order-free
+    integer sums; the final cosine is three correctly-rounded IEEE ops
+    on exactly-representable ints — engine-exact before the 6 dp
+    round. Terms are word 3-grams because the synthetic corpus has a
+    ~31-word vocabulary (every unigram is corpus-wide boilerplate);
+    max_df prunes corpus-wide terms from the MEASURE (standard IR
+    stop-wording), which also caps the join at sum_t df_t^2 with
+    df_t <= 100 — the 100 TB contract. Oracle: DuckDB replays the
+    identical weighting."""
+    from erigon_extract_spark.operators.text import tfidf_cosine_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, max_df=100, threshold=0.8, shingle_n=3)
+
+
+@query(
+    "sink_partitioned_pruned",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def sink_partitioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read: the
+    documents table is written once partitionBy(lang) into the artifact
+    cache, then read back filtered to lang='en'. The filter must land
+    as a planning-time PartitionFilter (directory pruning — only the
+    lang=en subtree is ever listed or read; asserted in
+    tests/test_round6_ops.py), the storage analog of the reference's
+    keyed-cursor seeks. The oracle reads the ORIGINAL parquet, so any
+    value the partitioned writer mangles (partition-column round-trip,
+    encoding) hash-fails."""
+    import os
+
+    docs = _load(spark, sf_dir, "documents")
+    parent = _cached_artifact(
+        sf_dir, "documents", "bylang", "v1",
+        lambda tmp: docs.repartition(4).write.partitionBy("lang").parquet(
+            os.path.join(tmp, "p")
+        ),
+    )
+    return (
+        spark.read.parquet(os.path.join(parent, "p"))
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

@@ -261,6 +261,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # bigram LM: BNLJ against the ONE-ROW broadcast vocabulary-size
         # aggregate — the same scalar-crossJoin shape
         "text_lm_logprob",
+        # TF-IDF: BNLJ against the ONE-ROW broadcast corpus doc-count
+        "text_tfidf_cosine",
     }
     # iterative/checkpointing queries EXECUTE work at plan-build time;
     # their component plans are covered by their own tests

@@ -332,3 +332,111 @@ def test_gopher_integer_ratios_exact(spark):
     got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
     assert got[1].f_mean_wlen and got[1].sum_wlen == 30
     assert not got[2].f_mean_wlen and got[2].sum_wlen == 20
+
+
+# ------------------------------------------------------ tfidf_cosine_pairs
+
+
+def test_tfidf_cosine_matches_python_recompute(spark):
+    from erigon_extract_spark.operators.text import tfidf_cosine_pairs
+
+    corpus = [
+        (1, "apple banana cherry date"),
+        (2, "apple banana cherry fig"),  # high overlap with 1
+        (3, "apple banana cherry date"),  # identical to 1 -> cosine 1.0
+        (4, "xylophone quartz vortex jumble"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.n_shared_terms, r.cosine)
+        for r in tfidf_cosine_pairs(
+            docs, max_df=10, threshold=0.5
+        ).collect()
+    }
+
+    n_docs = len(corpus)
+    tf: dict[int, dict[str, int]] = {}
+    for d, t in corpus:
+        tf[d] = {}
+        for w in t.split():
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df: dict[str, int] = {}
+    for d in tf:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    wgt = {
+        d: {
+            w: c * round(math.log(n_docs / df[w]) * 1000)
+            for w, c in ws.items()
+            if df[w] <= 10
+        }
+        for d, ws in tf.items()
+    }
+    expect = {}
+    for a in tf:
+        for b in tf:
+            if a >= b:
+                continue
+            shared = set(wgt[a]) & set(wgt[b])
+            if not shared:
+                continue
+            dot = sum(wgt[a][w] * wgt[b][w] for w in shared)
+            na2 = sum(v * v for v in wgt[a].values())
+            nb2 = sum(v * v for v in wgt[b].values())
+            cos = dot / (math.sqrt(na2) * math.sqrt(nb2))
+            if cos >= 0.5:
+                expect[(a, b)] = (len(shared), round(cos, 6))
+    assert got == expect
+    assert got[(1, 3)][1] == 1.0  # identical docs
+
+
+def test_tfidf_max_df_prunes_term_from_measure(spark):
+    # A term in EVERY doc must not contribute: with max_df=1 the shared
+    # word 'common' is pruned and docs 1/2 share nothing.
+    from erigon_extract_spark.operators.text import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta")],
+        "doc_id long, text string",
+    )
+    assert tfidf_cosine_pairs(docs, max_df=1, threshold=0.01).count() == 0
+
+
+# ------------------------------------------------ partitioned sink pruning
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 else "de") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "bylang")
+    docs.write.partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the lang filter must be a planning-time PartitionFilter on the
+    # scan (directory pruning), not a post-scan Filter
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert back.count() == 10
+    assert {r.lang for r in back.collect()} == {"en"}
+
+
+def test_tfidf_shingle_terms_mode(spark):
+    # shingle_n=3: identical docs -> cosine 1.0; <3-word docs drop out
+    from erigon_extract_spark.operators.text import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(
+        docs, max_df=10, threshold=0.5, shingle_n=3
+    ).collect()
+    assert [(r.doc_id_a, r.doc_id_b, r.n_shared_terms, r.cosine)
+            for r in rows] == [(1, 2, 2, 1.0)]
