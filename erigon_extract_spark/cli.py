@@ -331,6 +331,36 @@ def _ann_build(args) -> int:
     return 0
 
 
+def _ann_add(args) -> int:
+    """Append new vectors to a persisted IVFPQ index without
+    retraining: the sidecar's frozen codebooks assign cells and PQ
+    codes, and only the touched cell directories gain files."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.similarity import (
+        add_to_ivfpq_index,
+        l2_norm,
+    )
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-ann-add")
+    new = spark.read.parquet(args.parquet).select(
+        args.id_col,
+        F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
+    )
+    if args.normalize:
+        new = new.select(
+            args.id_col,
+            F.transform(
+                args.vec_col, lambda x: x / l2_norm(F.col(args.vec_col))
+            ).alias(args.vec_col),
+        )
+    n = add_to_ivfpq_index(spark, args.index, new)
+    total = spark.read.parquet(args.index).count()
+    print(f"added {n} vectors to {args.index} (index now {total} rows)")
+    return 0
+
+
 def _ann_query(args) -> int:
     """Query a persisted IVFPQ index with probe vectors from a parquet
     (same column contract as ann-build); prints per-probe top-k."""
@@ -445,6 +475,18 @@ def main(argv=None) -> int:
     p.add_argument("--normalize", action="store_true",
                    help="L2-normalize vectors (cosine semantics)")
     p.set_defaults(fn=_ann_build)
+
+    p = sub.add_parser("ann-add",
+                       help="add vectors to a persisted IVFPQ index "
+                            "(frozen codebooks, append-only)")
+    p.add_argument("index")
+    p.add_argument("parquet", help="parquet of vectors to add")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--normalize", action="store_true",
+                   help="L2-normalize vectors (cosine semantics; must "
+                        "match how the index was built)")
+    p.set_defaults(fn=_ann_add)
 
     p = sub.add_parser("ann-query",
                        help="top-k probe against a persisted IVFPQ index")

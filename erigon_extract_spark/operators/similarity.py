@@ -733,6 +733,109 @@ def query_ivfpq_index(
     )
 
 
+def add_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+) -> int:
+    """Incrementally ADD vectors to a persisted IVFPQ index with the
+    codebooks FROZEN — the FAISS ``index.add()`` maintenance path: no
+    retraining, no rewrite of existing partitions, just new rows
+    appended into their cell directories. Returns the number of rows
+    added.
+
+    Assignment replays the trained state from the sidecar in pure
+    DataFrame math: each new vector goes to its nearest coarse centroid
+    by squared Euclidean distance (ties -> lowest cell id, matching
+    MLlib KMeans.transform), and each residual subvector to its nearest
+    sub-codebook entry the same way. Everything is a broadcast of
+    constant-size trained state against the new batch — cost is
+    O(batch * (n_lists + m*n_codes)), INDEPENDENT of the index size,
+    which is the point: at 100 TB an ingest batch never touches the
+    resident corpus. The append goes through
+    ``partitionBy(cell).mode(append)``, so only the touched cell
+    directories gain files and concurrent readers keep planning-time
+    pruning.
+
+    Duplicate ids are NOT checked (same as FAISS add): dedup upstream
+    if ids may repeat. Queries answered after an add are exactly the
+    queries an index would answer whose encode pass used these
+    assignments — the frozen-codebook contract, pinned by the
+    assignment differential in tests/test_round6_ops.py (literal-array
+    argmin vs MLlib transform agreement on every vector).
+    """
+    import json
+    import os
+
+    _require_local_path(path)
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, dsub = meta["m"], meta["dsub"]
+    books = {j: [] for j in range(m)}
+    for j, c, v in meta["books"]:
+        books[j].append((c, v))
+
+    def _argmin_lit(vec, entries, idx_name):
+        # entries: [(idx, centroid), ...] from the sidecar — inlined as
+        # a LITERAL struct array, so the argmin is a single per-row
+        # expression: no join, no shuffle, whole-stage codegen. The
+        # struct puts distance first, index second, so array_min's
+        # lexicographic struct ordering IS "min distance, ties -> lowest
+        # index" — the MLlib KMeans.transform rule.
+        cand = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in cen]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias(idx_name),
+                )
+                for i, cen in entries
+            ]
+        )
+        return F.array_min(cand)[idx_name]
+
+    cell = _argmin_lit(F.col(vec_col), meta["centers"], "cell")
+    assigned = new_vectors.select(id_col, vec_col).withColumn(
+        "cell", cell
+    )
+    # residual = vec - chosen center, via one literal center lookup
+    center_arr = F.element_at(
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cen])
+                for _, cen in sorted(meta["centers"])
+            ]
+        ),
+        F.col("cell") + 1,
+    )
+    res = assigned.withColumn(
+        "__res", F.zip_with(F.col(vec_col), center_arr, lambda a, b: a - b)
+    )
+    codes = F.array(
+        *[
+            _argmin_lit(_subvec(F.col("__res"), j, dsub), books[j], "code")
+            for j in range(m)
+        ]
+    )
+    out = res.select(
+        id_col,
+        codes.alias("codes"),
+        vec_col,
+        F.col("cell").cast("int").alias("cell"),
+    ).localCheckpoint()
+    n = out.count()
+    out.write.mode("append").partitionBy("cell").parquet(path)
+    return n
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (LCG, no numpy to
     keep it importable everywhere)."""

@@ -7318,6 +7318,106 @@ def sink_partitioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivfpq_index_add",
+    """
+    SELECT vec_id AS probe_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS mean_recall_ok,
+           TRUE AS added_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_ivfpq_index_add_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance
+    (operators/similarity.add_to_ivfpq_index): the index is built on
+    HALF the corpus, the other half is ADDED with the codebooks frozen
+    (the FAISS index.add() path — batch cost independent of index
+    size, append-only cell directories). Two folded invariants gate
+    it: (a) probes answered from the post-add index keep >= 0.3 recall
+    against exact brute force over the FULL corpus — impossible if the
+    added half were unreachable; (b) a sample of ADDED vectors
+    self-probed with every cell scanned and full exact rerank returns
+    itself as top-1 — pinning that added rows land in scannable
+    partitions with intact vectors. Oracle: the constant fold."""
+    import os
+
+    from erigon_extract_spark.operators.similarity import (
+        add_to_ivfpq_index,
+        brute_force_topk,
+        l2_norm,
+        query_ivfpq_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    probes = norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = norm.filter(F.col("vec_id") >= 5)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    added = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    def _build(tmp):
+        idx = os.path.join(tmp, "idx")
+        build_kwargs = dict(n_lists=8, m=8, n_codes=32)
+        from erigon_extract_spark.operators.similarity import (
+            build_ivfpq_index,
+        )
+
+        build_ivfpq_index(base, idx, **build_kwargs)
+        add_to_ivfpq_index(spark, idx, added)
+
+    parent = _cached_artifact(
+        sf_dir, "embeddings", "ivfpq_add",
+        "n_lists=8,m=8,n_codes=32,seed=42,half=even", _build,
+    )
+    path = os.path.join(parent, "idx")
+
+    approx = query_ivfpq_index(
+        spark, path, probes, k=10, n_probe=4, rerank=50
+    )
+    exact = brute_force_topk(corpus, probes, k=10)
+    hits = (
+        approx.select("probe_id", "vec_id")
+        .join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .agg(F.count("*").alias("__hits"))
+    )
+    n_probes = probes.count()
+    mean_ok = hits.select(
+        (F.col("__hits") >= F.lit(0.3 * n_probes * 10)).alias(
+            "mean_recall_ok"
+        )
+    )
+    # invariant (b): 5 added vectors self-probe exactly — every cell
+    # scanned (n_probe = n_lists) + rerank beyond the corpus size makes
+    # the answer exact, so top-1 must be the vector itself
+    self_probes = added.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    n_self = self_probes.count()
+    self_top1 = query_ivfpq_index(
+        spark, path, self_probes, k=1, n_probe=8, rerank=1_000_000
+    )
+    added_ok = (
+        self_top1.filter(F.col("probe_id") == F.col("vec_id"))
+        .agg((F.count("*") == F.lit(n_self)).alias("added_ok"))
+    )
+    return (
+        approx.groupBy("probe_id")
+        .agg(F.count("*").alias("n_results"))
+        .crossJoin(F.broadcast(mean_ok))
+        .crossJoin(F.broadcast(added_ok))
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

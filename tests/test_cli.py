@@ -169,6 +169,45 @@ def test_cli_ann_build_and_query(spark, sf_dir, tmp_path, capsys):
         assert int(hit_id) == pid and float(score) > 0.999, line
 
 
+def test_cli_ann_add(spark, sf_dir, tmp_path, capsys):
+    """ann-add appends to a built index with frozen codebooks: build on
+    vec_id >= 10, add vec_id < 10, then a probe from the ADDED set must
+    self-match at top-1 (full-scan query: every cell probed, exact
+    rerank)."""
+    idx = str(tmp_path / "annidx_add")
+    base = str(tmp_path / "base.parquet")
+    extra = str(tmp_path / "extra.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.filter("vec_id >= 10").write.parquet(base)
+    emb.filter("vec_id < 10").write.parquet(extra)
+    rc, out = _run(
+        ["ann-build", base, idx,
+         "--lists", "6", "--m", "8", "--codes", "16", "--normalize"],
+        capsys,
+    )
+    assert rc == 0
+    before = spark.read.parquet(idx).count()
+    rc, out = _run(["ann-add", idx, extra, "--normalize"], capsys)
+    assert rc == 0
+    assert "added 10 vectors" in out
+    assert spark.read.parquet(idx).count() == before + 10
+
+    probes = str(tmp_path / "probes_add.parquet")
+    emb.filter("vec_id < 3").write.parquet(probes)
+    rc, out = _run(
+        ["ann-query", idx, probes, "-k", "1", "--probe-cells", "6",
+         "--rerank", "100000", "--normalize"],
+        capsys,
+    )
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith("probe ")]
+    assert len(lines) == 3
+    for line in lines:
+        pid = int(line.split()[1].rstrip(":"))
+        hit_id, score = line.split(": ", 1)[1].split()[0].split(":")
+        assert int(hit_id) == pid and float(score) > 0.999, line
+
+
 def test_cli_index_build_and_query(spark, sf_dir, tmp_path, capsys):
     """End-to-end inverted-index CLI: build from the documents parquet,
     AND-query two terms, and cross-check the doc set against a naive

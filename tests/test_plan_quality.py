@@ -274,6 +274,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "curation_scale",
         # writes the bucket-partitioned index at build time
         "sim_lsh_index_topk",
+        # builds + incrementally appends the IVFPQ index at build time
+        "sim_ivfpq_index_add",
         # trains merges (iterative jobs) at build time
         "text_bpe_tokenize",
         "pack_by_bpe_budget",
