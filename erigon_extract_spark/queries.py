@@ -4114,10 +4114,11 @@ def sample_stable_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_portable_oracle_sql() -> str:
-    """The md5-minhash pipeline, mirrored term-for-term in SQL. Built
-    programmatically so the permutation constants can never drift from
-    operators/dedup.py."""
+def _minhash_portable_ctes() -> str:
+    """The md5-minhash CTE chain (words -> shingles -> hashes -> sigs ->
+    bands -> candidate ``pairs``), shared by the portable-LSH oracle and
+    the LSH->levenshtein composition oracle. Built programmatically so
+    the permutation constants can never drift from operators/dedup.py."""
     from erigon_extract_spark.operators.dedup import (
         PORTABLE_AS,
         PORTABLE_BS,
@@ -4136,9 +4137,7 @@ def _minhash_portable_oracle_sql() -> str:
         + ")) AS bucket FROM sig"
         for b in range(bands)
     )
-    agree = " + ".join(f"CAST(sa.s{i} = sb.s{i} AS INTEGER)" for i in range(n))
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                           ' ') AS w
@@ -4169,7 +4168,18 @@ def _minhash_portable_oracle_sql() -> str:
       SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
       FROM bands l JOIN bands r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )"""
+
+
+def _minhash_portable_oracle_sql() -> str:
+    """Portable-LSH oracle: the shared CTE chain plus the 16-way
+    signature-agreement projection."""
+    n = 16
+    agree = " + ".join(
+        f"CAST(sa.s{i} = sb.s{i} AS INTEGER)" for i in range(n)
     )
+    return f"""
+    WITH {_minhash_portable_ctes()}
     SELECT p.doc_id_a, p.doc_id_b,
            ({agree}) / 16.0 AS sig_agreement
     FROM pairs p
@@ -7416,6 +7426,66 @@ def sim_ivfpq_index_add_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mean_ok))
         .crossJoin(F.broadcast(added_ok))
     )
+
+
+@query(
+    "dedup_lsh_then_levenshtein",
+    None,  # oracle assembled below (needs the shared minhash CTEs)
+)
+def dedup_lsh_then_lev_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB near-dup pipeline the levenshtein_near_pairs
+    docstring promises: portable MinHash-LSH proposes candidate pairs
+    (banded, bucket-local — never corpus^2), then the thresholded
+    band-limited levenshtein kernel VERIFIES each candidate exactly —
+    'probably similar' upgraded to 'provably within k edits', with the
+    expensive kernel running only on LSH survivors. Output: every LSH
+    candidate pair within 64 edits on normalized text. Oracle: the
+    shared md5-minhash CTE chain + DuckDB's levenshtein."""
+    from erigon_extract_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+    )
+    from erigon_extract_spark.operators.text import normalize_text
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(docs).select("doc_id_a", "doc_id_b")
+    n = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("t")
+    )
+    return (
+        pairs.join(
+            n.select(F.col("doc_id").alias("doc_id_a"),
+                     F.col("t").alias("__ta")),
+            "doc_id_a",
+        )
+        .join(
+            n.select(F.col("doc_id").alias("doc_id_b"),
+                     F.col("t").alias("__tb")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("__ta", "__tb", 64).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 64))
+        .select("doc_id_a", "doc_id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+ORACLES["dedup_lsh_then_levenshtein"] = f"""
+    WITH {_minhash_portable_ctes()},
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT p.doc_id_a, p.doc_id_b,
+           CAST(levenshtein(na.t, nb.t) AS BIGINT) AS dist
+    FROM pairs p
+      JOIN norm na ON na.doc_id = p.doc_id_a
+      JOIN norm nb ON nb.doc_id = p.doc_id_b
+    WHERE levenshtein(na.t, nb.t) <= 64
+    """
 
 
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
