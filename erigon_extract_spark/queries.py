@@ -7488,6 +7488,77 @@ ORACLES["dedup_lsh_then_levenshtein"] = f"""
     """
 
 
+@query(
+    "events_interpolate_grid",
+    """
+    WITH ticks AS (
+      SELECT g.g AS tick
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-02 23:00:00',
+                           INTERVAL 1 HOUR) AS g(g)
+    ),
+    grid AS (
+      SELECT u.user_id, t.tick
+      FROM (SELECT DISTINCT user_id FROM events) u, ticks t
+    ),
+    samples AS (
+      SELECT user_id, ts, MAX(value) AS v FROM events GROUP BY 1, 2
+    ),
+    prevq AS (
+      SELECT g.user_id, g.tick,
+             arg_max(s.v, s.ts) AS pv, MAX(epoch_us(s.ts)) AS pt
+      FROM grid g LEFT JOIN samples s
+        ON s.user_id = g.user_id AND s.ts <= g.tick
+      GROUP BY 1, 2
+    ),
+    nextq AS (
+      SELECT g.user_id, g.tick,
+             arg_min(s.v, s.ts) AS nv, MIN(epoch_us(s.ts)) AS nt
+      FROM grid g LEFT JOIN samples s
+        ON s.user_id = g.user_id AND s.ts > g.tick
+      GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.tick,
+           round(CASE
+             WHEN p.pt IS NULL THEN n.nv
+             WHEN n.nt IS NULL THEN p.pv
+             ELSE p.pv + (n.nv - p.pv)
+                  * ((epoch_us(p.tick) - p.pt) / (n.nt - p.pt))
+           END, 6) AS value_interp
+    FROM prevq p JOIN nextq n USING (user_id, tick)
+    """,
+)
+def events_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation / gap-fill
+    (operators/windows.interpolate_at): every user's irregular event
+    series resampled onto a 48-tick hourly grid — interpolated between
+    bracketing samples, nearest-value-held past the ends, NULL for
+    keys with no samples, duplicate-timestamp ties collapsed by
+    MAX(value) so bracketing is engine-exact. Spark side is the
+    union-and-window classic (both brackets from ONE window over one
+    hash shuffle — no per-tick probes); the oracle brackets each tick
+    independently with arg_max/arg_min lateral aggregates — same
+    fixpoint, structurally different plan. NOTE the oracle's tick-on-
+    sample case: Spark's '<= tick' prev bracket makes frac = 0, the
+    oracle's prev also uses '<=' — both return the sample itself."""
+    from erigon_extract_spark.operators.windows import interpolate_at
+
+    events = _load(spark, sf_dir, "events")
+    # grid = distinct users x 48 hourly ticks, built join-free: the tick
+    # list is a 48-element literal sequence exploded per user (zero
+    # shuffle, no BNLJ — the plan-quality CI forbids nested-loop grids)
+    grid = events.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(TIMESTAMP '2024-01-01 00:00:00',"
+                " TIMESTAMP '2024-01-02 23:00:00', INTERVAL 1 HOUR)"
+            )
+        ).alias("tick"),
+    )
+    return interpolate_at(events, grid)
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

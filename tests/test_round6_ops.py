@@ -537,3 +537,66 @@ def test_ivfpq_add_self_recall_exact(spark, ivfpq_halves):
     )
     got = {r.probe_id: r.vec_id for r in top1.collect()}
     assert got == {r.vec_id: r.vec_id for r in add.collect()}
+
+
+# ------------------------------------------------------- interpolate_at
+
+
+def test_interpolate_linear_and_edges(spark):
+    # One key with samples at t=0h (v=10) and t=4h (v=30); grid ticks
+    # hourly 0..6h. Hand expectation: exact-on-sample at 0h and 4h,
+    # linear 15/20/25 between, hold 30 after the last sample, and a
+    # second key with NO samples yields NULL at every tick.
+    from erigon_extract_spark.operators.windows import interpolate_at
+
+    base = "2024-01-01 00:00:00"
+    samples = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 4, 30.0)], "user_id long, h int, value double"
+    ).select(
+        "user_id",
+        F.expr(f"timestampadd(HOUR, h, TIMESTAMP '{base}')").alias("ts"),
+        "value",
+    )
+    grid = spark.createDataFrame(
+        [(u, h) for u in (1, 2) for h in range(7)],
+        "user_id long, h int",
+    ).select(
+        "user_id",
+        F.expr(f"timestampadd(HOUR, h, TIMESTAMP '{base}')").alias("tick"),
+    )
+    out = interpolate_at(samples, grid)
+    got = {
+        (r.user_id, r.tick.hour): r.value_interp for r in out.collect()
+    }
+    assert len(got) == 14
+    expect1 = {0: 10.0, 1: 15.0, 2: 20.0, 3: 25.0, 4: 30.0, 5: 30.0, 6: 30.0}
+    assert {h: got[(1, h)] for h in range(7)} == expect1
+    assert all(got[(2, h)] is None for h in range(7))
+
+
+def test_interpolate_duplicate_ts_collapse_and_before_first(spark):
+    # Duplicate samples at the same instant collapse via MAX (5.0 and
+    # 7.0 at t=2h -> 7.0), and a tick before the first sample holds the
+    # first value (constant extrapolation backwards).
+    from erigon_extract_spark.operators.windows import interpolate_at
+
+    base = "2024-01-01 00:00:00"
+    samples = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 2, 7.0), (1, 4, 9.0)],
+        "user_id long, h int, value double",
+    ).select(
+        "user_id",
+        F.expr(f"timestampadd(HOUR, h, TIMESTAMP '{base}')").alias("ts"),
+        "value",
+    )
+    grid = spark.createDataFrame(
+        [(1, h) for h in range(5)], "user_id long, h int"
+    ).select(
+        "user_id",
+        F.expr(f"timestampadd(HOUR, h, TIMESTAMP '{base}')").alias("tick"),
+    )
+    got = {
+        r.tick.hour: r.value_interp
+        for r in interpolate_at(samples, grid).collect()
+    }
+    assert got == {0: 7.0, 1: 7.0, 2: 7.0, 3: 8.0, 4: 9.0}
