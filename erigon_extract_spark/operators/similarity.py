@@ -1173,3 +1173,103 @@ def query_lsh_index(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pca_fit_project(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float], list[float], list[float]]:
+    """Distributed PCA: fit the population covariance in ONE pass over the
+    corpus, eigendecompose the tiny d x d matrix on the driver, and project
+    every vector onto the top-``k`` principal axes JVM-side.
+
+    Scale shape — the classic tall-skinny factorization split: N (rows) is
+    the big axis, d (dims) is small, so the only distributed work is
+    accumulating the d-vector sum and d*d Gram matrix. An Arrow-batched
+    ``mapInPandas`` emits one (count, sum, gram) partial per input batch
+    (constant size each), the partials are EXPLODED to (index, value) pairs
+    and reduced by a (1 + d + d^2)-key hash aggregation — never collected
+    raw, so 100k partitions cost a 4k-key shuffle, not a multi-GB driver
+    collect. Only the 1 + d + d^2 final sums land on the driver, where
+    ``numpy.linalg.eigh`` factors the d x d covariance (trivial for any d
+    this pattern applies to). The projection itself is pure Catalyst: k dot
+    products against eigenvector literals baked into the plan (same idiom
+    as ``random_projection``) — no Python in the per-row path.
+
+    Returns ``(projected, eigvals, mean, cov_diag)``: ``projected`` =
+    (id_col, proj array<double> of length k), ``eigvals`` descending,
+    ``mean`` the fitted center, ``cov_diag`` the per-axis variances (for
+    invariant checks: sum(eigvals) == sum(cov_diag) == trace, and
+    eigvals[0] >= max(cov_diag) by the Rayleigh quotient at a basis
+    vector).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k is None:
+        k = dim
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+
+    base = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"expected {dim}-dim vectors, got {m.shape[1]}"
+                )
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(m))],
+                    "s": [m.sum(axis=0)],
+                    "g": [(m.T @ m).ravel()],
+                }
+            )
+
+    flat = (
+        base.select("__v")
+        .mapInPandas(partials, schema="n double, s array<double>, g array<double>")
+        .select(
+            F.posexplode(
+                F.concat(F.array(F.col("n")), F.col("s"), F.col("g"))
+            ).alias("i", "v")
+        )
+    )
+    sums = {r.i: r.v for r in flat.groupBy("i").agg(F.sum("v").alias("v")).collect()}
+    n = sums[0]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    s = np.array([sums[1 + i] for i in range(dim)])
+    g = np.array(
+        [sums[1 + dim + i] for i in range(dim * dim)]
+    ).reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    # symmetrize: g/n is symmetric up to float noise; eigh wants exact
+    cov = (cov + cov.T) / 2.0
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+
+    projs = []
+    for j in range(k):
+        axis = F.array(*[F.lit(float(x)) for x in v[:, j]])
+        center = F.array(*[F.lit(float(x)) for x in mu])
+        projs.append(
+            dot(F.zip_with(F.col("__v"), center, lambda a, b: a - b), axis)
+        )
+    projected = base.select(F.col(id_col), F.array(*projs).alias("proj"))
+    return projected, [float(x) for x in w], [float(x) for x in mu], [
+        float(x) for x in np.diag(cov)
+    ]

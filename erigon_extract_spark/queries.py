@@ -7559,6 +7559,245 @@ def events_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate_at(events, grid)
 
 
+@query(
+    "embedding_pca_invariants",
+    """
+    WITH ux AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    m AS (SELECT i, avg(v) AS mu, var_pop(v) AS vp FROM ux GROUP BY i),
+    tv AS (SELECT round(sum(vp), 6) AS total_var FROM m)
+    SELECT ux.vec_id,
+           round(sum((ux.v - m.mu) * (ux.v - m.mu)), 6) AS centered_norm_sq,
+           tv.total_var AS total_var,
+           TRUE AS top1_ge_axis_var
+    FROM ux JOIN m USING (i) CROSS JOIN tv
+    GROUP BY ux.vec_id, tv.total_var
+    """,
+)
+def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/similarity.pca_fit_project) gated by
+    ROTATION INVARIANTS the oracle can verify without a linear-algebra
+    library: (1) per-row, the squared norm of the FULL projection equals
+    the squared centered norm of the raw vector (an orthonormal rotation
+    preserves norms — catches centering bugs, covariance normalization,
+    eigenvector scaling, and projection errors in one number); (2) the
+    eigenvalue sum equals the covariance trace = DuckDB's sum of per-dim
+    var_pop; (3) the top eigenvalue dominates every axis variance
+    (Rayleigh quotient at a basis vector — catches ascending/descending
+    eigenvalue-order mistakes), riding through the hash as a boolean per
+    the agg_approx_distinct bound pattern. The fit runs at plan-build
+    time (one covariance pass + driver eigh of the 64x64 matrix)."""
+    from erigon_extract_spark.operators.similarity import pca_fit_project
+
+    emb = _load(spark, sf_dir, "embeddings")
+    projected, eigvals, _mean, cov_diag = pca_fit_project(emb, dim=64)
+    total_var = round(sum(eigvals), 6)
+    top1_ok = bool(eigvals[0] >= max(cov_diag) - 1e-9)
+    sq = F.aggregate(
+        F.col("proj"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+    )
+    return projected.select(
+        "vec_id",
+        F.round(sq, 6).alias("centered_norm_sq"),
+        F.lit(total_var).alias("total_var"),
+        F.lit(top1_ok).alias("top1_ge_axis_var"),
+    )
+
+
+@query(
+    "events_ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, hour,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM e GROUP BY user_id, hour
+    """,
+)
+def events_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: per (user, hour) OHLC bars —
+    the continuous-aggregate downsample every time-series store ships.
+    ONE hash aggregation, no window: open/close are min/max over
+    (ts, event_id, value) STRUCTS (lexicographic struct ordering = "value
+    at the earliest/latest row", ties broken by event_id so the result is
+    partitioning-independent), high/low/count/sum are plain partial-agg
+    combinators. The oracle reaches the same rows via row_number windows
+    — structurally different plan, same fixpoint. Bucketing uses
+    date_trunc on the WALL-CLOCK timestamp (TZ-sweep-stable: the ntz →
+    timestamp cast preserves wall time, and DuckDB truncates the same
+    naive value); sum rides the _dsum decimal pattern so accumulation
+    order can't flip the 6 dp round."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("__o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("__c"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.count("*").alias("n_events"),
+            F.round(_dsum(F.col("value")), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "hour",
+            F.round(F.col("__o.value"), 6).alias("open"),
+            "high",
+            "low",
+            F.round(F.col("__c.value"), 6).alias("close"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "agg_quantile_bounds",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS eq
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
+           round(unnest(eq), 4) AS exact_q,
+           TRUE AS approx_within_bound
+    FROM a
+    """,
+)
+def quantile_bounds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch with its rank-error bound riding through the hash
+    (the agg_approx_distinct pattern for ORDER statistics): per return
+    flag, the exact interpolated quantile is value-gated at 4 dp, and the
+    KLL/GK sketch's guarantee — the approx value's rank is within eps*N
+    of q*N for eps = 1/accuracy — is CHECKED, not trusted: the approx
+    values join back against the table and c_le = count(x <= approx) /
+    c_lt = count(x < approx) must straddle the [q-eps, q+eps] rank band.
+    At 100 TB the sketch arm is the plan (mergeable, one pass, constant
+    state); the exact arm is the small-scale verifier. One extra shuffle:
+    lineitem x 12 broadcast (flag, q) rows -> conditional counts."""
+    qs = [0.25, 0.5, 0.75, 0.95]
+    eps = 0.01  # = 1/accuracy below
+    qs_sql = ", ".join(str(x) for x in qs)
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({qs_sql}))"
+        ).alias("__ex"),
+        F.percentile_approx("l_extendedprice", qs, 100).alias("__ap"),
+        F.count("*").alias("__n"),
+    )
+    per_q = agg.select(
+        "l_returnflag",
+        "__n",
+        F.posexplode(F.arrays_zip("__ex", "__ap")).alias("__i", "__z"),
+    ).select(
+        "l_returnflag",
+        "__n",
+        F.element_at(F.array(*[F.lit(x) for x in qs]), F.col("__i") + 1)
+        .alias("q"),
+        F.col("__z.__ex").alias("__exact"),
+        F.col("__z.__ap").alias("__approx"),
+    )
+    ranks = (
+        li.join(F.broadcast(per_q), "l_returnflag")
+        .groupBy("l_returnflag", "q", "__exact", "__approx", "__n")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("__approx")).cast("long")
+            ).alias("__c_le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("__approx")).cast("long")
+            ).alias("__c_lt"),
+        )
+    )
+    within = (
+        F.col("__c_le") >= (F.col("q") - eps) * F.col("__n") - 1
+    ) & (F.col("__c_lt") <= (F.col("q") + eps) * F.col("__n") + 1)
+    return ranks.select(
+        "l_returnflag",
+        "q",
+        F.round("__exact", 4).alias("exact_q"),
+        within.alias("approx_within_bound"),
+    )
+
+
+@query(
+    "events_asof_nearest",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.user_id, p.purchase_id, p.ts, c.click_id, c.click_ts,
+             abs(epoch_us(c.click_ts) - epoch_us(p.ts)) * 2
+             + CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END AS k,
+             abs(epoch_us(c.click_ts) - epoch_us(p.ts)) AS ad
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+         AND abs(epoch_us(c.click_ts) - epoch_us(p.ts)) <= 86400000000
+    )
+    SELECT user_id, purchase_id, ts,
+           arg_min(click_id, k) AS click_id,
+           arg_min(click_ts, k) AS click_ts,
+           min(ad) AS nearest_delta_us
+    FROM cand GROUP BY 1, 2, 3
+    """,
+)
+def events_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join (operators/asof.as_of_join_nearest; pandas
+    merge_asof direction='nearest' + tolerance): every purchase matched to
+    the user's temporally CLOSEST click within 24 h, equidistant ties to
+    the earlier click. Spark side is the single-shuffle union-and-window
+    merge (both brackets out of ONE sort — O(|L|+|R|) per key, no pair
+    blowup); the oracle materializes every in-tolerance pair and arg_mins
+    a composite (2*|delta| + after-flag) key — quadratic-shaped but
+    bounded, the structurally-different verifier. Delta is an exact
+    integer microsecond count, so the TZ sweep cancels (both sides shift
+    with the session zone) and no float parity is in play. (user_id, ts)
+    is unique in events, so bracket choice is deterministic without a
+    pre-collapse."""
+    from erigon_extract_spark.operators.asof import as_of_join_nearest
+
+    e = _load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return as_of_join_nearest(
+        p, c, on=["user_id"], left_time="ts", right_time="click_ts",
+        tolerance_us=86_400_000_000,
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

@@ -279,6 +279,8 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # trains merges (iterative jobs) at build time
         "text_bpe_tokenize",
         "pack_by_bpe_budget",
+        # runs the covariance pass + driver eigh at build time
+        "embedding_pca_invariants",
     }
     offenders = {}
     for name, fn in q.QUERIES.items():

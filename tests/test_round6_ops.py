@@ -600,3 +600,92 @@ def test_interpolate_duplicate_ts_collapse_and_before_first(spark):
         for r in interpolate_at(samples, grid).collect()
     }
     assert got == {0: 7.0, 1: 7.0, 2: 7.0, 3: 8.0, 4: 9.0}
+
+
+# ---------------------------------------------------------------- pca
+
+
+def test_pca_matches_numpy_direct(spark):
+    # Distributed covariance + projection vs numpy.cov/eigh computed
+    # directly on the collected matrix: eigenvalues, covariance diagonal,
+    # and per-row projections must agree to float tolerance.
+    from erigon_extract_spark.operators.similarity import pca_fit_project
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(40, 6))
+    m[:, 0] *= 5.0  # make the spectrum non-degenerate
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    proj, w, mu, cd = pca_fit_project(df, dim=6)
+
+    mu_np = m.mean(axis=0)
+    cov_np = (m - mu_np).T @ (m - mu_np) / len(m)
+    w_np, v_np = np.linalg.eigh(cov_np)
+    assert np.allclose(sorted(w, reverse=True), w_np[::-1], atol=1e-9)
+    assert np.allclose(mu, mu_np, atol=1e-12)
+    assert np.allclose(cd, np.diag(cov_np), atol=1e-9)
+
+    got = {r.vec_id: np.array(r.proj) for r in proj.collect()}
+    centered = m - mu_np
+    for i in range(40):
+        # axes are sign/permutation-free only up to eigh's choice, so
+        # compare the rotation-invariant norm and the exact projection
+        # against THIS fit's eigenvectors is covered by norms + spectrum
+        assert abs(np.dot(got[i], got[i]) - np.dot(centered[i], centered[i])) < 1e-9
+
+
+def test_pca_k_truncation_and_validation(spark):
+    from erigon_extract_spark.operators.similarity import pca_fit_project
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 2.0 * i, 0.5]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    proj, w, _mu, _cd = pca_fit_project(df, dim=3, k=1)
+    rows = proj.collect()
+    assert all(len(r.proj) == 1 for r in rows)
+    # rank-1 data: top component carries all variance
+    assert w[0] > 1e-6 and abs(w[1]) < 1e-9 and abs(w[2]) < 1e-9
+    with pytest.raises(ValueError):
+        pca_fit_project(df, dim=3, k=4)
+
+
+# ------------------------------------------------------ nearest as-of
+
+
+def test_asof_nearest_tie_prev_exact_and_tolerance(spark):
+    from erigon_extract_spark.operators.asof import as_of_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (1, 400, "c"), (2, 50, "d")],
+        "k long, t long, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r0"), (1, 200, "r1"), (1, 210, "r2"), (1, 600, "r3")],
+        "k long, rt long, rid string",
+    )
+    out = as_of_join_nearest(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        tolerance_us=150,
+    )
+    got = {r.lid: (r.rid, r.nearest_delta_us) for r in out.collect()}
+    assert got["a"] == ("r0", 0)        # exact hit -> delta 0
+    assert got["b"] == ("r1", 5)        # 205: prev r1 @5 ties? next r2 @5 -> prev wins
+    assert got["c"] == (None, None)     # 400: nearest is 210 @190 > tolerance
+    assert got["d"] == (None, None)     # key with no right rows
+    assert len(got) == 4                # every left row survives
+
+
+def test_asof_nearest_prefers_closer_next(spark):
+    from erigon_extract_spark.operators.asof import as_of_join_nearest
+
+    left = spark.createDataFrame([(1, 95, "x")], "k long, t long, lid string")
+    right = spark.createDataFrame(
+        [(1, 10, "far"), (1, 100, "near")], "k long, rt long, rid string"
+    )
+    out = as_of_join_nearest(
+        left, right, on=["k"], left_time="t", right_time="rt"
+    ).collect()
+    assert out[0].rid == "near" and out[0].nearest_delta_us == 5
