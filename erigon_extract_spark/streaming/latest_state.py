@@ -212,3 +212,46 @@ def stream_bloom(
     # the batch builder is pure DataFrame expressions, so it IS the
     # streaming builder (the stream_cms/stream_hll argument)
     return bloom_build(stream, key_col, m_bits=m_bits, k=k)
+
+
+def stream_ohlc(
+    stream: DataFrame,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked streaming OHLC bars — the continuous-aggregate form of
+    the batch ``events_ohlc_hourly`` rollup. Open/close come from min/max
+    over (time, id, value) STRUCTS exactly like the batch query
+    (lexicographic struct ordering = value at the earliest/latest event,
+    ``id_col`` breaking same-instant ties), so a replayed stream produces
+    bit-identical bars to the batch aggregation; high/low/count are plain
+    mergeable combinators, state per open window is one constant-size
+    tuple. ``withWatermark`` is a no-op on batch DataFrames — the SAME
+    builder backs the batch oracle gate and the availableNow streaming
+    run (asserted in tests/test_streaming.py)."""
+    group_cols = group_cols or []
+    w = stream.withWatermark(time_col, watermark_delay)
+    s = F.struct(F.col(time_col), F.col(id_col), F.col(value_col))
+    return (
+        w.groupBy(F.window(F.col(time_col), window_duration), *group_cols)
+        .agg(
+            F.min(s).alias("__o"),
+            F.max(s).alias("__c"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *group_cols,
+            F.col("__o").getField(value_col).alias("open"),
+            "high",
+            "low",
+            F.col("__c").getField(value_col).alias("close"),
+            "n_events",
+        )
+    )

@@ -327,3 +327,41 @@ def test_stream_bloom_equals_batch_sketch(spark, sf_dir, events_dir):
         m_bits=1 << 12, k=4,
     ).collect()
     assert all(r.maybe for r in verdicts)
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir, events_dir):
+    """availableNow streaming OHLC == the same builder run in batch ==
+    the registered batch rollup's bars (open/close/high/low/count) —
+    struct-ordered open/close make replay bit-identical, not just
+    approximately right."""
+    from erigon_extract_spark.streaming import stream_ohlc
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = normalize_event_ts(batch_raw)
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch_raw.schema).parquet(events_dir)
+    )
+    args = dict(
+        time_col="ts", value_col="value", id_col="event_id",
+        group_cols=["user_id"],
+    )
+    _run_available_now(stream_ohlc(stream, **args), "ohlc_t", "complete")
+    key = lambda r: (r.user_id, r.window_start)
+    val = lambda r: (r.open, r.high, r.low, r.close, r.n_events)
+    got = {key(r): val(r) for r in spark.sql("SELECT * FROM ohlc_t").collect()}
+    expect = {key(r): val(r) for r in stream_ohlc(batch, **args).collect()}
+    assert got == expect and len(got) > 100
+
+    # and the batch rollup query agrees on every overlapping column
+    from erigon_extract_spark.queries import QUERIES
+
+    q = {
+        (r.user_id, r.hour): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in QUERIES["events_ohlc_hourly"](spark, sf_dir).collect()
+    }
+    got_rounded = {
+        k: (round(o, 6), round(h, 6), round(lo, 6), round(c, 6), n)
+        for k, (o, h, lo, c, n) in got.items()
+    }
+    assert got_rounded == q
