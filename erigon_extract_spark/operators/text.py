@@ -695,3 +695,54 @@ def tfidf_cosine_pairs(
             F.round("__cos", 6).alias("cosine"),
         )
     )
+
+
+def unicode_fold(col) -> F.Column:
+    """Unicode canonical fold: NFD-decompose, strip combining marks
+    (category Mn — the accents), recompose-lower. Maps precomposed
+    ('\\u00e9'), decomposed ('e' + U+0301), and case variants of the same
+    underlying text to ONE canonical form — the normalization step a
+    multilingual corpus pipeline runs before exact/near dedup so that
+    byte-different, reader-identical strings fingerprint together.
+
+    Arrow-batched pandas UDF (Python ``unicodedata`` is the reference
+    implementation of the Unicode tables; there is no JVM builtin for
+    mark-stripping). Stays a pure projection — no shuffle, safe in any
+    hot path that already pays one pass over the text."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(s):
+        import unicodedata
+
+        def fold_one(x):
+            if x is None:
+                return None
+            d = unicodedata.normalize("NFD", x)
+            stripped = "".join(
+                ch for ch in d if unicodedata.category(ch) != "Mn"
+            )
+            return unicodedata.normalize("NFC", stripped).lower()
+
+        return s.map(fold_one)
+
+    return _fold(col)
+
+
+def unicode_fold_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup over the unicode-folded text: one fingerprint shuffle
+    (the exact_dedup shape) keyed on sha2(fold(text)) instead of the raw
+    bytes. Returns (id, rep_id = min id among fold-equals, group_size)."""
+    f = docs.select(
+        F.col(id_col),
+        F.sha2(unicode_fold(F.col(text_col)), 256).alias("__fp"),
+    )
+    g = f.groupBy("__fp").agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("group_size")
+    )
+    return f.join(g, "__fp").select(id_col, "rep_id", "group_size")

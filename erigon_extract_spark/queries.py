@@ -7798,6 +7798,59 @@ def events_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_unicode_fold",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    v AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, replace(text, 'e', 'é') FROM base
+      UNION ALL
+      SELECT doc_id + 2000000,
+             upper(replace(text, 'e', 'e' || chr(769))) FROM base
+    ),
+    f AS (
+      SELECT doc_id,
+             lower(strip_accents(nfc_normalize(text))) AS folded
+      FROM v
+    ),
+    g AS (
+      SELECT folded, min(doc_id) AS rep_id,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM f GROUP BY folded
+    )
+    SELECT f.doc_id, g.rep_id, g.group_size
+    FROM f JOIN g USING (folded)
+    """,
+)
+def dedup_unicode_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization dedup (operators/text.unicode_fold_dedup):
+    byte-different, reader-identical strings fingerprint together. The
+    fixture decorates every ASCII document with two deterministic
+    variants — 'e' -> precomposed U+00E9, and 'e' -> decomposed
+    e + U+0301 combining acute, uppercased — and the fold (NFD, strip
+    Mn marks, NFC, lower) must reunite each trio under the original
+    doc_id (group_size = 3 for every doc containing an 'e'). Two
+    INDEPENDENT Unicode implementations agree on the fixpoint: Python
+    unicodedata on the Spark side, DuckDB's ICU strip_accents +
+    nfc_normalize on the oracle side — the parity IS the test that the
+    fold implements the standard, not a house dialect. One fingerprint
+    shuffle, exact_dedup's scale shape."""
+    from erigon_extract_spark.operators.text import unicode_fold_dedup
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", "e", "é").alias("text"),
+    )
+    v2 = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", "e", "e\u0301")).alias("text"),
+    )
+    return unicode_fold_dedup(docs.unionByName(v1).unionByName(v2))
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

@@ -689,3 +689,41 @@ def test_asof_nearest_prefers_closer_next(spark):
         left, right, on=["k"], left_time="t", right_time="rt"
     ).collect()
     assert out[0].rid == "near" and out[0].nearest_delta_us == 5
+
+
+# ------------------------------------------------------- unicode fold
+
+
+def test_unicode_fold_collapses_equivalent_forms(spark):
+    from erigon_extract_spark.operators.text import unicode_fold
+
+    rows = [
+        (1, "café"),            # precomposed
+        (2, "café"),           # decomposed
+        (3, "CAFÉ"),            # precomposed upper
+        (4, "Crème BRÛlée"),  # mixed marks + case
+        (5, None),
+        (6, "日本語 ok"),  # non-Latin survives untouched
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.f
+        for r in df.select("id", unicode_fold(F.col("t")).alias("f")).collect()
+    }
+    assert got[1] == got[2] == got[3] == "cafe"
+    assert got[4] == "creme brulee"
+    assert got[5] is None
+    assert got[6] == "日本語 ok"
+
+
+def test_unicode_fold_dedup_groups(spark):
+    from erigon_extract_spark.operators.text import unicode_fold_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Résumé"), (2, "Resumé"), (3, "resume"),
+         (4, "other")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.rep_id, r.group_size)
+           for r in unicode_fold_dedup(df).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1)}
