@@ -70,6 +70,12 @@ HEADLINE = [
     # --- round-4 additions ---
     "agg_bloom_membership",  # broadcast membership sketch + probe
     "multimodal_png_scale",  # 2k-image real PNG decode+resize throughput
+    # --- round-6 additions ---
+    "events_ohlc_hourly",  # single-agg time-bucket OHLC rollup
+    "events_interpolate_grid",  # union-and-window grid interpolation
+    "events_asof_nearest",  # nearest-match as-of merge join
+    "embedding_pca_invariants",  # one-pass covariance + projection
+    "dedup_unicode_fold",  # pandas-UDF fold + fingerprint shuffle
 ]
 
 

@@ -1247,7 +1247,7 @@ def pca_fit_project(
         )
     )
     sums = {r.i: r.v for r in flat.groupBy("i").agg(F.sum("v").alias("v")).collect()}
-    n = sums[0]
+    n = sums.get(0, 0.0)
     if n < 2:
         raise ValueError("PCA needs at least 2 rows")
     s = np.array([sums[1 + i] for i in range(dim)])

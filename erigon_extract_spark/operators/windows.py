@@ -317,3 +317,97 @@ def interpolate_at(
         F.col("__t").alias(tick_col),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    bucket_span: int = 4096,
+    out_col: str = "cum_incl",
+) -> DataFrame:
+    """Distributed GLOBAL running sum in ``order_col`` order — the
+    two-phase parallel scan, with no single-partition pass over the data:
+
+    1. rows bucket by ``floor(order / bucket_span)`` and each bucket runs
+       a LOCAL window cumsum (hash shuffle on the bucket id — every
+       bucket's rows sort independently, in parallel);
+    2. per-bucket totals (|buckets| = range/span rows, thousands per
+       billion rows) get an exclusive cumsum through one tiny global
+       window, and broadcast-join back as each bucket's starting offset.
+
+    The only global-ordered step runs over bucket TOTALS, never rows, so
+    a 100 TB scan is two row-linear shuffles + one kilobyte-scale window
+    — versus the naive ``Window.orderBy(order)`` whose single partition
+    serializes the entire table through one task.
+
+    Contract: ``order_col`` is numeric with unique values (ties within
+    one instant would make the running sum partitioning-dependent);
+    bucketing by fixed arithmetic spans assumes ids spread roughly evenly
+    — for arbitrary/skewed keys, rank them onto a dense domain first.
+    Integer values stay integer-exact end to end. Adds ``out_col``
+    (inclusive running sum) to ``df``'s columns.
+    """
+    b = F.floor(F.col(order_col) / F.lit(bucket_span)).alias("__b")
+    base = df.withColumn("__b", b)
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__local", F.sum(value_col).over(w_local))
+    totals = base.groupBy("__b").agg(F.sum(value_col).alias("__tot"))
+    w_buckets = (
+        Window.orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__tot").over(w_buckets), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__b", "__local", "__off")
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    *,
+    order_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    stride: int = 4096,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: lay every
+    row's weight end to end along a line in ``order_col`` order, drop a
+    grid point every ``stride`` units, and keep the rows whose interval
+    contains a grid point. Selection probability = weight/stride (rows
+    heavier than the stride are always kept) with exactly-controlled
+    spacing — the deterministic, integer-exact form of weighted sampling
+    a mixture pipeline wants (no RNG, no float keys, stable under
+    re-partitioning and appends of larger ids, and the SQL oracle mirrors
+    it term for term).
+
+    Built on :func:`global_prefix_sum`, so the scan is two linear
+    shuffles at any scale. A row [a, b) is selected iff
+    floor((b-1)/stride) > floor((a-1)/stride) — grid points sit at 0,
+    stride, 2*stride, ...; zero-weight rows can never be selected.
+    Returns the selected rows: (order_col, weight_col, cum_excl).
+    """
+    c = global_prefix_sum(
+        df.select(order_col, weight_col), order_col, weight_col,
+        out_col="__ci",
+    )
+    sel = F.floor((F.col("__ci") - 1) / F.lit(stride)) > F.floor(
+        (F.col("__ci") - F.col(weight_col) - 1) / F.lit(stride)
+    )
+    return (
+        c.filter(sel)
+        .select(
+            order_col,
+            weight_col,
+            (F.col("__ci") - F.col(weight_col)).alias("cum_excl"),
+        )
+    )

@@ -7851,6 +7851,39 @@ def dedup_unicode_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unicode_fold_dedup(docs.unionByName(v1).unionByName(v2))
 
 
+@query(
+    "corpus_pps_sample",
+    """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS ci
+      FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(ci - n_chars AS BIGINT) AS cum_excl
+    FROM c
+    WHERE floor((ci - 1) / 4096.0) > floor((ci - n_chars - 1) / 4096.0)
+    """,
+)
+def corpus_pps_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS systematic sampling (operators/windows.pps_systematic_sample):
+    deterministic weighted corpus subsampling — every document's char
+    count laid end to end, one grid point per 4096 chars, keep the
+    interval owners. Selection probability = n_chars/4096 with exact
+    spacing, no RNG, no float sort keys: the integer cumsum makes the
+    sample bit-stable across engines, partitionings, and appends. The
+    Spark side runs the TWO-PHASE distributed scan (bucket-local window
+    cumsums + one tiny window over bucket totals — no single-partition
+    pass over rows); the oracle is the naive single-window cumsum, the
+    structurally-different verifier."""
+    from erigon_extract_spark.operators.windows import pps_systematic_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return pps_systematic_sample(
+        docs, order_col="doc_id", weight_col="n_chars", stride=4096
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

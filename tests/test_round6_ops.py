@@ -727,3 +727,48 @@ def test_unicode_fold_dedup_groups(spark):
     got = {r.doc_id: (r.rep_id, r.group_size)
            for r in unicode_fold_dedup(df).collect()}
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1)}
+
+
+# ---------------------------------------------- global scan / PPS sample
+
+
+def test_global_prefix_sum_matches_serial(spark):
+    # two-phase distributed scan == plain serial cumsum, across bucket
+    # boundaries (span 10 on 100 rows -> 10 buckets) and repartitionings
+    from erigon_extract_spark.operators.windows import global_prefix_sum
+
+    rows = [(i, (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(9)
+    got = {
+        r.id: r.cum_incl
+        for r in global_prefix_sum(df, "id", "w", bucket_span=10).collect()
+    }
+    acc, expect = 0, {}
+    for i, w in rows:
+        acc += w
+        expect[i] = acc
+    assert got == expect
+
+
+def test_pps_systematic_selection_properties(spark):
+    # hand-check: stride 10, weights laid end to end. Grid points at
+    # 0, 10, 20, ... Every row heavier than the stride MUST be selected;
+    # zero-weight rows never; total picks == number of grid points laid.
+    from erigon_extract_spark.operators.windows import pps_systematic_sample
+
+    rows = [(0, 3), (1, 0), (2, 12), (3, 4), (4, 1), (5, 25), (6, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {
+        r.doc_id: r.cum_excl
+        for r in pps_systematic_sample(
+            df, order_col="doc_id", weight_col="n_chars", stride=10
+        ).collect()
+    }
+    # intervals: 0:[0,3) 1:[3,3) 2:[3,15) 3:[15,19) 4:[19,20) 5:[20,45) 6:[45,47)
+    # grid 0,10,20,30,40 -> rows 0 (0), 2 (10), 4 (19..20? [19,20) no 20!)
+    # careful: [19,20) contains no multiple of 10; 20 lands in [20,45) row 5
+    assert out == {0: 0, 2: 3, 5: 20}
+    total = sum(w for _, w in rows)  # 47 -> grid points 0,10,20,30,40 = 5
+    # row 5 covers 20,30,40 (3 points) but is emitted once; selected rows
+    # = rows owning >= 1 point = 3 here, and every w > stride row is in
+    assert 5 in out and 1 not in out and 4 not in out
