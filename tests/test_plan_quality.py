@@ -263,6 +263,9 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         "text_lm_logprob",
         # TF-IDF: BNLJ against the ONE-ROW broadcast corpus doc-count
         "text_tfidf_cosine",
+        # sketch join-size estimate: three ONE-ROW broadcast aggregates
+        # (estimate, |A|, |B|) cross-combined into the summary row
+        "agg_cms_join_size",
     }
     # iterative/checkpointing queries EXECUTE work at plan-build time;
     # their component plans are covered by their own tests

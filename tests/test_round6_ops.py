@@ -772,3 +772,50 @@ def test_pps_systematic_selection_properties(spark):
     # row 5 covers 20,30,40 (3 points) but is emitted once; selected rows
     # = rows owning >= 1 point = 3 here, and every w > stride row is in
     assert 5 in out and 1 not in out and 4 not in out
+
+
+# --------------------------------------------------------- cms join size
+
+
+def test_cms_join_size_exact_when_collision_free(spark):
+    # width >> keys: no collisions, so the inner product IS the exact
+    # join size: sum over keys of count_a * count_b.
+    from erigon_extract_spark.operators.sketch import cms_build, cms_join_size
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k long"
+    )
+    sa = cms_build(a, "k", depth=4, width=4096)
+    sb = cms_build(b, "k", depth=4, width=4096)
+    est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
+    # exact: key1 3*1 + key2 2*3 + key3 0 + key4 0 = 9
+    assert est == 9
+
+
+def test_cms_join_size_overestimates_under_collisions(spark):
+    # width 2 forces collisions: estimate must stay >= the exact size.
+    from erigon_extract_spark.operators.sketch import cms_build, cms_join_size
+
+    a = spark.createDataFrame([(k,) for k in range(20)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(0, 40, 2)], "k long")
+    sa = cms_build(a, "k", depth=4, width=2)
+    sb = cms_build(b, "k", depth=4, width=2)
+    est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
+    exact = a.join(b, "k").count()  # keys 0,2,...,18 -> 10
+    assert exact == 10 and est >= exact
+
+
+def test_cms_join_size_disjoint_is_zero(spark):
+    # disjoint key sets CAN share no cells at all (tiny keys, wide
+    # sketch): the estimator must return 0, not skip the empty rows
+    from erigon_extract_spark.operators.sketch import cms_build, cms_join_size
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(900001,), (900002,)], "k long")
+    sa = cms_build(a, "k", depth=4, width=65536)
+    sb = cms_build(b, "k", depth=4, width=65536)
+    est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
+    assert est == 0
