@@ -183,9 +183,14 @@ def main() -> None:
             "multimodal_png_scale",
         ):
             try:
-                t0 = time.perf_counter()
-                q.QUERIES[name](spark, sf_dir, scale=10).count()
-                x10 = round(time.perf_counter() - t0, 3)
+                # min-of-2 (same rationale as the sf1 section): identical-
+                # code x10 samples measured 9s..48s late in a long session
+                # — one repeat sheds the GC/page-cache tail
+                x10 = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    q.QUERIES[name](spark, sf_dir, scale=10).count()
+                    x10 = min(x10, round(time.perf_counter() - t0, 3))
                 x1 = times.get(name)
                 scale10[name] = {
                     "x1": x1,
@@ -223,9 +228,15 @@ def main() -> None:
 
                 _mk.main(sf1_dir)
             for name in HEADLINE:
-                t0 = time.perf_counter()
-                q.QUERIES[name](spark, sf1_dir).count()
-                t1 = round(time.perf_counter() - t0, 3)
+                # min-of-2: the r6 single-run section showed 3x
+                # run-to-run swings on identical code (range_interval_
+                # join 5.8s vs 17.8s; idle min-of-3 settled at 6.3s) —
+                # one repeat removes the first-run GC/page-cache tail
+                t1 = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    q.QUERIES[name](spark, sf1_dir).count()
+                    t1 = min(t1, round(time.perf_counter() - t0, 3))
                 x01 = times.get(name)
                 sf1[name] = {
                     "sf0.1": x01,

@@ -354,3 +354,17 @@ def test_top_terms_reuses_corpus_tokenize_exchange(spark, sf_dir):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan, plan[:500]
     assert "ReusedExchange" in plan, plan
+
+
+def test_prefix_sum_global_window_is_totals_only(spark, sf_dir):
+    """corpus_pps_sample's ONLY single-partition exchange must feed the
+    bucket-TOTALS window (sum over __tot), never the row stream — the
+    property that makes the two-phase scan scale. One hash exchange
+    carries the rows."""
+    from erigon_extract_spark import queries as q
+
+    plan = _plan(q.QUERIES["corpus_pps_sample"](spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "__tot" in plan, plan
+    # the row-side window partitions by the bucket id: a hash exchange
+    assert "hashpartitioning(__b" in plan, plan
