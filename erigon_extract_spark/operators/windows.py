@@ -267,7 +267,11 @@ def interpolate_at(
     """
     keys = list(key_cols)
     s = (
-        samples.groupBy(*keys, F.col(time_col).alias("__t"))
+        # a NULL-valued sample is NO sample: kept, it would desync the
+        # value bracket (ignorenulls skips it) from the time bracket
+        # (which would still see its timestamp)
+        samples.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(time_col).alias("__t"))
         .agg(F.max(value_col).alias("__v"))
         .withColumn("__is_grid", F.lit(0))
     )

@@ -819,3 +819,32 @@ def test_cms_join_size_disjoint_is_zero(spark):
     sb = cms_build(b, "k", depth=4, width=65536)
     est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
     assert est == 0
+
+
+def test_interpolate_null_valued_samples_are_no_samples(spark):
+    # a NULL-valued sample must not poison bracketing: with only a null
+    # sample, every tick is NULL; with a null between real samples, the
+    # interpolation uses the real neighbors as if the null row never was
+    from erigon_extract_spark.operators.windows import interpolate_at
+
+    base = "2024-01-01 00:00:00"
+    samples = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 2, None), (1, 4, 30.0), (2, 1, None)],
+        "user_id long, h int, value double",
+    ).select(
+        "user_id",
+        F.expr(f"timestampadd(HOUR, h, TIMESTAMP '{base}')").alias("ts"),
+        "value",
+    )
+    grid = spark.createDataFrame(
+        [(u, h) for u in (1, 2) for h in (0, 2, 4)], "user_id long, h int"
+    ).select(
+        "user_id",
+        F.expr(f"timestampadd(HOUR, h, TIMESTAMP '{base}')").alias("tick"),
+    )
+    got = {
+        (r.user_id, r.tick.hour): r.value_interp
+        for r in interpolate_at(samples, grid).collect()
+    }
+    assert got[(1, 0)] == 10.0 and got[(1, 2)] == 20.0 and got[(1, 4)] == 30.0
+    assert all(got[(2, h)] is None for h in (0, 2, 4))
