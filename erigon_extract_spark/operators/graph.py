@@ -107,20 +107,21 @@ def _cc_star(
     toward stars rooted at each component's min in O(log n) rounds.
     Convergence = edge multiset fixed point, checked with a single
     count+hash aggregate (no exceptAll shuffle)."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # every node ever seen — taken BEFORE the self-loop filter, so a node
+    # whose only edge is (x, x) still gets its singleton row (minlabel
+    # keeps such nodes through its bidir union; the methods must agree)
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    # every node ever seen — star rounds drop isolated star roots from
-    # the edge list's u side, but the contract is one row per node
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+    e = (
+        e0.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         .distinct()
         .localCheckpoint()
     )

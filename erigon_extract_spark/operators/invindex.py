@@ -32,14 +32,11 @@ from erigon_extract_spark.operators.text import word_tokens
 _META = "_invindex_meta.json"
 
 
-def _require_local_path(path: str) -> None:
-    """Meta sidecar goes through plain ``open()`` (local FS only); fail
-    BEFORE the parquet write on any URI-scheme path."""
-    if "://" in path or path.startswith("file:"):
-        raise ValueError(
-            f"inverted-index paths must be local filesystem paths (the "
-            f"{_META} sidecar uses local open()); got {path!r}"
-        )
+# one guard, one definition: the IVFPQ index has the identical
+# local-sidecar constraint — a fix there must propagate here
+from erigon_extract_spark.operators.similarity import (  # noqa: E402
+    _require_local_path,
+)
 
 
 def postings(

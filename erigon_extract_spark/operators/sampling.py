@@ -240,9 +240,15 @@ def reservoir_per_key(
     expression also serves as a pre-filter: run a cheap
     ``approx_quantile`` per key on the hash to drop rows that cannot
     rank <= k before the shuffle (not needed at test scale)."""
+    # coalesce-to-'' BEFORE concat_ws: concat_ws SKIPS a null argument
+    # and its separator, while the DuckDB oracle's concat renders null as
+    # empty KEEPING the separator — a null key must hash '|123', not '123'
     rank_src = F.md5(
-        F.concat_ws("|", F.col(key_col).cast("string"),
-                    F.col(id_col).cast("string"))
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
     )
     w = Window.partitionBy(key_col).orderBy(rank_src.asc(), F.col(id_col).asc())
     return (

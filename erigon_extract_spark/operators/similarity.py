@@ -600,8 +600,8 @@ def _require_local_path(path: str) -> None:
     path (hdfs://, s3a://, even file:) rather than after it."""
     if "://" in path or path.startswith("file:"):
         raise ValueError(
-            f"IVFPQ index paths must be local filesystem paths (the "
-            f"_ivfpq_meta.json sidecar uses local open()); got {path!r}"
+            f"persisted-index paths must be local filesystem paths (the "
+            f"meta sidecar uses local open()); got {path!r}"
         )
 
 

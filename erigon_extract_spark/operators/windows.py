@@ -353,7 +353,17 @@ def global_prefix_sum(
     Integer values stay integer-exact end to end. Adds ``out_col``
     (inclusive running sum) to ``df``'s columns.
     """
-    b = F.floor(F.col(order_col) / F.lit(bucket_span)).alias("__b")
+    # a NULL order value would bucket to __b = NULL and then vanish in
+    # the offsets equi-join (NULL never equals NULL) — a silent row drop
+    # that also shifts every later cumsum. Fail loudly at execution.
+    b = F.when(
+        F.col(order_col).isNotNull(),
+        F.floor(F.col(order_col) / F.lit(bucket_span)),
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"global_prefix_sum: {order_col} must be non-null")
+        )
+    ).alias("__b")
     base = df.withColumn("__b", b)
     w_local = (
         Window.partitionBy("__b")

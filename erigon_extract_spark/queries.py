@@ -6845,12 +6845,17 @@ def source_csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     docs = _load(spark, sf_dir, "documents")
+    # emptyValue/nullValue pinned on BOTH sides: without them an empty
+    # string writes as an unquoted empty field and reads back as NULL —
+    # a silent ''/NULL conflation the roundtrip contract must not allow
     parent = _cached_artifact(
-        sf_dir, "documents", "csvshards", "v1",
+        sf_dir, "documents", "csvshards", "v2",
         lambda tmp: docs.repartition(4).write
         .option("header", "true")
         .option("quote", '"')
         .option("escape", '"')
+        .option("emptyValue", '""')
+        .option("nullValue", "\\N")
         .csv(os.path.join(tmp, "csv")),
     )
     return (
@@ -6862,6 +6867,8 @@ def source_csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", "true")
         .option("quote", '"')
         .option("escape", '"')
+        .option("emptyValue", '""')
+        .option("nullValue", "\\N")
         .csv(os.path.join(parent, "csv"))
     )
 
@@ -7502,7 +7509,10 @@ ORACLES["dedup_lsh_then_levenshtein"] = f"""
       FROM (SELECT DISTINCT user_id FROM events) u, ticks t
     ),
     samples AS (
-      SELECT user_id, ts, MAX(value) AS v FROM events GROUP BY 1, 2
+      -- NULL-valued samples are NO samples (the operator filters them
+      -- before bracketing; a kept NULL would desync value/time brackets)
+      SELECT user_id, ts, MAX(value) AS v FROM events
+      WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     prevq AS (
       SELECT g.user_id, g.tick,
@@ -7572,6 +7582,8 @@ def events_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ux.vec_id,
            round(sum((ux.v - m.mu) * (ux.v - m.mu)), 6) AS centered_norm_sq,
            tv.total_var AS total_var,
+           TRUE AS norm_preserved,
+           TRUE AS trace_matches_eigsum,
            TRUE AS top1_ge_axis_var
     FROM ux JOIN m USING (i) CROSS JOIN tv
     GROUP BY ux.vec_id, tv.total_var
@@ -7580,29 +7592,48 @@ def events_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/similarity.pca_fit_project) gated by
     ROTATION INVARIANTS the oracle can verify without a linear-algebra
-    library: (1) per-row, the squared norm of the FULL projection equals
-    the squared centered norm of the raw vector (an orthonormal rotation
-    preserves norms — catches centering bugs, covariance normalization,
-    eigenvector scaling, and projection errors in one number); (2) the
-    eigenvalue sum equals the covariance trace = DuckDB's sum of per-dim
-    var_pop; (3) the top eigenvalue dominates every axis variance
-    (Rayleigh quotient at a basis vector — catches ascending/descending
-    eigenvalue-order mistakes), riding through the hash as a boolean per
-    the agg_approx_distinct bound pattern. The fit runs at plan-build
-    time (one covariance pass + driver eigh of the 64x64 matrix)."""
+    library. Float-parity discipline: the cross-engine VALUE columns
+    (centered_norm_sq, total_var) are computed by the SAME direct
+    formula on both sides (sum of squared centered values / trace of the
+    covariance), where the engines differ only by summation order
+    (~1e-14) — while the mathematically-equal-but-float-different
+    identities ride as TOLERANCE BOOLEANS computed Spark-side:
+    (1) norm_preserved — per row, |sum proj_i^2 - sum (v-mu)^2| < 1e-9
+    (orthonormal rotations preserve norms: catches centering,
+    normalization, eigenvector scaling, and projection bugs);
+    (2) trace_matches_eigsum — |sum eigvals - sum cov_diag| < 1e-9;
+    (3) top1_ge_axis_var — the Rayleigh bound (catches eigenvalue-order
+    mistakes). Hash-gating identity (1) at a fixed rounding grid would
+    flip intermittently (~1e-13 identity error vs a 0.5e-6 boundary);
+    as a tolerance boolean it is strict AND stable. The fit runs at
+    plan-build time (one covariance pass + driver eigh of 64x64)."""
     from erigon_extract_spark.operators.similarity import pca_fit_project
 
     emb = _load(spark, sf_dir, "embeddings")
-    projected, eigvals, _mean, cov_diag = pca_fit_project(emb, dim=64)
-    total_var = round(sum(eigvals), 6)
+    projected, eigvals, mean, cov_diag = pca_fit_project(emb, dim=64)
+    total_var = round(sum(cov_diag), 6)
+    trace_ok = bool(abs(sum(eigvals) - sum(cov_diag)) < 1e-9)
     top1_ok = bool(eigvals[0] >= max(cov_diag) - 1e-9)
-    sq = F.aggregate(
+    proj_sq = F.aggregate(
         F.col("proj"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
     )
-    return projected.select(
+    mu_sql = "array(" + ",".join(f"{float(x)!r}D" for x in mean) + ")"
+    direct_sq = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.expr(mu_sql),
+            lambda a, b: a - b,
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x * x,
+    )
+    base = emb.join(projected, "vec_id")
+    return base.select(
         "vec_id",
-        F.round(sq, 6).alias("centered_norm_sq"),
+        F.round(direct_sq, 6).alias("centered_norm_sq"),
         F.lit(total_var).alias("total_var"),
+        (F.abs(proj_sq - direct_sq) < 1e-9).alias("norm_preserved"),
+        F.lit(trace_ok).alias("trace_matches_eigsum"),
         F.lit(top1_ok).alias("top1_ge_axis_var"),
     )
 
@@ -7805,9 +7836,9 @@ def events_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
       SELECT doc_id, text FROM base
       UNION ALL
-      SELECT doc_id + 1000000, replace(text, 'e', 'é') FROM base
+      SELECT doc_id + 100000000, replace(text, 'e', 'é') FROM base
       UNION ALL
-      SELECT doc_id + 2000000,
+      SELECT doc_id + 200000000,
              upper(replace(text, 'e', 'e' || chr(769))) FROM base
     ),
     f AS (
@@ -7841,11 +7872,11 @@ def dedup_unicode_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     v1 = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
         F.regexp_replace("text", "e", "é").alias("text"),
     )
     v2 = docs.select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.col("doc_id") + 200_000_000).alias("doc_id"),
         F.upper(F.regexp_replace("text", "e", "e\u0301")).alias("text"),
     )
     return unicode_fold_dedup(docs.unionByName(v1).unionByName(v2))

@@ -267,8 +267,10 @@ def test_cc_star_matches_minlabel_in_fewer_rounds(spark):
     )
 
     # path 0-1-...-14 (diameter 14) + an island pair + a triangle
+    # + a self-loop-only node (both methods must emit its singleton row)
     edges = [(i, i + 1) for i in range(14)] + [(100, 101), (50, 51),
-                                               (51, 52), (50, 52)]
+                                               (51, 52), (50, 52),
+                                               (200, 200)]
     pairs = spark.createDataFrame(edges, "doc_id_a int, doc_id_b int")
 
     ml, ml_rounds = _cc_minlabel(pairs, "doc_id_a", "doc_id_b", 40)
@@ -277,6 +279,7 @@ def test_cc_star_matches_minlabel_in_fewer_rounds(spark):
     got = {r.node: r.component for r in st.collect()}
     assert got == want
     assert want[14] == 0 and want[101] == 100 and want[52] == 50
+    assert want[200] == 200 and got[200] == 200
     assert st_rounds < ml_rounds, (st_rounds, ml_rounds)
 
     # the public surface routes by method and rejects unknowns

@@ -848,3 +848,13 @@ def test_interpolate_null_valued_samples_are_no_samples(spark):
     }
     assert got[(1, 0)] == 10.0 and got[(1, 2)] == 20.0 and got[(1, 4)] == 30.0
     assert all(got[(2, h)] is None for h in (0, 2, 4))
+
+
+def test_global_prefix_sum_rejects_null_order(spark):
+    # a NULL order value must fail loudly, not silently vanish in the
+    # offsets equi-join (which would also shift every later cumsum)
+    from erigon_extract_spark.operators.windows import global_prefix_sum
+
+    df = spark.createDataFrame([(1, 5), (None, 3)], "id long, w long")
+    with pytest.raises(Exception, match="must be non-null"):
+        global_prefix_sum(df, "id", "w").collect()
