@@ -98,6 +98,25 @@ SHOWCASE = [
      "Length-bucketed batching: ONE hash exchange on (band, shard); "
      "row_number and the batch-stat windows all reuse that partitioning "
      "— no second exchange."),
+    ("events_interpolate_grid",
+     "Grid interpolation: samples + exploded ticks union into ONE hash "
+     "exchange per key; BOTH brackets (prev/next) come from one sort — "
+     "no per-tick join, no BroadcastNestedLoopJoin grid."),
+    ("events_asof_nearest",
+     "Nearest as-of: the same union-and-window merge as asof_join, with "
+     "prev AND next brackets sharing one Exchange + Sort — O(|L|+|R|) "
+     "per key, no pair materialization."),
+    ("events_ohlc_hourly",
+     "OHLC rollup: ONE hash aggregation, no window — open/close are "
+     "struct min/max (mergeable combinators with map-side partials)."),
+    ("corpus_pps_sample",
+     "PPS systematic sample: two-phase scan — row cumsums bucket-local "
+     "behind a hash exchange; the ONLY SinglePartition exchange feeds "
+     "the bucket-TOTALS window, never rows."),
+    ("embedding_pca_invariants",
+     "PCA projection: eigenvector literals baked into the plan as two "
+     "SQL array expressions; the per-row path is pure Catalyst HOFs — "
+     "no Python, no shuffle beyond the invariant join."),
 ]
 
 
