@@ -75,6 +75,11 @@ def run_one(spark, sf_dir: str, name: str) -> tuple[str, bool, str]:
         return name, True, f"rows-only, {len(srows)} rows ({dt:.1f}s)"
     con = duckdb.connect()
     try:
+        # absolute spill dir: at 10x data DuckDB spills, and its default
+        # RELATIVE ".tmp" dir crashed mid-sweep ("Could not remove file
+        # .tmp/duckdb_temp_storage-0.tmp") — pin it somewhere stable
+        con.execute("PRAGMA temp_directory='/tmp/duckdb_gate_spill'")
+        con.execute("PRAGMA memory_limit='24GB'")
         for t in (
             "region nation customer supplier part orders lineitem events "
             "documents embeddings"
