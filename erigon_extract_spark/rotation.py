@@ -18,6 +18,9 @@ ledger itself, so the window can never again forget a red row:
                                    driver can still record a row count)
     4. once-green, oldest green first (single row -> durable)
     5. durable rest, oldest last-green first (freshness refresh)
+    6. rows-only with ANY driver row (retired: the driver can only ever
+       re-record the same row count, so re-seating one displaces a
+       hash-verifiable query for zero new evidence — r6's defect)
 
 Ties inside each tier break by registration order (the order the
 ``@query`` decorators ran — stable across rotations by construction).
@@ -96,17 +99,23 @@ def compute_gate_priority(
     never_rows_only: list[str] = []
     once: list[tuple[int, int, str]] = []  # (green_round, reg, name)
     durable: list[tuple[int, int, str]] = []  # (last_green, reg, name)
+    retired_rows_only: list[str] = []
 
     for name in registration_order:
         appearances = {
             rn: rounds[rn][name] for rn in rounds if name in rounds[rn]
         }
-        if not appearances:
-            (never_oracle if name in oracles else never_rows_only).append(
-                name
-            )
-            continue
         backed = name in oracles
+        if not appearances:
+            (never_oracle if backed else never_rows_only).append(name)
+            continue
+        if not backed:
+            # Tier 6: the driver already holds this query's row count and
+            # can never upgrade it to a hash match — it must not displace
+            # a hash-verifiable query from the window (CI invariant in
+            # tests/test_oracle_gate.py::test_driver_window_integrity).
+            retired_rows_only.append(name)
+            continue
         greens = sorted(
             rn for rn, row in appearances.items() if _row_green(row, backed)
         )
@@ -123,5 +132,6 @@ def compute_gate_priority(
         + never_rows_only
         + [n for _, _, n in sorted(once)]
         + [n for _, _, n in sorted(durable)]
+        + retired_rows_only
     )
     return ordered[:window]

@@ -162,3 +162,29 @@ def test_rotation_rule_readmits_reds_first():
     assert got == ["b_red", "a_never", "e_rows_only", "c_once", "d_durable"]
     # empty ledger (round 1): pure registration order, nothing crashes
     assert compute_gate_priority({}, reg, oracles, window=3) == reg[:3]
+
+
+def test_rotation_retires_seen_rows_only():
+    """The r6 failure mode, pinned: a rows-only query WITH a driver row
+    must sink below every hash-verifiable tier — the driver can only
+    re-record the same row count, so re-seating it wastes a slot."""
+    from erigon_extract_spark.rotation import compute_gate_priority
+
+    reg = ["a_rows_seen", "b_once", "c_durable", "d_rows_never"]
+    oracles = {"b_once", "c_durable"}
+    ledger = {
+        1: {
+            "a_rows_seen": {"rows_match": None, "hash_match": None,
+                            "spark_rows": 7, "err": "no_oracle"},
+            "b_once": {"rows_match": True, "hash_match": True},
+            "c_durable": {"rows_match": True, "hash_match": True},
+        },
+        2: {"c_durable": {"rows_match": True, "hash_match": True}},
+    }
+    got = compute_gate_priority(ledger, reg, oracles, window=4)
+    assert got == ["d_rows_never", "b_once", "c_durable", "a_rows_seen"]
+    # even a red-looking rows-only row retires — err is unreadable as a
+    # hash defect when no hash check exists
+    ledger[1]["a_rows_seen"]["err"] = "timeout"
+    got = compute_gate_priority(ledger, reg, oracles, window=4)
+    assert got == ["d_rows_never", "b_once", "c_durable", "a_rows_seen"]
