@@ -268,22 +268,51 @@ def main() -> None:
         load_avg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_avg = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "scale10": scale10,
-                "sf1": sf1,
-                "compression": compression,
-                "load_avg": load_avg,
-                "load_gate": load_gate,
-            }
+    # The driver captures only a bounded stdout TAIL; BENCH_r06.json
+    # recorded "parsed": null because the full per-query sf1 section
+    # outgrew that window. Split the artifact: the FINAL stdout line is a
+    # compact (<2 KB) summary the driver always parses, and the complete
+    # per-query scale10/sf1 detail goes to a committed sidecar file
+    # (SPARK_GRAFT_BENCH_FULL, default BENCH_full_local.json).
+    def _ratios(section: dict) -> list[float]:
+        return sorted(
+            v["ratio"]
+            for v in section.values()
+            if isinstance(v, dict) and isinstance(v.get("ratio"), (int, float))
         )
+
+    sf1_r, s10_r = _ratios(sf1), _ratios(scale10)
+    summary = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "compression": compression,
+        "load_gate": load_gate,
+        "sf1_ratio_median": (
+            round(sf1_r[len(sf1_r) // 2], 2) if sf1_r else None
+        ),
+        "sf1_ratio_max": round(sf1_r[-1], 2) if sf1_r else None,
+        "scale10_ratio_max": round(s10_r[-1], 2) if s10_r else None,
+    }
+    full = dict(summary, scale10=scale10, sf1=sf1, load_avg=load_avg)
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full_local.json"),
     )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+        print(f"# full bench detail -> {full_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"# full-detail write failed: {exc}", file=sys.stderr)
+    line = json.dumps(summary)
+    if len(line) > 2000:  # keep the driver-visible line inside its tail
+        summary["queries"] = {"total_only": True}
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":
