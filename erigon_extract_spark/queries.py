@@ -7970,6 +7970,208 @@ def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- raw-web HTML -> text extraction (r6 verdict directive #5) ------------
+
+# The synthetic corpus is clean text, so both engines wrap every document
+# in the SAME deterministic HTML page before extracting — title/style in
+# <head>, a <script>, a comment, a pure-link nav <div> (link-density
+# boilerplate), a mixed text+link paragraph (density pass), an
+# entity-encoded paragraph (decode active), and a one-word <li> (min-words
+# drop) — so every branch of the extractor is demonstrably exercised
+# under the hash gate (the _PII_SYNTH_SQL pattern).
+
+
+def _synth_html_df(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), d,
+            F.lit("</title><style>p {color: red}</style></head><body>"
+                  "<script>var n = "), d,
+            F.lit(";</script><h1>Section heading "), d,
+            F.lit("</h1><p>"), F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><!-- crawler note "), d,
+            F.lit(' --><div class="nav"><a href="/home">Home</a> '
+                  '<a href="/about">About</a> <a href="/c">Contact</a>'
+                  '</div><p>Read the full <a href="/d">details page</a>'
+                  " now "), d,
+            F.lit("</p><p>See &lt;terms&gt; &amp; conditions &#39;v"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&#39;</p><ul><li>short</li></ul></body></html>"),
+        ).alias("html"),
+    )
+
+
+_HTML_SYNTH_SQL = """
+      SELECT doc_id,
+             concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+                    '</title><style>p {color: red}</style></head><body>',
+                    '<script>var n = ', CAST(doc_id AS VARCHAR),
+                    ';</script><h1>Section heading ',
+                    CAST(doc_id AS VARCHAR),
+                    '</h1><p>', COALESCE(text, ''),
+                    '</p><!-- crawler note ', CAST(doc_id AS VARCHAR),
+                    ' --><div class="nav"><a href="/home">Home</a> ',
+                    '<a href="/about">About</a> <a href="/c">Contact</a>',
+                    '</div><p>Read the full <a href="/d">details page</a>',
+                    ' now ', CAST(doc_id AS VARCHAR),
+                    '</p><p>See &lt;terms&gt; &amp; conditions &#39;v',
+                    CAST(doc_id % 7 AS VARCHAR),
+                    '&#39;</p><ul><li>short</li></ul></body></html>')
+               AS html
+      FROM documents
+"""
+
+
+def _html_vis_sql(expr: str) -> str:
+    """The SQL mirror of operators/html._visible_text — strip tags, decode
+    entities in ENTITIES order ('&amp;' last), collapse whitespace, trim."""
+    from erigon_extract_spark.operators.html import ENTITIES
+
+    t = f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
+def _html_extract_ctes() -> str:
+    """Shared CTE chain: synth page -> strip invisible -> block-split ->
+    per-block visible text + anchor length -> keep rule -> per-doc
+    reassembly. Mirrors operators/html.html_extract_text stage for stage
+    (RELATIONAL form here: UNNEST + GROUP BY instead of array HOFs, so the
+    oracle is a structurally different implementation of the same spec)."""
+    from erigon_extract_spark.operators.html import BLOCK_TAGS
+
+    anchor = ("array_to_string(regexp_extract_all(raw, "
+              r"'(?is)<a\b[^>]*>(.*?)</a[^>]*>', 1), ' ')")
+    strip = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'), "
+        "'(?is)<head[^>]*>.*?</head[^>]*>', ' ', 'g'), "
+        "'(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g'), "
+        "'(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g'), "
+        f"'(?i)</?(?:{BLOCK_TAGS})" + r"\b[^>]*>', chr(10), 'g')"
+    )
+    return f"""
+    synth AS ({_HTML_SYNTH_SQL}),
+    cleaned AS (SELECT doc_id, {strip} AS c FROM synth),
+    hblocks AS (
+      SELECT doc_id, i AS pos, parts[i] AS raw
+      FROM (SELECT doc_id, string_split(c, chr(10)) AS parts FROM cleaned),
+           UNNEST(generate_series(1, len(parts))) AS u(i)
+    ),
+    vis AS (
+      SELECT doc_id, pos, {_html_vis_sql('raw')} AS t,
+             -- DuckDB's array_to_string([]) is NULL where Spark's
+             -- array_join([]) is '' — pin the zero-anchor case to 0
+             COALESCE(length({_html_vis_sql(anchor)}), 0) AS alen
+      FROM hblocks
+    ),
+    nonempty AS (
+      SELECT doc_id, pos, t,
+             (len(string_split(t, ' ')) >= 3
+              AND alen * 100 <= length(t) * 50) AS is_kept
+      FROM vis WHERE t <> ''
+    ),
+    extracted AS (
+      SELECT d.doc_id,
+             COALESCE(a.text, '') AS text,
+             CAST(COALESCE(a.n_blocks_total, 0) AS BIGINT) AS n_blocks_total,
+             CAST(COALESCE(a.n_blocks_kept, 0) AS BIGINT) AS n_blocks_kept
+      FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN is_kept THEN t END, chr(10)
+                                   ORDER BY pos), '') AS text,
+               COUNT(*) AS n_blocks_total,
+               SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS n_blocks_kept
+        FROM nonempty GROUP BY doc_id
+      ) a USING (doc_id)
+    )
+"""
+
+
+@query(
+    "text_html_extract",
+    f"""
+    WITH {_html_extract_ctes()}
+    SELECT doc_id, text, n_blocks_total, n_blocks_kept FROM extracted
+    """,
+)
+def text_html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main-text extraction (operators/html.html_extract_text):
+    the jusText/Readability-class heuristic — strip script/style/head/
+    comments, segment on block tags, drop blocks that are >50% anchor
+    text or under 3 words, reassemble. One zero-shuffle Catalyst
+    projection (regexp chain + array HOFs, no UDF); the oracle rebuilds
+    the same spec relationally (UNNEST + GROUP BY)."""
+    from erigon_extract_spark.operators.html import html_extract_text
+
+    docs = _load(spark, sf_dir, "documents")
+    out = html_extract_text(_synth_html_df(docs))
+    return out.select("doc_id", "text", "n_blocks_total", "n_blocks_kept")
+
+
+@query(
+    "corpus_pipeline_v3",
+    f"""
+    WITH {_html_extract_ctes()},
+    tok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+               )) AS tok
+        FROM extracted
+      ) WHERE length(tok) > 0
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024)
+               * 2654435761 % 2001 - 1000 AS w
+      FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(w) AS weight_sum
+      FROM w GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT a.doc_id, e.n_blocks_total, e.n_blocks_kept, a.n_tokens,
+             ROUND(0.5 + (0.5 * (CAST(weight_sum AS DOUBLE)
+                                 / CAST(n_tokens * 1000 AS DOUBLE)))
+                         / (1.0 + abs(CAST(weight_sum AS DOUBLE)
+                                      / CAST(n_tokens * 1000 AS DOUBLE))), 6)
+               AS quality_score
+      FROM agg a JOIN extracted e USING (doc_id)
+    )
+    SELECT doc_id, n_blocks_total, n_blocks_kept, n_tokens, quality_score
+    FROM scored WHERE quality_score >= 0.5
+    """,
+)
+def corpus_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain STARTING FROM RAW HTML (what corpus_pipeline_v2
+    assumed away): synthetic page -> html_extract_text -> model-based
+    quality filter on the EXTRACTED text -> keep list with per-doc block
+    stats. Witnesses that the extractor's output column contract feeds
+    the existing text operators without adaptation — the pipeline a
+    100 TB crawl actually runs (extract is a zero-shuffle map stage; the
+    only shuffle is the classifier's per-doc aggregate)."""
+    from erigon_extract_spark.operators.html import html_extract_text
+    from erigon_extract_spark.operators.text import hashed_linear_quality
+
+    docs = _load(spark, sf_dir, "documents")
+    ext = html_extract_text(_synth_html_df(docs))
+    scored = hashed_linear_quality(ext, text_col="text")
+    return (
+        scored.filter(F.col("keep"))
+        .join(ext.select("doc_id", "n_blocks_total", "n_blocks_kept"),
+              "doc_id")
+        .select("doc_id", "n_blocks_total", "n_blocks_kept", "n_tokens",
+                "quality_score")
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

@@ -1,0 +1,91 @@
+"""Crafted-HTML unit cases for operators/html.html_extract_text — each
+branch of the extraction spec pinned on hand-written pages (the
+text_pii_scrub fixture strategy), plus the zero-shuffle plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.html import html_extract_text
+
+PAGE = (
+    "<html><head><title>T</title><style>p {color: red}</style></head>"
+    "<body><script>var x = '</p>';</script>"
+    "<!-- hidden <p>comment para</p> -->"
+    "<h1>Deep learning corpora</h1>"
+    "<p>Crawled pages carry chrome and ads around the article body.</p>"
+    '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/c">Contact</a></div>'
+    '<p>Read the <a href="/d"><b>full details</b></a> in the report.</p>'
+    "<p>Fish &amp; chips &lt;3 &quot;quoted&quot; &#39;ok&#39;&nbsp;done</p>"
+    "<ul><li>tiny</li></ul>"
+    "</body></html>"
+)
+
+
+def _extract(spark, html):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return html_extract_text(df).select(
+        "text", "n_blocks_total", "n_blocks_kept"
+    ).first()
+
+
+def test_full_page(spark):
+    row = _extract(spark, PAGE)
+    blocks = row["text"].split("\n")
+    assert blocks == [
+        "Deep learning corpora",
+        "Crawled pages carry chrome and ads around the article body.",
+        # inline <b> stripped inside the anchor; density 12/31 < 50%
+        "Read the full details in the report.",
+        # entities decoded, &nbsp; collapsed into a single space
+        "Fish & chips <3 \"quoted\" 'ok' done",
+    ]
+    # dropped but counted: nav (pure links), li ("tiny", under min words)
+    assert row["n_blocks_total"] == 6
+    assert row["n_blocks_kept"] == 4
+
+
+def test_script_style_head_comment_invisible(spark):
+    row = _extract(
+        spark,
+        "<head><p>head para text here</p></head>"
+        "<script>keep out of corpus</script><style>b {x: y}</style>"
+        "<!-- no comment text --><p>only this one stays here</p>",
+    )
+    assert row["text"] == "only this one stays here"
+    assert row["n_blocks_total"] == 1
+
+
+def test_link_density_boundary_is_exact_integer(spark):
+    # 10 anchor chars of 20 => exactly 50%: kept (<=), not a float compare
+    half = '<p>aaaa bbbb <a href="/x">cccc dddd!</a></p>'
+    assert _extract(spark, half)["n_blocks_kept"] == 1
+    over = '<p>aaa bbb <a href="/x">cccc ddddd!</a></p>'  # 11 of 20
+    assert _extract(spark, over)["n_blocks_kept"] == 0
+
+
+def test_min_words_and_empty(spark):
+    assert _extract(spark, "<p>two words</p>")["n_blocks_kept"] == 0
+    assert _extract(spark, "<p>now three words</p>")["n_blocks_kept"] == 1
+    row = _extract(spark, "<p>   </p><div></div>")
+    assert row["text"] == ""
+    assert row["n_blocks_total"] == 0
+
+
+def test_null_html(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, html string")
+    row = html_extract_text(df).first()
+    assert row["text"] == "" and row["n_blocks_total"] == 0
+
+
+def test_amp_decoded_last(spark):
+    # '&amp;lt;' must decode to the literal '&lt;', never to '<'
+    row = _extract(spark, "<p>escape shows &amp;lt; here</p>")
+    assert row["text"] == "escape shows &lt; here"
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+    plan = html_extract_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: map-stage only
