@@ -2469,6 +2469,13 @@ def sim_ivfpq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate count (config-sweep verified; see erigon_transpose_scale note)
 @query(
     "dedup_scale",
+    # Engine-computed constant, kept as a DRIFT REGRESSION (r6 verdict:
+    # acceptable where no closed form exists). Unlike curation_scale, the
+    # LSH buckets hash with Spark's seeded murmur3 (F.hash), which DuckDB
+    # cannot reproduce, and band collisions of the 5k near-dup pairs are
+    # data-dependent. The analytic floor IS known: 45000 same-signature
+    # pairs (seed groups {s, s+150000}, s % 10 != 0) collide in all bands
+    # with certainty, so 49226 = 45000 certain + 4226 near-dup/accidental.
     "SELECT CAST(49226 AS BIGINT) AS n_candidates",
 )
 def dedup_scale_q(
@@ -5856,14 +5863,67 @@ def source_jsonl_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the trained-model math against drift.
 @query(
     "curation_scale",
+    # DERIVED oracle (r6 verdict directive #7, the transpose/PNG template):
+    # the synthetic corpus is a pure md5 formula of (id % 10000, i), so
+    # DuckDB REBUILDS the whole probe — token generation, classifier
+    # weights, bigram familiarity model — instead of riding pinned
+    # engine-computed constants. The previously pinned values
+    # (weight_total -26533360, n_keep 97460, familiarity_total 1324528000)
+    # are now reproduced independently, not asserted.
     """
-    SELECT CAST(200000 AS BIGINT) AS n_scored,
-           CAST(-26533360 AS BIGINT) AS weight_total,
-           CAST(4000000 AS BIGINT) AS tokens_total,
-           CAST(97460 AS BIGINT) AS n_keep,
-           CAST(200000 AS BIGINT) AS n_familiarity,
-           CAST(1324528000 AS BIGINT) AS familiarity_total,
-           CAST(3800000 AS BIGINT) AS bigrams_total
+    WITH ids AS (SELECT range AS id FROM range(200000)),
+    tok AS (
+      SELECT id AS doc_id,
+             substr(md5(CAST(id % 10000 + i * 131 AS VARCHAR)), 1, 8) AS tok
+      FROM ids, UNNEST(generate_series(0, 19)) AS u(i)
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024)
+               * 2654435761 % 2001 - 1000 AS w
+      FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS weight_sum
+      FROM w GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT weight_sum, n_tokens,
+             ROUND(0.5 + (0.5 * (CAST(weight_sum AS DOUBLE)
+                                 / CAST(n_tokens * 1000 AS DOUBLE)))
+                         / (1.0 + abs(CAST(weight_sum AS DOUBLE)
+                                      / CAST(n_tokens * 1000 AS DOUBLE))), 6)
+               AS q
+      FROM agg
+    ),
+    q1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+             CAST(SUM(weight_sum) AS BIGINT) AS weight_total,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep
+      FROM scored
+    ),
+    bg AS (
+      SELECT id AS doc_id,
+             substr(md5(CAST(id % 10000 + i * 131 AS VARCHAR)), 1, 8)
+               || ' ' ||
+             substr(md5(CAST(id % 10000 + (i + 1) * 131 AS VARCHAR)), 1, 8)
+               AS bg
+      FROM ids, UNNEST(generate_series(0, 18)) AS u(i)
+    ),
+    model AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg),
+    fam AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(m.cnt) AS familiarity_sum
+      FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id
+    ),
+    q2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_familiarity,
+             CAST(SUM(familiarity_sum) AS BIGINT) AS familiarity_total,
+             CAST(SUM(n_bigrams) AS BIGINT) AS bigrams_total
+      FROM fam
+    )
+    SELECT q1.*, q2.* FROM q1, q2
     """,
 )
 def curation_scale_q(
@@ -8184,6 +8244,9 @@ def corpus_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. never-gated, rows-only      (first evidence, weaker rows check)
 #   4. once-green, oldest first    (single green row -> durable)
 #   5. durable, oldest-last-green  (freshness refresh)
+#   6. rows-only with any driver row (retired — r7 fix: the driver can
+#      only re-record the same row count, so these never again displace
+#      hash-verifiable queries from the window)
 # with registration order breaking ties. On the r1-r5 ledger this
 # composes: agg_approx_distinct, then the 13 never-gated oracle-backed
 # r5 additions (JPEG roundtrip, PQ/IVF/IVFPQ + persisted index,
