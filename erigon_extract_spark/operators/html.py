@@ -50,6 +50,10 @@ BLOCK_RE = rf"(?i)</?(?:{BLOCK_TAGS})\b[^>]*>"
 ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a[^>]*>"
 TAG_RE = r"<[^>]*>"
 
+# capture group 1 = a double-quoted href value (the HTML-conformant form;
+# single-quoted/unquoted attributes are out of scope, documented)
+HREF_RE = r'(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"'
+
 # minimal entity set, decoded AFTER tag-stripping; '&amp;' must be last so
 # '&amp;lt;' decodes to the literal '&lt;' and not to '<'
 ENTITIES = (
@@ -123,4 +127,27 @@ def html_extract_text(
             "n_blocks_total": F.size(nonempty).cast("long"),
             "n_blocks_kept": F.size(kept).cast("long"),
         }
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    out_col: str = "href",
+) -> DataFrame:
+    """One row per ``<a href="...">`` value, in document order — the
+    crawl-frontier / web-graph feed. Zero-shuffle explode of a
+    ``regexp_extract_all`` projection; pair with
+    operators/urls.url_host / canonicalize_url for graph vertices."""
+    return df.select(
+        *keep_cols,
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(html_col), F.lit("")),
+                F.lit(HREF_RE),
+                F.lit(1),
+            )
+        ).alias(out_col),
     )

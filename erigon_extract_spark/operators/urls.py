@@ -1,0 +1,83 @@
+"""URL canonicalization + link extraction for crawl-scale corpora.
+
+Upstream of every web-corpus dedup stage sits URL-level dedup: the same
+page is crawled as ``HTTP://Host.Example.COM:80/a/?utm_source=f&b=1#x``
+and ``http://host.example.com/a?b=1``, and exact text dedup only
+collapses them after the (expensive) fetch+extract. Canonicalizing the
+URL collapses them at the cheapest possible point — the frontier.
+
+The canonical form implemented here is the standard public recipe
+(RFC 3986 normalization plus the universal tracking-param strip):
+
+- scheme and host lowercased (path/query stay case-sensitive),
+- default ports stripped (``:80`` for http, ``:443`` for https),
+- fragment dropped,
+- tracking parameters dropped (``utm_*``, ``fbclid``, ``gclid``),
+- remaining query params sorted (binary order) so param order can't
+  split a group,
+- trailing path slashes stripped (root stays ``/``; an empty path
+  becomes ``/``).
+
+Scale shape: ONE Catalyst projection — ``regexp_extract`` part-splits,
+an ``array_sort``/``filter`` HOF pair for the params, string concat for
+reassembly. Zero UDFs, zero shuffles; URL dedup downstream is the same
+one-fingerprint-shuffle hash-aggregate as ``exact_dedup``. Every regex
+is in the common Java-regex/RE2 subset so the DuckDB oracle mirrors the
+spec verbatim (the operators/curation.py discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+# path+query = everything between the authority and the fragment
+RES_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """The canonical URL as a single Catalyst expression (see module
+    docstring for the normalization spec). Non-URL strings (no
+    ``scheme://``) canonicalize to the empty string — filter upstream."""
+    scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, HOSTPORT_RE, 1))
+    default_port = F.concat(
+        F.lit(":"),
+        F.when(scheme == "http", F.lit("80")).otherwise(
+            F.when(scheme == "https", F.lit("443")).otherwise(F.lit(""))
+        ),
+    )
+    # strip the scheme's default port suffix, if present
+    host = F.when(
+        (default_port != ":") & hostport.endswith(default_port),
+        F.substring(
+            hostport, 1, F.length(hostport) - F.length(default_port)
+        ),
+    ).otherwise(hostport)
+    res = F.regexp_extract(url, RES_RE, 1)
+    raw_path = F.regexp_extract(res, r"^([^?]*)", 1)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(res, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", F.lit("")
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host without port — the web-graph vertex key."""
+    hostport = F.lower(F.regexp_extract(url, HOSTPORT_RE, 1))
+    return F.regexp_extract(hostport, r"^([^:]*)", 1)

@@ -8232,6 +8232,305 @@ def corpus_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- URL canonicalization / link graph (crawl-frontier curation) ----------
+
+# Two deterministic messy variants per document that must collapse to ONE
+# canonical URL: uppercase scheme/host + default port + tracking param +
+# fragment + trailing slash vs the already-clean spelling with its query
+# params in a different order. Path case is deliberately preserved
+# (paths are case-sensitive); both engines build the same strings.
+
+
+def _synth_urls_df(docs: DataFrame) -> DataFrame:
+    d = lambda m: (F.col("doc_id") % m).cast("string")  # noqa: E731
+    v1 = docs.select(
+        "doc_id",
+        F.lit(1).alias("variant"),
+        F.concat(
+            F.lit("HTTP://Host"), d(50), F.lit(".Example.COM:80/Path"),
+            d(20), F.lit("/?utm_source=feed&b="), d(5), F.lit("&a=1#frag"),
+        ).alias("url"),
+    )
+    v2 = docs.select(
+        "doc_id",
+        F.lit(2).alias("variant"),
+        F.concat(
+            F.lit("http://host"), d(50), F.lit(".example.com/Path"),
+            d(20), F.lit("?a=1&b="), d(5),
+        ).alias("url"),
+    )
+    return v1.unionAll(v2)
+
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id, 1 AS variant,
+             'HTTP://Host' || CAST(doc_id % 50 AS VARCHAR)
+               || '.Example.COM:80/Path' || CAST(doc_id % 20 AS VARCHAR)
+               || '/?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
+               || '&a=1#frag' AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2 AS variant,
+             'http://host' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.com/Path' || CAST(doc_id % 20 AS VARCHAR)
+               || '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+"""
+
+# the SQL mirror of operators/urls.canonicalize_url, stage for stage
+_URL_CANON_CTES = (
+    """
+    u1 AS (
+      SELECT doc_id, variant, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS res
+      FROM urls
+    ),
+    u2 AS (
+      SELECT *,
+             CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                    THEN substr(hostport, 1, length(hostport) - 3)
+                  WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN substr(hostport, 1, length(hostport) - 4)
+                  ELSE hostport END AS host,
+             regexp_replace(regexp_extract(res, '^([^?]*)', 1),
+                            '/+$', '') AS path0,
+             list_sort(list_filter(
+               string_split(regexp_extract(res, '\\?(.*)$', 1), '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))) AS params
+      FROM u1
+    ),
+    canon AS (
+      SELECT doc_id, variant,
+             CASE WHEN scheme = '' THEN '' ELSE
+               scheme || '://' || host
+                 || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+                 || CASE WHEN len(params) > 0
+                      THEN '?' || array_to_string(params, '&')
+                      ELSE '' END
+             END AS canonical_url
+      FROM u2
+    )
+"""
+)
+
+
+@query(
+    "curation_url_canonical",
+    f"""
+    WITH urls AS ({_URL_SYNTH_SQL}),
+    {_URL_CANON_CTES}
+    SELECT doc_id, variant, canonical_url FROM canon
+    """,
+)
+def curation_url_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986-style URL canonicalization (operators/urls.
+    canonicalize_url): lowercase scheme/host, strip default port,
+    fragment, and tracking params (utm_*/fbclid/gclid), sort the
+    surviving query params, strip trailing path slashes. One zero-shuffle
+    Catalyst projection (regexp_extract splits + one array sort/filter
+    HOF); value-gated per (doc, variant) so every normalization rule is
+    under the hash."""
+    from erigon_extract_spark.operators.urls import canonicalize_url
+
+    docs = _load(spark, sf_dir, "documents")
+    urls = _synth_urls_df(docs)
+    return urls.select(
+        "doc_id", "variant",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+    )
+
+
+@query(
+    "dedup_url",
+    f"""
+    WITH urls AS ({_URL_SYNTH_SQL}),
+    {_URL_CANON_CTES}
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           MIN(doc_id) AS keep_doc
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — collapse crawl-frontier spellings BEFORE any
+    fetch/extract cost: canonicalize, then one hash-aggregate on the
+    canonical string (exact_dedup's shape: a single fingerprint-key
+    shuffle, map-side combined; at 100 TB the frontier is the cheapest
+    place a web corpus ever gets deduped). Keeper = smallest doc_id,
+    deterministic."""
+    from erigon_extract_spark.operators.urls import canonicalize_url
+
+    docs = _load(spark, sf_dir, "documents")
+    urls = _synth_urls_df(docs)
+    return (
+        urls.select(canonicalize_url(F.col("url")).alias("canonical_url"),
+                    "doc_id")
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+# Link pages: every doc is a page on host (doc_id % 200) linking to the
+# two affine peers 7h+3 and 13h+5 (mod 200) — both maps invertible mod
+# 200, so the extracted host graph has no dangling nodes (the
+# graph_pagerank fixture, but REACHED THROUGH html+url extraction) —
+# plus a relative link and a mailto: (host-less rows the graph drops).
+
+
+def _synth_linkpages_df(docs: DataFrame) -> DataFrame:
+    h = F.col("doc_id") % 200
+    hs = h.cast("string")
+    d = F.col("doc_id").cast("string")
+    p1 = ((h * 7 + 3) % 200).cast("string")
+    p2 = ((h * 13 + 5) % 200).cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("http://host"), hs, F.lit(".example.com/p"), d)
+          .alias("url"),
+        F.concat(
+            F.lit("<html><body><p>Index page for host"), hs, F.lit("</p>"),
+            F.lit('<a href="http://host'), p1,
+            F.lit(".example.com/p"), d, F.lit('">peer one</a>'),
+            F.lit('<a href="https://host'), p2,
+            F.lit(".example.com/q?id="), d,
+            F.lit('&utm_source=x">peer two</a>'),
+            F.lit('<a href="/local/'), d, F.lit('">self</a>'),
+            F.lit('<a href="mailto:admin@host'), hs,
+            F.lit('.example.com">mail</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+_LINKPAGES_SQL = """
+      SELECT doc_id,
+             'http://host' || CAST(doc_id % 200 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             '<html><body><p>Index page for host'
+               || CAST(doc_id % 200 AS VARCHAR) || '</p>'
+               || '<a href="http://host'
+               || CAST(((doc_id % 200) * 7 + 3) % 200 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR)
+               || '">peer one</a>'
+               || '<a href="https://host'
+               || CAST(((doc_id % 200) * 13 + 5) % 200 AS VARCHAR)
+               || '.example.com/q?id=' || CAST(doc_id AS VARCHAR)
+               || '&utm_source=x">peer two</a>'
+               || '<a href="/local/' || CAST(doc_id AS VARCHAR)
+               || '">self</a>'
+               || '<a href="mailto:admin@host'
+               || CAST(doc_id % 200 AS VARCHAR)
+               || '.example.com">mail</a></body></html>' AS html
+      FROM documents
+"""
+
+_HOST_OF = (
+    "regexp_extract(lower(regexp_extract({col}, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^([^:]*)', 1)"
+)
+
+_LINKS_SQL = r"""
+    links AS (
+      SELECT doc_id, url,
+             UNNEST(regexp_extract_all(html,
+               '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"', 1)) AS href
+      FROM pages
+    )
+"""
+
+
+@query(
+    "text_html_links",
+    f"""
+    WITH pages AS ({_LINKPAGES_SQL}),
+    {_LINKS_SQL}
+    SELECT doc_id, href, {_HOST_OF.format(col='href')} AS host
+    FROM links
+    """,
+)
+def text_html_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction (operators/html.extract_links + operators/urls.
+    url_host): one row per href in document order, with the lowercased
+    port-less host ('' for relative and mailto: links — the rows a web
+    graph drops). Zero-shuffle regexp_extract_all explode."""
+    from erigon_extract_spark.operators.html import extract_links
+    from erigon_extract_spark.operators.urls import url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = _synth_linkpages_df(docs)
+    links = extract_links(pages)
+    return links.select(
+        "doc_id", "href", url_host(F.col("href")).alias("host")
+    )
+
+
+@query(
+    "graph_pagerank_web",
+    f"""
+    WITH RECURSIVE pages AS ({_LINKPAGES_SQL}),
+    {_LINKS_SQL},
+    edges AS (
+      SELECT DISTINCT {_HOST_OF.format(col='url')} AS u,
+             {_HOST_OF.format(col='href')} AS v
+      FROM links
+      WHERE {_HOST_OF.format(col='href')} <> ''
+    ),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+    -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE
+    -- DuckDB gave the bare-UNION form UNION ALL semantics (seed was
+    -- 796 rows, not 200), quadrupling the iter-0 mass
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      )
+    ),
+    pr AS (
+      SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp, 0 AS iter
+      FROM nodes
+      UNION ALL
+      SELECT e.v AS node,
+             CAST(150000000
+                  + SUM((85 * p.rank_fp) // (100 * d.outdeg)) AS BIGINT)
+               AS rank_fp,
+             MIN(p.iter) + 1 AS iter
+      FROM pr p
+      JOIN edges e ON e.u = p.node
+      JOIN deg d ON d.u = p.node
+      WHERE p.iter < 10
+      GROUP BY e.v
+    )
+    SELECT node, rank_fp FROM pr WHERE iter = 10
+    """,
+)
+def graph_pagerank_web_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-graph composition: synthetic pages -> extract_links ->
+    url_host vertices -> DISTINCT host edges -> fixed-point integer
+    PageRank (operators/graph.pagerank). Same affine two-map fixture as
+    graph_pagerank, but the graph is RECOVERED from HTML + URL parsing
+    rather than synthesized as an edge list — witnessing the crawl
+    pipeline end to end (extract and parse are zero-shuffle maps; edge
+    distinct + per-iteration join/agg shuffle on host keys only)."""
+    from erigon_extract_spark.operators.graph import pagerank
+    from erigon_extract_spark.operators.html import extract_links
+    from erigon_extract_spark.operators.urls import url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = _synth_linkpages_df(docs)
+    links = extract_links(pages, keep_cols=("doc_id", "url"))
+    edges = (
+        links.select(
+            url_host(F.col("url")).alias("u"),
+            url_host(F.col("href")).alias("v"),
+        )
+        .filter(F.col("v") != "")
+    )
+    return pagerank(edges, src="u", dst="v", n_iter=10)
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

@@ -1,0 +1,71 @@
+"""Unit cases for operators/urls — each normalization rule pinned on a
+hand-written URL (the crafted-fixture strategy of tests/test_html.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erigon_extract_spark.operators.urls import canonicalize_url, url_host
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
+
+
+def test_full_normalization(spark):
+    assert (
+        _canon(spark,
+               "HTTP://Host.Example.COM:80/A/b/?utm_source=f&z=2&a=1#frag")
+        == "http://host.example.com/A/b?a=1&z=2"
+    )
+
+
+def test_default_port_scheme_specific(spark):
+    assert _canon(spark, "http://h.com:80/x") == "http://h.com/x"
+    assert _canon(spark, "https://h.com:443/x") == "https://h.com/x"
+    # non-default ports and other schemes keep their port
+    assert _canon(spark, "http://h.com:8080/x") == "http://h.com:8080/x"
+    assert _canon(spark, "https://h.com:80/x") == "https://h.com:80/x"
+    assert _canon(spark, "ftp://h.com:80/x") == "ftp://h.com:80/x"
+
+
+def test_tracking_params_dropped_order_sorted(spark):
+    assert (
+        _canon(spark, "http://h.com/p?fbclid=1&b=2&utm_campaign=x&a=3&gclid=9")
+        == "http://h.com/p?a=3&b=2"
+    )
+    # all params tracking -> no query part at all
+    assert _canon(spark, "http://h.com/p?utm_source=x") == "http://h.com/p"
+
+
+def test_paths(spark):
+    assert _canon(spark, "http://h.com") == "http://h.com/"
+    assert _canon(spark, "http://h.com/") == "http://h.com/"
+    assert _canon(spark, "http://h.com/a///") == "http://h.com/a"
+    # path case preserved
+    assert _canon(spark, "http://h.com/CaseSensitive") == "http://h.com/CaseSensitive"
+
+
+def test_non_url_is_empty(spark):
+    assert _canon(spark, "not a url") == ""
+    assert _canon(spark, "/relative/path") == ""
+    assert _canon(spark, "mailto:a@b.com") == ""
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://API.Example.com:8443/v1?x=1",), ("/rel",)], "u string"
+    )
+    hosts = [r["h"] for r in df.select(url_host(F.col("u")).alias("h")).collect()]
+    assert hosts == ["api.example.com", ""]
+
+
+def test_extract_links(spark):
+    from erigon_extract_spark.operators.html import extract_links
+
+    html = ('<a href="http://x.com/1">one</a><A HREF="/two">2</A>'
+            "<a name=anchor>no href</a>")
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    hrefs = [r["href"] for r in extract_links(df).collect()]
+    assert hrefs == ["http://x.com/1", "/two"]
