@@ -8531,6 +8531,144 @@ def graph_pagerank_web_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, src="u", dst="v", n_iter=10)
 
 
+@query(
+    "text_topk_ngrams",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT w[i] || ' ' || w[i + 1] AS bg
+      FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2 AND length(w[i]) > 0
+    ),
+    cnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bg)
+    SELECT bg, cnt FROM cnt ORDER BY cnt DESC, bg ASC LIMIT 50
+    """,
+)
+def text_topk_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: the 50 most frequent word bigrams with a
+    full deterministic tiebreak (count desc, bigram asc) — the corpus-
+    report / contamination-screen primitive. Plan shape: explode -> one
+    map-side-combined count agg -> TakeOrderedAndProject (per-partition
+    partial top-k, only 50xP rows reach the driver-side merge — never a
+    global sort of the n-gram table)."""
+    docs = _load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.split(tx.normalize_text(F.col("text")), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    bg = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat(w[i], ' ', w[i + 1]))"
+            )
+        ).alias("bg")
+    ).filter(F.length("bg") > F.lit(1))
+    return (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(50)
+    )
+
+
+@query(
+    "curation_domain_stats",
+    f"""
+    WITH pages AS ({_LINKPAGES_SQL}),
+    tok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+               )) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024)
+               * 2654435761 % 2001 - 1000 AS w
+      FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS weight_sum
+      FROM w GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, weight_sum,
+             (ROUND(0.5 + (0.5 * (CAST(weight_sum AS DOUBLE)
+                                  / CAST(n_tokens * 1000 AS DOUBLE)))
+                          / (1.0 + abs(CAST(weight_sum AS DOUBLE)
+                                       / CAST(n_tokens * 1000 AS DOUBLE))), 6)
+              >= 0.5) AS keep
+      FROM agg
+    ),
+    hosts AS (
+      SELECT p.doc_id,
+             {_HOST_OF.format(col='p.url')} AS host,
+             s.n_tokens, s.weight_sum, s.keep
+      FROM pages p JOIN scored s ON p.doc_id = s.doc_id
+    ),
+    dom AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+             CAST(SUM(weight_sum) AS BIGINT) AS weight_total
+      FROM hosts GROUP BY host
+    )
+    SELECT host, n_docs, n_keep, tokens_total, weight_total,
+           ROUND(0.5 + (0.5 * (CAST(weight_total AS DOUBLE)
+                               / CAST(tokens_total * 1000 AS DOUBLE)))
+                       / (1.0 + abs(CAST(weight_total AS DOUBLE)
+                                    / CAST(tokens_total * 1000 AS DOUBLE))), 6)
+             AS host_score
+    FROM dom
+    """,
+)
+def curation_domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation rollup — the per-host filtering stage of web
+    pipelines (drop spam hosts wholesale, not doc by doc): page URL ->
+    host vertex, per-doc classifier sums aggregated to EXACT integer
+    host totals (weight/token sums are order-free BIGINTs; the one float
+    squash happens once per host AFTER aggregation, so the host score is
+    bit-stable at any parallelism — the hashed_linear_quality
+    discipline lifted one level). One doc-key shuffle for the classifier
+    plus one host-key agg."""
+    from erigon_extract_spark.operators.text import hashed_linear_quality
+    from erigon_extract_spark.operators.urls import url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = _synth_linkpages_df(docs).select(
+        "doc_id", url_host(F.col("url")).alias("host")
+    )
+    scored = hashed_linear_quality(docs)
+    dom = (
+        pages.join(scored, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum("weight_sum").cast("long").alias("weight_total"),
+        )
+    )
+    raw = F.col("weight_total").cast("double") / (
+        F.col("tokens_total") * F.lit(1000)
+    ).cast("double")
+    return dom.select(
+        "host", "n_docs", "n_keep", "tokens_total", "weight_total",
+        F.round(
+            F.lit(0.5) + (F.lit(0.5) * raw) / (F.lit(1.0) + F.abs(raw)), 6
+        ).alias("host_score"),
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
