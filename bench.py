@@ -275,10 +275,15 @@ def main() -> None:
     # per-query scale10/sf1 detail goes to a committed sidecar file
     # (SPARK_GRAFT_BENCH_FULL, default BENCH_full_local.json).
     def _ratios(section: dict) -> list[float]:
+        # fixture-bound queries ride along tagged sf_independent with
+        # ratio ~1 — including them would pad the median low, the exact
+        # failure mode the sf1 section's own comment forbids
         return sorted(
             v["ratio"]
             for v in section.values()
-            if isinstance(v, dict) and isinstance(v.get("ratio"), (int, float))
+            if isinstance(v, dict)
+            and isinstance(v.get("ratio"), (int, float))
+            and not v.get("sf_independent")
         )
 
     sf1_r, s10_r = _ratios(sf1), _ratios(scale10)
@@ -289,6 +294,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "compression": compression,
+        "load_avg": load_avg,
         "load_gate": load_gate,
         "sf1_ratio_median": (
             round(sf1_r[len(sf1_r) // 2], 2) if sf1_r else None
@@ -296,7 +302,7 @@ def main() -> None:
         "sf1_ratio_max": round(sf1_r[-1], 2) if sf1_r else None,
         "scale10_ratio_max": round(s10_r[-1], 2) if s10_r else None,
     }
-    full = dict(summary, scale10=scale10, sf1=sf1, load_avg=load_avg)
+    full = dict(summary, scale10=scale10, sf1=sf1)
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

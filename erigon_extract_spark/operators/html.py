@@ -33,11 +33,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # invisible-content strips, applied in order (comments first so a
-# commented-out script cannot hide a '</script>' from the next pass)
+# commented-out script cannot hide a '</script>' from the next pass).
+# \b after the tag name and \s* in the close tag are load-bearing:
+# without them '<head...>' swallows '<header>' and '</a...>' swallows
+# '</abbr>' (review-caught; the oracle mirrors the same patterns, so
+# the hash gate alone could never surface the lost text)
 COMMENT_RE = r"(?s)<!--.*?-->"
-HEAD_RE = r"(?is)<head[^>]*>.*?</head[^>]*>"
-SCRIPT_RE = r"(?is)<script[^>]*>.*?</script[^>]*>"
-STYLE_RE = r"(?is)<style[^>]*>.*?</style[^>]*>"
+HEAD_RE = r"(?is)<head\b[^>]*>.*?</head\s*>"
+SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
 
 # block-level elements whose tags (open or close) delimit text blocks
 BLOCK_TAGS = (
@@ -47,7 +51,7 @@ BLOCK_TAGS = (
 BLOCK_RE = rf"(?i)</?(?:{BLOCK_TAGS})\b[^>]*>"
 
 # capture group 1 = the anchor's inner markup (inline tags stripped later)
-ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a[^>]*>"
+ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
 TAG_RE = r"<[^>]*>"
 
 # capture group 1 = a double-quoted href value (the HTML-conformant form;

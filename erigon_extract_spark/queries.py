@@ -8104,13 +8104,13 @@ def _html_extract_ctes() -> str:
     from erigon_extract_spark.operators.html import BLOCK_TAGS
 
     anchor = ("array_to_string(regexp_extract_all(raw, "
-              r"'(?is)<a\b[^>]*>(.*?)</a[^>]*>', 1), ' ')")
+              r"'(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ' ')")
     strip = (
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         "regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'), "
-        "'(?is)<head[^>]*>.*?</head[^>]*>', ' ', 'g'), "
-        "'(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g'), "
-        "'(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g'), "
+        r"'(?is)<head\b[^>]*>.*?</head\s*>', ' ', 'g'), "
+        r"'(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'), "
+        r"'(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'), "
         f"'(?i)</?(?:{BLOCK_TAGS})" + r"\b[^>]*>', chr(10), 'g')"
     )
     return f"""
@@ -8468,10 +8468,37 @@ def text_html_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_unrolled_sql(n_iter: int) -> str:
+    """pr0..pr{n}: each iteration is nodes LEFT JOIN the contribution
+    aggregate — the exact shape of the operator's loop, so zero-in-degree
+    nodes keep their base rank instead of silently vanishing (the
+    recursive-CTE formulation only re-emitted GROUP BY e.v nodes, which
+    happened to cover every host on the full fixture but dropped
+    source-only hosts on small/skewed inputs — review finding). Unrolled
+    rather than recursive, which also sidesteps DuckDB giving bare UNION
+    inside WITH RECURSIVE UNION ALL semantics."""
+    steps = ["pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp"
+             " FROM nodes)"]
+    for k in range(n_iter):
+        steps.append(f"""
+    pr{k + 1} AS (
+      SELECT nd.node,
+             CAST(150000000 + COALESCE(c.contrib, 0) AS BIGINT) AS rank_fp
+      FROM nodes nd LEFT JOIN (
+        SELECT e.v AS node,
+               SUM((85 * p.rank_fp) // (100 * d.outdeg)) AS contrib
+        FROM pr{k} p JOIN edges e ON e.u = p.node
+                     JOIN deg d ON d.u = p.node
+        GROUP BY e.v
+      ) c ON nd.node = c.node
+    )""")
+    return ",\n    ".join(steps)
+
+
 @query(
     "graph_pagerank_web",
     f"""
-    WITH RECURSIVE pages AS ({_LINKPAGES_SQL}),
+    WITH pages AS ({_LINKPAGES_SQL}),
     {_LINKS_SQL},
     edges AS (
       SELECT DISTINCT {_HOST_OF.format(col='url')} AS u,
@@ -8480,30 +8507,13 @@ def text_html_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE {_HOST_OF.format(col='href')} <> ''
     ),
     deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
-    -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE
-    -- DuckDB gave the bare-UNION form UNION ALL semantics (seed was
-    -- 796 rows, not 200), quadrupling the iter-0 mass
     nodes AS (
       SELECT DISTINCT node FROM (
         SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
       )
     ),
-    pr AS (
-      SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp, 0 AS iter
-      FROM nodes
-      UNION ALL
-      SELECT e.v AS node,
-             CAST(150000000
-                  + SUM((85 * p.rank_fp) // (100 * d.outdeg)) AS BIGINT)
-               AS rank_fp,
-             MIN(p.iter) + 1 AS iter
-      FROM pr p
-      JOIN edges e ON e.u = p.node
-      JOIN deg d ON d.u = p.node
-      WHERE p.iter < 10
-      GROUP BY e.v
-    )
-    SELECT node, rank_fp FROM pr WHERE iter = 10
+    {_pagerank_unrolled_sql(10)}
+    SELECT node, rank_fp FROM pr10
     """,
 )
 def graph_pagerank_web_q(spark: SparkSession, sf_dir: str) -> DataFrame:

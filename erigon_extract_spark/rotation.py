@@ -110,11 +110,20 @@ def compute_gate_priority(
             (never_oracle if backed else never_rows_only).append(name)
             continue
         if not backed:
-            # Tier 6: the driver already holds this query's row count and
-            # can never upgrade it to a hash match — it must not displace
-            # a hash-verifiable query from the window (CI invariant in
+            # Tier 6: once the driver holds this query's ROW COUNT it can
+            # never upgrade it to a hash match — it must not displace a
+            # hash-verifiable query from the window (CI invariant in
             # tests/test_oracle_gate.py::test_driver_window_integrity).
-            retired_rows_only.append(name)
+            # An appearance WITHOUT a row count (the run errored before
+            # counting) is not evidence: the query stays in tier 3 so the
+            # driver can still capture its first row count.
+            if any(
+                r.get("spark_rows") is not None
+                for r in appearances.values()
+            ):
+                retired_rows_only.append(name)
+            else:
+                never_rows_only.append(name)
             continue
         greens = sorted(
             rn for rn, row in appearances.items() if _row_green(row, backed)

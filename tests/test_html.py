@@ -79,6 +79,36 @@ def test_null_html(spark):
     assert row["text"] == "" and row["n_blocks_total"] == 0
 
 
+def test_header_element_is_not_head(spark):
+    # regression: '<head[^>]*>' once swallowed '<header>' and, with an
+    # implicit </head>, everything up to '</header>'
+    row = _extract(
+        spark,
+        "<head><title>T</title></head>"
+        "<p>Important article content stays.</p>"
+        "<header><h1>My Site Banner Words</h1></header>"
+        "<p>tail text also stays here.</p>",
+    )
+    blocks = row["text"].split("\n")
+    assert blocks == [
+        "Important article content stays.",
+        "My Site Banner Words",
+        "tail text also stays here.",
+    ]
+
+
+def test_abbr_close_does_not_end_anchor(spark):
+    # regression: '</a[^>]*>' once matched '</abbr>', truncating anchor
+    # text and understating link density. This block is 100% anchor text
+    # and must be dropped.
+    row = _extract(
+        spark,
+        '<p><a href="/x">see the <abbr title="API">API</abbr> docs</a></p>',
+    )
+    assert row["n_blocks_kept"] == 0
+    assert row["n_blocks_total"] == 1
+
+
 def test_amp_decoded_last(spark):
     # '&amp;lt;' must decode to the literal '&lt;', never to '<'
     row = _extract(spark, "<p>escape shows &amp;lt; here</p>")

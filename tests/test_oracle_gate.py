@@ -133,11 +133,16 @@ def test_driver_window_integrity():
         f"first divergence at {next(i for i, (a, b) in enumerate(zip(win, derived)) if a != b)}"
     )
 
-    # a rows-only member may hold a slot ONLY for first evidence (the
-    # driver still records its row count); once it has any driver row it
-    # must yield the slot to hash-verifiable queries
-    seen = {n for rnd in ledger.values() for n in rnd}
-    stale_rows_only = [n for n in win if n not in ORACLES and n in seen]
+    # a rows-only member may hold a slot ONLY until its first recorded
+    # row count (its evidence ceiling); an errored appearance without a
+    # count is not evidence and may re-seat
+    counted = {
+        n
+        for rnd in ledger.values()
+        for n, row in rnd.items()
+        if row.get("spark_rows") is not None
+    }
+    stale_rows_only = [n for n in win if n not in ORACLES and n in counted]
     assert not stale_rows_only, stale_rows_only
 
 
@@ -183,8 +188,13 @@ def test_rotation_retires_seen_rows_only():
     }
     got = compute_gate_priority(ledger, reg, oracles, window=4)
     assert got == ["d_rows_never", "b_once", "c_durable", "a_rows_seen"]
-    # even a red-looking rows-only row retires — err is unreadable as a
-    # hash defect when no hash check exists
+    # a red-looking rows-only row ALSO retires as long as a row count was
+    # captured — err is unreadable as a hash defect when no hash exists
     ledger[1]["a_rows_seen"]["err"] = "timeout"
     got = compute_gate_priority(ledger, reg, oracles, window=4)
     assert got == ["d_rows_never", "b_once", "c_durable", "a_rows_seen"]
+    # but an appearance WITHOUT a row count is not evidence: the query
+    # must stay seated (tier 3) until the driver captures its count
+    ledger[1]["a_rows_seen"]["spark_rows"] = None
+    got = compute_gate_priority(ledger, reg, oracles, window=4)
+    assert got == ["a_rows_seen", "d_rows_never", "b_once", "c_durable"]

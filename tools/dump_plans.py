@@ -117,6 +117,18 @@ SHOWCASE = [
      "PCA projection: eigenvector literals baked into the plan as two "
      "SQL array expressions; the per-row path is pure Catalyst HOFs — "
      "no Python, no shuffle beyond the invariant join."),
+    ("text_html_extract",
+     "HTML extraction: the whole operator is one Project over the scan "
+     "— regexp strips + block split + transform/filter HOFs, zero "
+     "exchanges, zero UDFs."),
+    ("dedup_url",
+     "URL dedup: canonicalization fused into the scan projection; ONE "
+     "hash exchange on the canonical string with partial_count/"
+     "partial_min map-side."),
+    ("text_topk_ngrams",
+     "Corpus top-k: map-side-combined count aggregate feeding "
+     "TakeOrderedAndProject — per-partition partial top-50, never a "
+     "global sort of the n-gram table."),
 ]
 
 
