@@ -76,6 +76,11 @@ HEADLINE = [
     "events_asof_nearest",  # nearest-match as-of merge join
     "embedding_pca_invariants",  # one-pass covariance + projection
     "dedup_unicode_fold",  # pandas-UDF fold + fingerprint shuffle
+    # --- round-7 additions ---
+    "text_html_extract",  # zero-shuffle HTML extraction projection
+    "dedup_url",  # canonicalize + one hash-agg frontier dedup
+    "text_topk_ngrams",  # count agg + TakeOrderedAndProject top-50
+    "graph_pagerank_web",  # links->host edges->10 integer PR iterations
 ]
 
 
