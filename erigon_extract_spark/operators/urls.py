@@ -28,7 +28,7 @@ spec verbatim (the operators/curation.py discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -81,3 +81,46 @@ def url_host(url: Column) -> Column:
     """Lowercased host without port — the web-graph vertex key."""
     hostport = F.lower(F.regexp_extract(url, HOSTPORT_RE, 1))
     return F.regexp_extract(hostport, r"^([^:]*)", 1)
+
+
+def url_path(url: Column) -> Column:
+    """The raw path (before '?'/'#'), '' for non-URLs — the robots-rule
+    match subject. Case is preserved (paths are case-sensitive)."""
+    res = F.regexp_extract(url, RES_RE, 1)
+    return F.regexp_extract(res, r"^([^?]*)", 1)
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    prefixes_col: str = "disallow",
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Politeness filter: flag each URL against its host's robots
+    Disallow prefixes (the longest-standing crawl-pipeline rule — a URL
+    is blocked when its path starts with any disallowed prefix; empty
+    rule set allows everything).
+
+    Scale shape: ``robots`` is the per-HOST dimension — millions of rows
+    against a trillion-row frontier — so it arrives via broadcast join;
+    the prefix test is an ``exists`` HOF over the (short) rule array,
+    zero additional shuffles. Spark-side composition of
+    ``canonicalize_url`` -> ``robots_filter`` -> URL dedup is the whole
+    pre-fetch frontier pipeline."""
+    from pyspark.sql.functions import broadcast
+
+    path = url_path(F.col(url_col))
+    joined = urls.withColumn("__host", url_host(F.col(url_col))).join(
+        broadcast(robots.select(F.col(host_col).alias("__host"),
+                                F.col(prefixes_col).alias("__rules"))),
+        "__host",
+        "left",
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("__rules"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.withColumn(out_col, ~blocked).drop("__host", "__rules")

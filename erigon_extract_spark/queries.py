@@ -8679,6 +8679,76 @@ def curation_domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_robots_filter",
+    f"""
+    WITH pages AS ({_LINKPAGES_SQL}),
+    urls AS (
+      SELECT doc_id, url FROM pages
+      UNION ALL
+      SELECT doc_id,
+             'http://host' || CAST(doc_id % 200 AS VARCHAR)
+               || '.example.com/private/x' || CAST(doc_id AS VARCHAR)
+      FROM documents
+    ),
+    hosts AS (SELECT range AS h FROM range(200)),
+    rules AS (
+      SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host,
+             '/private' AS pfx
+      FROM hosts
+      UNION ALL
+      SELECT 'host' || CAST(h AS VARCHAR) || '.example.com', '/p'
+      FROM hosts WHERE h % 2 = 1
+    ),
+    flagged AS (
+      SELECT u.doc_id, u.url,
+             COALESCE(bool_or(
+               starts_with(
+                 regexp_extract(
+                   regexp_extract(u.url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                   '^([^?]*)', 1),
+                 r.pfx)), FALSE) AS blocked
+      FROM urls u
+      LEFT JOIN rules r
+        ON r.host = {_HOST_OF.format(col='u.url')}
+      GROUP BY u.doc_id, u.url
+    )
+    SELECT doc_id, url, NOT blocked AS allowed FROM flagged
+    """,
+)
+def curation_robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots politeness filter (operators/urls.robots_filter): each
+    frontier URL flagged against its host's Disallow prefixes via a
+    BROADCAST join of the per-host rule dimension + an exists HOF over
+    the rule array — no extra shuffle at frontier scale. Fixture: every
+    host disallows /private, odd hosts also disallow /p (so the page
+    URLs themselves flip allowed by host parity); the oracle rebuilds
+    the rule table relationally and aggregates prefix hits with
+    bool_or."""
+    from erigon_extract_spark.operators.urls import robots_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = _synth_linkpages_df(docs).select("doc_id", "url")
+    private = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://host"), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".example.com/private/x"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    urls = pages.unionAll(private)
+    hosts = spark.range(200).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(F.col("id") % 2 == 1,
+               F.array(F.lit("/private"), F.lit("/p")))
+         .otherwise(F.array(F.lit("/private"))).alias("disallow"),
+    )
+    out = robots_filter(urls, hosts)
+    return out.select("doc_id", "url", "allowed")
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
