@@ -300,6 +300,7 @@ def bigram_familiarity(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """Corpus-LM familiarity signal: how typical each document's word
     bigrams are of the corpus (the integer-exact skeleton of n-gram-LM
@@ -327,6 +328,16 @@ def bigram_familiarity(
         ).alias("bg"),
     )
     model = bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+    # The score join's default is a shuffle join, correct at ANY bigram
+    # domain size (a raw web corpus has billions of distinct bigrams).
+    # When the caller KNOWS the domain is bounded (a cutoff/top-M model,
+    # or a synthetic fixed domain), broadcast_model=True removes the
+    # corpus-sized bg-key shuffle entirely — measured on curation_scale
+    # x100 (380M bigram instances, 190k-key model): Catalyst planned a
+    # SortMergeJoin that shuffled 1.59 GB; broadcasting the model cuts
+    # that to the map-side-combined per-doc aggregate only.
+    if broadcast_model:
+        model = F.broadcast(model)
     return (
         bg.join(model, "bg")
         .groupBy("doc_id")

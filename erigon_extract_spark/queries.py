@@ -5978,7 +5978,12 @@ def curation_scale_q(
         F.sum("n_tokens").cast("long").alias("tokens_total"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
     )
-    q2 = bigram_familiarity(docs).agg(
+    # broadcast_model: this probe's bigram domain is FIXED at 19 * n_uniq
+    # keys by construction (the Zipf-ish reuse the docstring describes),
+    # so the model side is a bounded dimension — broadcasting it removes
+    # the probe's only corpus-sized shuffle (measured: 1.59 GB of
+    # SortMergeJoin traffic at x100 -> per-doc aggregate only)
+    q2 = bigram_familiarity(docs, broadcast_model=True).agg(
         F.count("*").alias("n_familiarity"),
         F.sum("familiarity_sum").cast("long").alias("familiarity_total"),
         F.sum("n_bigrams").cast("long").alias("bigrams_total"),
