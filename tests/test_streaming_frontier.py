@@ -93,3 +93,51 @@ def test_frontier_stream_equals_batch_distinct(spark):
         assert all(u.startswith("http://host") for u in got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_html_extract_is_streaming_safe(spark):
+    """html_extract_text is a stateless projection, so the SAME operator
+    must run unchanged inside a stream: availableNow output == batch."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from erigon_extract_spark.operators.html import html_extract_text
+
+    rows = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><h1>Doc title "),
+            F.col("id").cast("string"),
+            F.lit('</h1><div class="nav"><a href="/">Home</a> '
+                  '<a href="/a">About</a> <a href="/b">More</a></div>'
+                  "<p>Body paragraph with enough words to keep "),
+            F.col("id").cast("string"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    d = _tf.mkdtemp(prefix="html_stream_")
+    try:
+        rows.coalesce(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(rows.schema).parquet(d)
+        out = html_extract_text(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("html_stream_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.text, r.n_blocks_total, r.n_blocks_kept)
+            for r in spark.sql("SELECT * FROM html_stream_t").collect()
+        }
+        expect = {
+            (r.doc_id, r.text, r.n_blocks_total, r.n_blocks_kept)
+            for r in html_extract_text(spark.read.parquet(d)).collect()
+        }
+        assert got == expect and len(got) == 40
+        # every row kept the title + body, dropped the pure-link nav
+        assert all(t[3] == 2 and t[2] == 3 for t in got)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
