@@ -134,6 +134,35 @@ def html_extract_text(
     )
 
 
+SITEMAP_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+
+
+def extract_sitemap_locs(
+    df: DataFrame,
+    *,
+    xml_col: str = "xml",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    out_col: str = "loc",
+) -> DataFrame:
+    """One row per ``<loc>`` URL in a sitemap/sitemap-index document, in
+    document order — the OTHER crawl-discovery feed besides page links
+    (sitemaps.org protocol, public knowledge). Same zero-shuffle
+    regexp_extract_all explode as extract_links; entity-decodes the
+    URL ('&amp;' etc. are required escaping inside sitemap <loc>)."""
+    url = F.explode(
+        F.regexp_extract_all(
+            F.coalesce(F.col(xml_col), F.lit("")),
+            F.lit(SITEMAP_LOC_RE),
+            F.lit(1),
+        )
+    )
+    df = df.select(*keep_cols, url.alias("__raw"))
+    decoded = F.col("__raw")
+    for ent, ch in ENTITIES:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return df.select(*keep_cols, decoded.alias(out_col))
+
+
 def extract_links(
     df: DataFrame,
     *,

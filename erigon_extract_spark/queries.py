@@ -8855,6 +8855,64 @@ def corpus_frontier_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_sitemap_locs",
+    """
+    WITH sitemaps AS (
+      SELECT doc_id,
+             concat('<?xml version="1.0" encoding="UTF-8"?>',
+                    '<urlset><url><loc>http://host',
+                    CAST(doc_id % 200 AS VARCHAR), '.example.com/p',
+                    CAST(doc_id AS VARCHAR), '</loc>',
+                    '<lastmod>2024-01-0', CAST(doc_id % 9 + 1 AS VARCHAR),
+                    '</lastmod></url><url><loc> http://host',
+                    CAST(doc_id % 200 AS VARCHAR),
+                    '.example.com/q?a=1&amp;b=',
+                    CAST(doc_id % 5 AS VARCHAR),
+                    ' </loc></url></urlset>') AS xml
+      FROM documents
+    ),
+    locs AS (
+      SELECT doc_id,
+             trim(UNNEST(regexp_extract_all(xml,
+               '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1))) AS raw
+      FROM sitemaps
+    )
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(raw,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&') AS loc
+    FROM locs
+    """,
+)
+def text_sitemap_locs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <loc> extraction (operators/html.extract_sitemap_locs) —
+    the second crawl-discovery feed besides page links: two <loc>
+    entries per synthetic sitemap (one clean, one whitespace-padded with
+    the &amp; escaping the sitemaps.org protocol REQUIRES inside loc),
+    entity-decoded, in document order. Zero-shuffle explode; the output
+    column feeds canonicalize_url/robots_filter/dedup_url unchanged."""
+    from erigon_extract_spark.operators.html import extract_sitemap_locs
+
+    docs = _load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 200).cast("string")
+    d = F.col("doc_id").cast("string")
+    sitemaps = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                  "<urlset><url><loc>http://host"), h,
+            F.lit(".example.com/p"), d, F.lit("</loc><lastmod>2024-01-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("</lastmod></url><url><loc> http://host"), h,
+            F.lit(".example.com/q?a=1&amp;b="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" </loc></url></urlset>"),
+        ).alias("xml"),
+    )
+    return extract_sitemap_locs(sitemaps)
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
