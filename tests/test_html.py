@@ -115,6 +115,26 @@ def test_amp_decoded_last(spark):
     assert row["text"] == "escape shows &lt; here"
 
 
+def test_extract_sitemap_locs(spark):
+    from erigon_extract_spark.operators.html import extract_sitemap_locs
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.com/x</loc></url>"
+        "<url><loc>\n  http://a.com/y?p=1&amp;q=2  \n</loc></url>"
+        "<URL><LOC>http://a.com/upper</LOC></URL>"  # case-insensitive
+        "<url></url>"  # no loc -> nothing
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "doc_id long, xml string")
+    locs = [r["loc"] for r in extract_sitemap_locs(df).collect()]
+    assert locs == [
+        "http://a.com/x",
+        "http://a.com/y?p=1&q=2",  # trimmed + &amp; decoded per spec
+        "http://a.com/upper",
+    ]
+
+
 def test_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
     plan = html_extract_text(df)._jdf.queryExecution().executedPlan().toString()
