@@ -70,12 +70,17 @@ ENTITIES = (
 )
 
 
+def decode_entities(col: Column) -> Column:
+    """Decode the minimal entity set, '&amp;' last (see ENTITIES)."""
+    for ent, ch in ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def _visible_text(col: Column) -> Column:
     """Markup fragment → visible text: strip tags, decode entities,
     collapse whitespace, trim. Mirrored verbatim by the SQL oracle."""
-    t = F.regexp_replace(col, TAG_RE, " ")
-    for ent, ch in ENTITIES:
-        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = decode_entities(F.regexp_replace(col, TAG_RE, " "))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
@@ -157,10 +162,9 @@ def extract_sitemap_locs(
         )
     )
     df = df.select(*keep_cols, url.alias("__raw"))
-    decoded = F.col("__raw")
-    for ent, ch in ENTITIES:
-        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    return df.select(*keep_cols, decoded.alias(out_col))
+    return df.select(
+        *keep_cols, decode_entities(F.col("__raw")).alias(out_col)
+    )
 
 
 def extract_links(

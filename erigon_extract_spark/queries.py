@@ -8684,6 +8684,20 @@ def curation_domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_hosts_df(spark: SparkSession) -> DataFrame:
+    """The shared robots fixture dimension: every host disallows
+    /private, odd hosts also disallow /p (so page URLs flip allowed by
+    host parity). Mirrored by the `hosts`/`rules` CTEs in the robots and
+    frontier oracles."""
+    return spark.range(200).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(F.col("id") % 2 == 1,
+               F.array(F.lit("/private"), F.lit("/p")))
+         .otherwise(F.array(F.lit("/private"))).alias("disallow"),
+    )
+
+
 @query(
     "curation_robots_filter",
     f"""
@@ -8743,14 +8757,7 @@ def curation_robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     urls = pages.unionAll(private)
-    hosts = spark.range(200).select(
-        F.concat(F.lit("host"), F.col("id").cast("string"),
-                 F.lit(".example.com")).alias("host"),
-        F.when(F.col("id") % 2 == 1,
-               F.array(F.lit("/private"), F.lit("/p")))
-         .otherwise(F.array(F.lit("/private"))).alias("disallow"),
-    )
-    out = robots_filter(urls, hosts)
+    out = robots_filter(urls, _robots_hosts_df(spark))
     return out.select("doc_id", "url", "allowed")
 
 
@@ -8824,28 +8831,22 @@ def corpus_frontier_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     h = (F.col("doc_id") % 200).cast("string")
     d = F.col("doc_id").cast("string")
-    mk = lambda *parts: F.concat(*parts)  # noqa: E731
     variants = [
-        docs.select("doc_id", mk(
+        docs.select("doc_id", F.concat(
             F.lit("http://host"), h, F.lit(".example.com/p"), d
         ).alias("url")),
-        docs.select("doc_id", mk(
+        docs.select("doc_id", F.concat(
             F.lit("HTTP://Host"), h, F.lit(".Example.COM:80/p"), d,
             F.lit("?utm_source=feed#x"),
         ).alias("url")),
-        docs.select("doc_id", mk(
+        docs.select("doc_id", F.concat(
             F.lit("http://host"), h, F.lit(".example.com/private/x"), d
         ).alias("url")),
     ]
     urls = variants[0].unionAll(variants[1]).unionAll(variants[2])
-    hosts = spark.range(200).select(
-        F.concat(F.lit("host"), F.col("id").cast("string"),
-                 F.lit(".example.com")).alias("host"),
-        F.when(F.col("id") % 2 == 1,
-               F.array(F.lit("/private"), F.lit("/p")))
-         .otherwise(F.array(F.lit("/private"))).alias("disallow"),
+    allowed = robots_filter(urls, _robots_hosts_df(spark)).filter(
+        F.col("allowed")
     )
-    allowed = robots_filter(urls, hosts).filter(F.col("allowed"))
     return (
         allowed.select(
             canonicalize_url(F.col("url")).alias("canonical_url"), "doc_id"
