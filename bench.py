@@ -85,13 +85,18 @@ HEADLINE = [
 
 
 def _idle_gate(
-    threshold: float = 2.0, budget_s: float = 600.0, poll_s: float = 20.0
+    threshold: float = 0.5, budget_s: float = 1500.0, poll_s: float = 20.0
 ) -> dict:
     """VERDICT r5 #3: the committed bench must be the IDLE bench. Wait
     (bounded) for 1-min load to drop under ``threshold`` before starting;
     the outcome rides in the JSON so a loaded run is visibly tagged
     instead of silently polluting cross-round per-query comparisons.
-    SPARK_GRAFT_LOAD_GATE=0 skips the wait (still samples)."""
+    SPARK_GRAFT_LOAD_GATE=0 skips the wait (still samples).
+
+    r8 (VERDICT r7 #6): threshold 2.0 -> 0.5 and budget 600 -> 1500 s —
+    the r7 gate accepted a 1.85 load and five identical-code runs then
+    swung 1.4x; per-query regression signal needs a truly idle start,
+    and 25 min of patience is cheaper than a noise-bound artifact."""
     samples = []
     t0 = time.monotonic()
     wait = os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") != "0"
@@ -219,6 +224,12 @@ def main() -> None:
         "erigon_transpose_scale", "dedup_scale", "keccak_scale",
         "curation_scale", "multimodal_png_scale",
     }
+    # output-bound: the band self-join's pair count is a DATA property
+    # (pairs ∝ per-key density x band x rows — operators/rangejoin.py
+    # docstring); sf1 grows the fixture's temporal density, so the wall
+    # ratio tracks output rows, not the (linear-in-candidates) plan.
+    # Tagged so the ratio summary reflects plan scaling only.
+    OUTPUT_BOUND = {"range_interval_join"}
     sf1: dict[str, dict] = {}
     if (
         os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
@@ -250,6 +261,8 @@ def main() -> None:
                 }
                 if name in SF_INDEPENDENT:
                     sf1[name]["sf_independent"] = True
+                if name in OUTPUT_BOUND:
+                    sf1[name]["output_bound"] = True
                 print(f"# sf1 {name}: {t1}s (sf0.1={x01}s)", file=sys.stderr)
         except Exception as exc:  # a broken sf1 section must not hide
             print(f"# sf1 section failed: {exc}", file=sys.stderr)
@@ -289,6 +302,7 @@ def main() -> None:
             if isinstance(v, dict)
             and isinstance(v.get("ratio"), (int, float))
             and not v.get("sf_independent")
+            and not v.get("output_bound")
         )
 
     sf1_r, s10_r = _ratios(sf1), _ratios(scale10)
@@ -301,8 +315,15 @@ def main() -> None:
         "compression": compression,
         "load_avg": load_avg,
         "load_gate": load_gate,
+        # true median: even-length lists average the two middle elements
+        # (the old upper-middle pick biased the summary high — r7 advice)
         "sf1_ratio_median": (
-            round(sf1_r[len(sf1_r) // 2], 2) if sf1_r else None
+            round(
+                (sf1_r[(len(sf1_r) - 1) // 2] + sf1_r[len(sf1_r) // 2]) / 2,
+                2,
+            )
+            if sf1_r
+            else None
         ),
         "sf1_ratio_max": round(sf1_r[-1], 2) if sf1_r else None,
         "scale10_ratio_max": round(s10_r[-1], 2) if s10_r else None,

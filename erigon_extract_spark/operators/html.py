@@ -177,14 +177,20 @@ def extract_links(
     """One row per ``<a href="...">`` value, in document order — the
     crawl-frontier / web-graph feed. Zero-shuffle explode of a
     ``regexp_extract_all`` projection; pair with
-    operators/urls.url_host / canonicalize_url for graph vertices."""
-    return df.select(
-        *keep_cols,
-        F.explode(
-            F.regexp_extract_all(
-                F.coalesce(F.col(html_col), F.lit("")),
-                F.lit(HREF_RE),
-                F.lit(1),
-            )
-        ).alias(out_col),
+    operators/urls.url_host / canonicalize_url for graph vertices.
+
+    The extracted value is entity-decoded (same minimal set and order as
+    extract_sitemap_locs): conformant HTML escapes '&' in attribute
+    values as '&amp;', so a raw href '/q?a=1&amp;b=2' must become
+    '/q?a=1&b=2' before canonicalize_url splits params — without the
+    decode the second param would mis-parse as 'amp;b' (r7 advice)."""
+    raw = F.explode(
+        F.regexp_extract_all(
+            F.coalesce(F.col(html_col), F.lit("")),
+            F.lit(HREF_RE),
+            F.lit(1),
+        )
+    )
+    return df.select(*keep_cols, raw.alias("__raw")).select(
+        *keep_cols, decode_entities(F.col("__raw")).alias(out_col)
     )

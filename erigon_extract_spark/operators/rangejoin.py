@@ -15,6 +15,18 @@ so probing 3 buckets (via a 3-row explode on ONE side) turns the theta-join
 into a pure equi-join on (key, bucket): a shuffle-partitionable hash/SMJ
 that scales linearly and inherits AQE skew splitting. Each candidate pair is
 produced exactly once because the build side keeps its single true bucket.
+
+Output-cardinality contract (reader of bench sf1 ratios, start here): the
+plan is linear in CANDIDATE PAIRS, and the pair count itself is a property
+of the DATA, not the plan — pairs ≈ rows x (per-key temporal density x
+band width). Scaling the corpus 10x at a fixed band on a fixture whose
+per-key event density also grows multiplies the OUTPUT super-linearly
+(~quadratically in density), so `range_interval_join`'s sf1 wall ratio
+(21.9x in BENCH_full r7) tracks its output-row ratio, not a plan defect —
+the same shuffle-equi plan emits every pair exactly once either way. The
+bench sidecar tags the entry `output_bound` for exactly this reason; a
+plan regression would show up as shuffle bytes growing faster than the
+emitted pair count, which the plan test + metered probes would catch.
 """
 
 from __future__ import annotations

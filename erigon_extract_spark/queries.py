@@ -8403,7 +8403,7 @@ def _synth_linkpages_df(docs: DataFrame) -> DataFrame:
             F.lit(".example.com/p"), d, F.lit('">peer one</a>'),
             F.lit('<a href="https://host'), p2,
             F.lit(".example.com/q?id="), d,
-            F.lit('&utm_source=x">peer two</a>'),
+            F.lit('&amp;utm_source=x">peer two</a>'),
             F.lit('<a href="/local/'), d, F.lit('">self</a>'),
             F.lit('<a href="mailto:admin@host'), hs,
             F.lit('.example.com">mail</a></body></html>'),
@@ -8424,7 +8424,7 @@ _LINKPAGES_SQL = """
                || '<a href="https://host'
                || CAST(((doc_id % 200) * 13 + 5) % 200 AS VARCHAR)
                || '.example.com/q?id=' || CAST(doc_id AS VARCHAR)
-               || '&utm_source=x">peer two</a>'
+               || '&amp;utm_source=x">peer two</a>'
                || '<a href="/local/' || CAST(doc_id AS VARCHAR)
                || '">self</a>'
                || '<a href="mailto:admin@host'
@@ -8433,17 +8433,29 @@ _LINKPAGES_SQL = """
       FROM documents
 """
 
+# mirrors operators/urls.url_host: authority -> lowercase -> strip
+# userinfo (greedy up-to-last-'@') -> strip port
 _HOST_OF = (
     "regexp_extract(lower(regexp_extract({col}, "
-    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^([^:]*)', 1)"
+    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^(?:.*@)?([^:]*)', 1)"
 )
 
+# conformant HTML escapes '&' in attribute values as '&amp;': the
+# extractor entity-decodes the href (operators/html.extract_links), so
+# the oracle applies the same minimal replace chain, '&amp;' last
 _LINKS_SQL = r"""
-    links AS (
+    rawlinks AS (
       SELECT doc_id, url,
              UNNEST(regexp_extract_all(html,
-               '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"', 1)) AS href
+               '(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"', 1)) AS rawhref
       FROM pages
+    ),
+    links AS (
+      SELECT doc_id, url,
+             replace(replace(replace(replace(replace(replace(rawhref,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS href
+      FROM rawlinks
     )
 """
 
