@@ -2168,16 +2168,112 @@ def erigon_transpose_scale_q(
     )
 
 
-@query("scalar_keccak256")  # no keccak in DuckDB → rows-only check
+# Independent reference Keccak-256 for the scalar_keccak256 oracle
+# (VERDICT r7 #3: promote the rows-only keccak row to hash-gated).
+# DuckDB has no keccak, but digests over a FIXED input set are
+# constants — so the oracle is a VALUES literal computed at
+# registration time by this compact spec-style implementation, which
+# shares NOTHING with functions/keccak.py beyond the published Keccak
+# specification itself: 2-D lanes (not a flat 25-list), rho offsets
+# from the spec's (t+1)(t+2)/2 walk (not a table), round constants
+# from the degree-8 LFSR (not a table), and classic q-byte padding
+# (not append-then-or). A defect in EITHER the engine's numpy batch
+# lane (the Spark path) or this reference now hash-fails under the
+# driver — a true differential gate, the _ref_bpe_expected pattern.
+def _ref_keccak256_hex(data: bytes) -> str:
+    M = (1 << 64) - 1
+
+    def rol(v: int, n: int) -> int:
+        return ((v << n) | (v >> (64 - n))) & M if n else v
+
+    def f1600(lanes):
+        R = 1
+        for _ in range(24):
+            # theta
+            C = [lanes[x][0] ^ lanes[x][1] ^ lanes[x][2] ^ lanes[x][3]
+                 ^ lanes[x][4] for x in range(5)]
+            D = [C[(x + 4) % 5] ^ rol(C[(x + 1) % 5], 1) for x in range(5)]
+            lanes = [[lanes[x][y] ^ D[x] for y in range(5)] for x in range(5)]
+            # rho + pi: the spec's single-lane walk
+            x, y = 1, 0
+            cur = lanes[x][y]
+            for t in range(24):
+                x, y = y, (2 * x + 3 * y) % 5
+                cur, lanes[x][y] = (
+                    lanes[x][y],
+                    rol(cur, ((t + 1) * (t + 2) // 2) % 64),
+                )
+            # chi
+            for y in range(5):
+                row = [lanes[x][y] for x in range(5)]
+                for x in range(5):
+                    lanes[x][y] = (
+                        row[x] ^ ((~row[(x + 1) % 5]) & row[(x + 2) % 5])
+                    ) & M
+            # iota: round constants from the spec LFSR
+            for j in range(7):
+                R = ((R << 1) ^ ((R >> 7) * 0x71)) % 256
+                if R & 2:
+                    lanes[0][0] ^= 1 << ((1 << j) - 1)
+        return lanes
+
+    rate = 136
+    q = rate - (len(data) % rate)
+    padded = data + (
+        b"\x81" if q == 1 else b"\x01" + b"\x00" * (q - 2) + b"\x80"
+    )
+    lanes = [[0] * 5 for _ in range(5)]
+    for off in range(0, len(padded), rate):
+        for i in range(rate // 8):
+            lanes[i % 5][i // 5] ^= int.from_bytes(
+                padded[off + 8 * i : off + 8 * i + 8], "little"
+            )
+        lanes = f1600(lanes)
+    out = b"".join(lanes[i % 5][i // 5].to_bytes(8, "little") for i in range(4))
+    return out.hex().upper()
+
+
+# 64 deterministic messages: ("k%02d|" % i) repeated (i % 40) times —
+# lengths 0..156 bytes, covering the empty message (i = 0, 40) and both
+# sides of the 136-byte rate boundary (multi-block absorption)
+_KECCAK_GATE_N = 64
+
+
+def _keccak_gate_msg(i: int) -> bytes:
+    return (("k%02d|" % i) * (i % 40)).encode("utf-8")
+
+
+def _scalar_keccak_oracle_sql() -> str:
+    rows = ",\n      ".join(
+        f"({i}, '{_ref_keccak256_hex(_keccak_gate_msg(i))}')"
+        for i in range(_KECCAK_GATE_N)
+    )
+    return f"""
+    SELECT CAST(c0 AS BIGINT) AS id, c1 AS keccak
+    FROM (VALUES
+      {rows}
+    ) AS t(c0, c1)
+    """
+
+
+@query("scalar_keccak256", _scalar_keccak_oracle_sql())
 def scalar_keccak_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keccak-256 over document bytes (F8; pytest pins the algorithm to
-    the Keccak spec vectors incl. EMPTY_CODE_HASH == keccak256(''))."""
+    """Keccak-256 (F8) through the engine's Arrow-batched numpy lane,
+    hash-gated against VALUES-literal digests from the independent
+    compact spec implementation above (pytest additionally pins the
+    algorithm to the published vectors incl. EMPTY_CODE_HASH ==
+    keccak256('')). Input is the fixed 64-message set — deterministic,
+    SF-independent, rate-boundary-crossing — built in-plan with zero
+    UDFs before the one hashing projection."""
     from erigon_extract_spark.functions.keccak import keccak256
 
-    docs = _load(spark, sf_dir, "documents").limit(200)
-    return docs.select(
-        "doc_id",
-        F.hex(keccak256(F.encode(F.col("text"), "utf-8"))).alias("keccak"),
+    base = F.concat(
+        F.lit("k"), F.lpad(F.col("id").cast("string"), 2, "0"), F.lit("|")
+    )
+    msg = F.repeat(base, (F.col("id") % 40).cast("int"))
+    return spark.range(_KECCAK_GATE_N).select(
+        "id",
+        F.hex(keccak256(F.encode(msg, "utf-8"))).alias("keccak"),
     )
 
 

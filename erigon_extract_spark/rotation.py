@@ -18,9 +18,17 @@ ledger itself, so the window can never again forget a red row:
                                    driver can still record a row count)
     4. once-green, oldest green first (single row -> durable)
     5. durable rest, oldest last-green first (freshness refresh)
-    6. rows-only with ANY driver row (retired: the driver can only ever
-       re-record the same row count, so re-seating one displaces a
-       hash-verifiable query for zero new evidence — r6's defect)
+    5b. rows-only REFRESH: a retired rows-only row whose newest driver
+        appearance is >= REFRESH_AFTER rounds old re-seats here (oldest
+        appearance first). Rationale (r7 advice): permanent retirement
+        assumed the driver can only re-record the same row count, but a
+        later code change can alter a rows-only query's output
+        cardinality — the row count is the ONLY regression signal these
+        queries have, so it must be re-sampled at low frequency rather
+        than never.
+    6. rows-only with a RECENT driver row (retired while fresh: within
+       REFRESH_AFTER rounds a re-seat displaces a hash-verifiable query
+       for zero new evidence — r6's defect)
 
 Ties inside each tier break by registration order (the order the
 ``@query`` decorators ran — stable across rotations by construction).
@@ -50,6 +58,10 @@ from pathlib import Path
 
 # the driver checks exactly this many registry entries per round
 WINDOW = 50
+
+# a retired rows-only query re-enters the window once its newest driver
+# row is this many rounds stale (tier 5b — see module docstring)
+REFRESH_AFTER = 6
 
 
 def load_ledger(root: str | os.PathLike | None = None) -> dict[int, dict]:
@@ -99,7 +111,9 @@ def compute_gate_priority(
     never_rows_only: list[str] = []
     once: list[tuple[int, int, str]] = []  # (green_round, reg, name)
     durable: list[tuple[int, int, str]] = []  # (last_green, reg, name)
+    stale_rows_only: list[tuple[int, int, str]] = []  # (last_seen, reg, name)
     retired_rows_only: list[str] = []
+    latest_round = max(rounds) if rounds else 0
 
     for name in registration_order:
         appearances = {
@@ -117,13 +131,20 @@ def compute_gate_priority(
             # An appearance WITHOUT a row count (the run errored before
             # counting) is not evidence: the query stays in tier 3 so the
             # driver can still capture its first row count.
-            if any(
-                r.get("spark_rows") is not None
-                for r in appearances.values()
-            ):
-                retired_rows_only.append(name)
-            else:
+            counted = [
+                rn
+                for rn, r in appearances.items()
+                if r.get("spark_rows") is not None
+            ]
+            if not counted:
                 never_rows_only.append(name)
+            elif latest_round - max(counted) >= REFRESH_AFTER:
+                # tier 5b: the recorded count has gone stale — re-sample
+                # so a cardinality-changing code regression can't hide
+                # behind permanent retirement (r7 advice)
+                stale_rows_only.append((max(counted), reg_pos[name], name))
+            else:
+                retired_rows_only.append(name)
             continue
         greens = sorted(
             rn for rn, row in appearances.items() if _row_green(row, backed)
@@ -141,6 +162,7 @@ def compute_gate_priority(
         + never_rows_only
         + [n for _, _, n in sorted(once)]
         + [n for _, _, n in sorted(durable)]
+        + [n for _, _, n in sorted(stale_rows_only)]
         + retired_rows_only
     )
     return ordered[:window]

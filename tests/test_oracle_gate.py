@@ -134,16 +134,25 @@ def test_driver_window_integrity():
     )
 
     # a rows-only member may hold a slot ONLY until its first recorded
-    # row count (its evidence ceiling); an errored appearance without a
-    # count is not evidence and may re-seat
-    counted = {
+    # row count (its evidence ceiling) — until that count goes STALE
+    # (>= REFRESH_AFTER rounds old), at which point tier 5b re-samples
+    # it so a cardinality-changing regression can't hide behind
+    # permanent retirement (r7 advice). An errored appearance without a
+    # count is not evidence and may re-seat at any time.
+    latest = max(ledger)
+    last_count = {}
+    for rnd, rows in ledger.items():
+        for n, row in rows.items():
+            if row.get("spark_rows") is not None:
+                last_count[n] = max(last_count.get(n, 0), rnd)
+    fresh_rows_only = [
         n
-        for rnd in ledger.values()
-        for n, row in rnd.items()
-        if row.get("spark_rows") is not None
-    }
-    stale_rows_only = [n for n in win if n not in ORACLES and n in counted]
-    assert not stale_rows_only, stale_rows_only
+        for n in win
+        if n not in ORACLES
+        and n in last_count
+        and latest - last_count[n] < rotation.REFRESH_AFTER
+    ]
+    assert not fresh_rows_only, fresh_rows_only
 
 
 def test_rotation_rule_readmits_reds_first():
