@@ -310,3 +310,60 @@ def gopher_quality_rules(
         f_stop.alias("f_stop"),
         (f_wc & f_mean & f_sym & f_alpha & f_stop).alias("keep"),
     )
+
+
+def route_by_language(
+    docs: DataFrame,
+    policy: DataFrame,
+    *,
+    lang_col: str = "lang_pred",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    policy_lang_col: str = "lang",
+    min_score_col: str = "min_score",
+    n_shards_col: str = "n_shards",
+    default_min_score: float = 0.55,
+    default_n_shards: int = 1,
+) -> DataFrame:
+    """Per-language corpus routing — the standard multilingual pipeline
+    stage downstream of language ID: each language gets its OWN quality
+    threshold (a single global cut systematically over-drops
+    low-resource languages whose heuristic scores skew lower) and its
+    own shard space (shards ∝ the language's corpus share, so
+    per-language output files stay balanced).
+
+    ``policy`` is the per-LANGUAGE dimension (policy_lang_col,
+    min_score_col, n_shards_col) — tens to hundreds of rows against a
+    corpus of billions, so it arrives via broadcast join; languages
+    absent from the policy (e.g. 'und') fall back to
+    ``default_min_score`` / ``default_n_shards``. Adds/replaces:
+
+    - ``keep``: score_col >= the language's min score,
+    - ``shard``: id_col mod the language's shard count (deterministic,
+      engine-portable — no hash function dependence).
+
+    Zero added shuffles: broadcast join + one projection; composes after
+    lang_id + any scorer sharing the score column contract."""
+    from pyspark.sql.functions import broadcast
+
+    taken = set(docs.columns)
+    lj, mn, ns = "__lang", "__min_score", "__n_shards"
+    while lj in taken or mn in taken or ns in taken:
+        lj, mn, ns = lj + "_", mn + "_", ns + "_"
+    dim = policy.select(
+        F.col(policy_lang_col).alias(lj),
+        F.col(min_score_col).alias(mn),
+        F.col(n_shards_col).alias(ns),
+    )
+    joined = docs.join(
+        broadcast(dim), docs[lang_col] == dim[lj], "left"
+    )
+    eff_min = F.coalesce(F.col(mn), F.lit(float(default_min_score)))
+    eff_shards = F.coalesce(F.col(ns), F.lit(int(default_n_shards)))
+    return (
+        joined.withColumn("keep", F.col(score_col) >= eff_min)
+        .withColumn(
+            "shard", F.pmod(F.col(id_col), eff_shards).cast("long")
+        )
+        .drop(lj, mn, ns)
+    )

@@ -167,6 +167,113 @@ def extract_sitemap_locs(
     )
 
 
+# a sitemaps.org file is EITHER an index (<sitemapindex> of <sitemap>
+# entries pointing at other sitemap FILES) or a urlset (<urlset> of
+# <url> entries pointing at PAGES) — never mixed, so the document's
+# root tag classifies every <loc> inside it (protocol guarantee; this
+# avoids per-entry scoping regexes, which RE2/Java-without-lookaround
+# cannot express)
+SITEMAP_INDEX_RE = r"(?is)<sitemapindex[\s>]"
+
+
+def resolve_sitemap_index(
+    sitemaps: DataFrame,
+    *,
+    url_col: str = "url",
+    xml_col: str = "xml",
+    out_col: str = "loc",
+) -> DataFrame:
+    """Resolve one level of ``<sitemapindex>`` indirection over a fetched
+    sitemap corpus (sitemaps.org protocol: an index lists child sitemap
+    FILES, each child a ``<urlset>`` of page URLs; indexes may not nest,
+    so one resolution level is the protocol-complete depth).
+
+    Input: one row per fetched sitemap document ``(url_col, xml_col)``.
+    Output: one row per discovered PAGE URL — ``root_url`` (the sitemap
+    the crawl started from), ``out_col`` (the page), and ``depth``
+    (0 = the root was itself a urlset; 1 = the page came from a child
+    urlset listed by a root index). Child references whose document is
+    missing from the corpus contribute nothing (an unfetched child has
+    no pages to discover); a child that is itself an index is dropped —
+    the protocol forbids nested indexes, and bounding the walk keeps the
+    plan static.
+
+    Scale shape: classification and both extractions are zero-shuffle
+    projections; the ONE shuffle is the child-loc -> corpus equi-join on
+    the canonical URL string (broadcastable when the index side is small,
+    AQE decides). No driver loop, no recursion — depth is fixed by the
+    protocol, so the whole resolution is a static two-branch union."""
+    is_index = F.coalesce(F.col(xml_col), F.lit("")).rlike(SITEMAP_INDEX_RE)
+    tagged = sitemaps.select(
+        F.col(url_col).alias("__sm_url"),
+        F.col(xml_col).alias("__sm_xml"),
+        is_index.alias("__sm_is_index"),
+    )
+    locs = extract_sitemap_locs(
+        tagged,
+        xml_col="__sm_xml",
+        keep_cols=("__sm_url", "__sm_is_index"),
+        out_col="__sm_loc",
+    )
+    # depth 0: the root document is a urlset — its locs ARE pages
+    pages0 = locs.filter(~F.col("__sm_is_index")).select(
+        F.col("__sm_url").alias("root_url"),
+        F.col("__sm_loc").alias(out_col),
+        F.lit(0).alias("depth"),
+    )
+    # depth 1: root is an index — join each child loc to the corpus and
+    # extract pages from child documents that are themselves urlsets
+    children = locs.filter(F.col("__sm_is_index")).select(
+        F.col("__sm_url").alias("root_url"),
+        F.col("__sm_loc").alias("__child_url"),
+    )
+    child_docs = children.join(
+        tagged.filter(~F.col("__sm_is_index")),
+        children["__child_url"] == tagged["__sm_url"],
+    ).select("root_url", "__sm_xml")
+    pages1 = extract_sitemap_locs(
+        child_docs,
+        xml_col="__sm_xml",
+        keep_cols=("root_url",),
+        out_col=out_col,
+    ).select("root_url", out_col, F.lit(1).alias("depth"))
+    return pages0.unionByName(pages1)
+
+
+# RSS 2.0 carries the link as element TEXT (<link>url</link>); Atom as
+# an attribute (<link href="url"/>). Both in the RE2/Java common subset.
+RSS_LINK_RE = r"(?is)<link\s*>\s*(.*?)\s*</link\s*>"
+ATOM_LINK_RE = r'(?is)<link\b[^>]*\bhref\s*=\s*"([^"]*)"'
+
+
+def extract_feed_links(
+    df: DataFrame,
+    *,
+    xml_col: str = "xml",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    out_col: str = "link",
+) -> DataFrame:
+    """One row per link URL in an RSS 2.0 / Atom feed document — the
+    third crawl-discovery feed besides page links and sitemaps. Matches
+    BOTH syndication dialects in one pass: RSS text-content ``<link>``
+    elements (item and channel links alike — channel links are
+    legitimate frontier URLs, documented contract) and Atom ``<link
+    href="...">`` attributes, RSS matches first, each entity-decoded.
+    Zero-shuffle: two regexp_extract_all arrays concatenated and
+    exploded, one projection end to end — same plan family as
+    extract_links/extract_sitemap_locs, and the output column feeds the
+    canonicalize_url -> robots_filter -> dedup_url chain unchanged."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    both = F.concat(
+        F.regexp_extract_all(xml, F.lit(RSS_LINK_RE), F.lit(1)),
+        F.regexp_extract_all(xml, F.lit(ATOM_LINK_RE), F.lit(1)),
+    )
+    df = df.select(*keep_cols, F.explode(both).alias("__raw"))
+    return df.select(
+        *keep_cols, decode_entities(F.col("__raw")).alias(out_col)
+    )
+
+
 def extract_links(
     df: DataFrame,
     *,

@@ -9022,6 +9022,379 @@ def text_sitemap_locs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_sitemap_locs(sitemaps)
 
 
+# the SQL mirror of operators/html.decode_entities ('&amp;' last)
+def _decode_ent_sql(col: str) -> str:
+    return (
+        "replace(replace(replace(replace(replace(replace(" + col + ", "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+        "'&nbsp;', ' '), '&amp;', '&')"
+    )
+
+
+# --- sitemap-index recursion + RSS/Atom feeds (crawl discovery, r8) -------
+
+# Sitemap corpus: every doc is a fetched <urlset> file smD.xml with two
+# page locs (one carrying the protocol-required &amp; escaping); every
+# 20th doc ALSO contributes an index file idxD.xml listing the child
+# sitemaps smD.xml and sm(D+1).xml — the (D+1) child is missing from the
+# corpus when D+1 >= n_docs, exercising the unresolved-reference path in
+# both engines identically (the join drops it).
+
+
+def _synth_sitemap_corpus_df(docs: DataFrame) -> DataFrame:
+    h = (F.col("doc_id") % 200).cast("string")
+    d = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://host"), h, F.lit(".example.com"))
+    urlsets = docs.select(
+        F.concat(base, F.lit("/sm"), d, F.lit(".xml")).alias("url"),
+        F.concat(
+            F.lit("<urlset><url><loc>"), base, F.lit("/p"), d,
+            F.lit("</loc></url><url><loc>"), base,
+            F.lit("/q?a=1&amp;b="), (F.col("doc_id") % 5).cast("string"),
+            F.lit("</loc></url></urlset>"),
+        ).alias("xml"),
+    )
+    idx = docs.filter(F.col("doc_id") % 20 == 0)
+    h1 = ((F.col("doc_id") + 1) % 200).cast("string")
+    d1 = (F.col("doc_id") + 1).cast("string")
+    indexes = idx.select(
+        F.concat(base, F.lit("/idx"), d, F.lit(".xml")).alias("url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), base, F.lit("/sm"), d,
+            F.lit(".xml</loc></sitemap><sitemap><loc>http://host"), h1,
+            F.lit(".example.com/sm"), d1,
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    return urlsets.unionByName(indexes)
+
+
+_SITEMAP_CORPUS_SQL = """
+      SELECT 'http://host' || CAST(doc_id % 200 AS VARCHAR)
+               || '.example.com/sm' || CAST(doc_id AS VARCHAR)
+               || '.xml' AS url,
+             '<urlset><url><loc>http://host'
+               || CAST(doc_id % 200 AS VARCHAR) || '.example.com/p'
+               || CAST(doc_id AS VARCHAR)
+               || '</loc></url><url><loc>http://host'
+               || CAST(doc_id % 200 AS VARCHAR) || '.example.com/q?a=1&amp;b='
+               || CAST(doc_id % 5 AS VARCHAR)
+               || '</loc></url></urlset>' AS xml
+      FROM documents
+      UNION ALL
+      SELECT 'http://host' || CAST(doc_id % 200 AS VARCHAR)
+               || '.example.com/idx' || CAST(doc_id AS VARCHAR)
+               || '.xml',
+             '<sitemapindex><sitemap><loc>http://host'
+               || CAST(doc_id % 200 AS VARCHAR) || '.example.com/sm'
+               || CAST(doc_id AS VARCHAR)
+               || '.xml</loc></sitemap><sitemap><loc>http://host'
+               || CAST((doc_id + 1) % 200 AS VARCHAR) || '.example.com/sm'
+               || CAST(doc_id + 1 AS VARCHAR)
+               || '.xml</loc></sitemap></sitemapindex>'
+      FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+_SITEMAP_LOC_DECODED_SQL = _decode_ent_sql(
+    "trim(UNNEST(regexp_extract_all(xml,"
+    " '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1)))"
+)
+
+
+@query(
+    "text_sitemap_index_resolve",
+    f"""
+    WITH smdocs AS ({_SITEMAP_CORPUS_SQL}),
+    tagged AS (
+      SELECT url, xml,
+             regexp_matches(xml, '(?is)<sitemapindex[\\s>]') AS is_index
+      FROM smdocs
+    ),
+    locs AS (
+      SELECT url, is_index,
+             {_SITEMAP_LOC_DECODED_SQL} AS loc
+      FROM tagged
+    ),
+    pages0 AS (
+      SELECT url AS root_url, loc, 0 AS depth
+      FROM locs WHERE NOT is_index
+    ),
+    child_pages AS (
+      SELECT c.url AS root_url, l.loc, 1 AS depth
+      FROM locs c JOIN locs l ON l.url = c.loc AND NOT l.is_index
+      WHERE c.is_index
+    )
+    SELECT root_url, loc, depth FROM pages0
+    UNION ALL
+    SELECT root_url, loc, depth FROM child_pages
+    """,
+)
+def text_sitemap_index_resolve_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-level <sitemapindex> resolution over a fetched sitemap corpus
+    (operators/html.resolve_sitemap_index): root-tag classification, page
+    locs from urlsets at depth 0, child-loc -> corpus equi-join pulling
+    pages from indexed child urlsets at depth 1, missing children
+    dropped. The protocol forbids nested indexes, so depth 1 is the
+    complete walk — no driver loop. Classification + extraction are
+    zero-shuffle projections; the resolution join is the one exchange."""
+    from erigon_extract_spark.operators.html import resolve_sitemap_index
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = _synth_sitemap_corpus_df(docs)
+    return resolve_sitemap_index(corpus)
+
+
+# Feed corpus: even docs publish RSS 2.0 (channel link + two item links,
+# one whitespace-padded with conformant &amp; escaping), odd docs publish
+# Atom (self link + two entry links, one with &amp; and one upper-cased
+# tag) — both syndication dialects under one extractor.
+
+
+def _synth_feeds_df(docs: DataFrame) -> DataFrame:
+    h = (F.col("doc_id") % 200).cast("string")
+    d = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://host"), h, F.lit(".example.com"))
+    rss = F.concat(
+        F.lit("<rss><channel><link>"), base,
+        F.lit("/</link><item><title>t</title><link> "), base,
+        F.lit("/r"), d, F.lit("?a=1&amp;b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" </link></item><item><link>"), base, F.lit("/s"), d,
+        F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><link href="'), base,
+        F.lit('/feed.xml" rel="self"/><entry><link href="'), base,
+        F.lit("/e"), d, F.lit("?x=1&amp;y="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"/></entry><entry><LINK HREF="'), base, F.lit("/f"), d,
+        F.lit('"/></entry></feed>'),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+
+
+_FEEDS_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               '<rss><channel><link>http://host'
+                 || CAST(doc_id % 200 AS VARCHAR)
+                 || '.example.com/</link><item><title>t</title><link> http://host'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.example.com/r'
+                 || CAST(doc_id AS VARCHAR) || '?a=1&amp;b='
+                 || CAST(doc_id % 5 AS VARCHAR)
+                 || ' </link></item><item><link>http://host'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.example.com/s'
+                 || CAST(doc_id AS VARCHAR)
+                 || '</link></item></channel></rss>'
+             ELSE
+               '<feed><link href="http://host'
+                 || CAST(doc_id % 200 AS VARCHAR)
+                 || '.example.com/feed.xml" rel="self"/><entry><link href="http://host'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.example.com/e'
+                 || CAST(doc_id AS VARCHAR) || '?x=1&amp;y='
+                 || CAST(doc_id % 7 AS VARCHAR)
+                 || '"/></entry><entry><LINK HREF="http://host'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.example.com/f'
+                 || CAST(doc_id AS VARCHAR) || '"/></entry></feed>'
+             END AS xml
+      FROM documents
+"""
+
+_FEED_LINKS_CTES = f"""
+    rawfeed AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(xml,
+               '(?is)<link\\s*>\\s*(.*?)\\s*</link\\s*>', 1)) AS raw
+      FROM feeds
+      UNION ALL
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(xml,
+               '(?is)<link\\b[^>]*\\bhref\\s*=\\s*"([^"]*)"', 1))
+      FROM feeds
+    ),
+    feedlinks AS (
+      SELECT doc_id, {_decode_ent_sql("raw")} AS link FROM rawfeed
+    )
+"""
+
+
+@query(
+    "text_feed_links",
+    f"""
+    WITH feeds AS ({_FEEDS_SQL}),
+    {_FEED_LINKS_CTES}
+    SELECT doc_id, link FROM feedlinks
+    """,
+)
+def text_feed_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom link extraction (operators/html.extract_feed_links) —
+    the third crawl-discovery feed: RSS text-content <link> elements and
+    Atom <link href> attributes in one pass, entity-decoded and
+    whitespace-trimmed. Zero-shuffle: two regexp_extract_all arrays
+    concatenated and exploded in a single projection."""
+    from erigon_extract_spark.operators.html import extract_feed_links
+
+    docs = _load(spark, sf_dir, "documents")
+    return extract_feed_links(_synth_feeds_df(docs))
+
+
+@query(
+    "corpus_feed_frontier",
+    f"""
+    WITH feeds AS ({_FEEDS_SQL}),
+    {_FEED_LINKS_CTES},
+    urls AS (SELECT doc_id, 0 AS variant, link AS url FROM feedlinks),
+    {_URL_CANON_CTES}
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           MIN(doc_id) AS keep_doc
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def corpus_feed_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feed-discovery frontier end to end: RSS/Atom corpus ->
+    extract_feed_links -> canonicalize_url -> URL dedup (dedup_url's
+    one-hash-exchange shape; keeper = smallest doc_id). Witnesses that
+    the feed extractor's output column feeds the existing frontier chain
+    unchanged — channel/self links shared by same-host feeds collapse to
+    one frontier row here, exactly the pre-fetch dedup a crawl wants."""
+    from erigon_extract_spark.operators.html import extract_feed_links
+    from erigon_extract_spark.operators.urls import canonicalize_url
+
+    docs = _load(spark, sf_dir, "documents")
+    links = extract_feed_links(_synth_feeds_df(docs))
+    return (
+        links.select(
+            canonicalize_url(F.col("link")).alias("canonical_url"),
+            "doc_id",
+        )
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+# --- per-language corpus routing (multilingual curation, r8) --------------
+
+# Per-language policy: thresholds straddle the classifier's 0.5 center
+# so the keep decision genuinely flips BY LANGUAGE (en keeps more, de
+# keeps less than a global 0.5 cut would); shard counts differ so the
+# routing arithmetic is exercised per language. 'und' is deliberately
+# absent — it exercises the default fallback path.
+_LANG_POLICY = [
+    ("en", 0.48, 4),
+    ("de", 0.52, 2),
+    ("fr", 0.50, 2),
+    ("es", 0.50, 3),
+]
+
+_LANG_POLICY_SQL = ", ".join(
+    f"('{lang}', {ms}, {ns})" for lang, ms, ns in _LANG_POLICY
+)
+
+
+@query(
+    "corpus_route_by_language",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(lower(text), '[^a-z0-9'']+'),
+               x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+        len(list_filter(w, t -> list_contains(
+          ['the','and','of','to','in','is','that','it','for','was'], t))) AS en,
+        len(list_filter(w, t -> list_contains(
+          ['der','die','und','das','ist','nicht','ein','mit','auf','zu'], t))) AS de,
+        len(list_filter(w, t -> list_contains(
+          ['le','la','les','et','de','un','une','est','que','pour'], t))) AS fr,
+        len(list_filter(w, t -> list_contains(
+          ['el','la','los','de','que','y','en','un','una','es'], t))) AS es
+      FROM toks
+    ),
+    langd AS (
+      SELECT doc_id,
+             CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                  WHEN de >= fr AND de >= es THEN 'de'
+                  WHEN fr >= es THEN 'fr'
+                  ELSE 'es' END AS lang_pred
+      FROM votes
+    ),
+    ctok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+               )) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    cw AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024)
+               * 2654435761 % 2001 - 1000 AS w
+      FROM ctok
+    ),
+    cagg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS weight_sum
+      FROM cw GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(0.5 + (0.5 * (CAST(weight_sum AS DOUBLE)
+                                 / CAST(n_tokens * 1000 AS DOUBLE)))
+                         / (1.0 + abs(CAST(weight_sum AS DOUBLE)
+                                      / CAST(n_tokens * 1000 AS DOUBLE))), 6)
+               AS quality_score
+      FROM cagg
+    ),
+    policy (lang, min_score, n_shards) AS (VALUES {_LANG_POLICY_SQL})
+    SELECT s.doc_id, l.lang_pred, s.quality_score,
+           s.quality_score >= COALESCE(p.min_score, 0.55) AS keep,
+           s.doc_id % COALESCE(p.n_shards, 1) AS shard
+    FROM scored s
+    JOIN langd l USING (doc_id)
+    LEFT JOIN policy p ON p.lang = l.lang_pred
+    """,
+)
+def corpus_route_by_language_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multilingual pipeline stage (operators/curation.
+    route_by_language): lang_id vote -> model-based quality score ->
+    per-LANGUAGE keep threshold + shard assignment via a broadcast
+    policy dimension, with a default fallback for languages absent from
+    the policy ('und' here). The per-language cut is the standard fix
+    for a global threshold over-dropping languages whose heuristic
+    scores skew lower. Plan: lang projection is zero-shuffle, the
+    classifier is one doc-key shuffle, the policy join is broadcast —
+    the thin (doc, lang) join is the only extra exchange."""
+    from erigon_extract_spark.operators import text as tx
+    from erigon_extract_spark.operators.curation import route_by_language
+    from erigon_extract_spark.operators.text import hashed_linear_quality
+
+    docs = _load(spark, sf_dir, "documents")
+    langd = docs.select(
+        "doc_id", tx.lang_id(F.col("text")).alias("lang_pred")
+    )
+    scored = hashed_linear_quality(docs)
+    policy = spark.createDataFrame(
+        _LANG_POLICY, "lang string, min_score double, n_shards int"
+    )
+    routed = route_by_language(scored.join(langd, "doc_id"), policy)
+    return routed.select(
+        "doc_id", "lang_pred", "quality_score", "keep", "shard"
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

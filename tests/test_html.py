@@ -139,3 +139,106 @@ def test_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
     plan = html_extract_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection: map-stage only
+
+
+def test_resolve_sitemap_index(spark):
+    from erigon_extract_spark.operators.html import resolve_sitemap_index
+
+    idx = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>http://h.com/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>http://h.com/sm2.xml</loc></sitemap>"
+        "<sitemap><loc>http://h.com/missing.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    sm1 = ("<urlset><url><loc>http://h.com/a</loc></url>"
+           "<url><loc>http://h.com/b</loc></url></urlset>")
+    sm2 = "<urlset><url><loc>http://h.com/c</loc></url></urlset>"
+    direct = "<urlset><url><loc>http://h.com/d</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [
+            ("http://h.com/index.xml", idx),
+            ("http://h.com/sm1.xml", sm1),
+            ("http://h.com/sm2.xml", sm2),
+            ("http://h.com/direct.xml", direct),
+        ],
+        "url string, xml string",
+    )
+    out = resolve_sitemap_index(df).collect()
+    rows = sorted((r["root_url"], r["loc"], r["depth"]) for r in out)
+    # direct urlsets yield their own pages at depth 0 (sm1/sm2/direct);
+    # the index yields its children's pages at depth 1; the missing
+    # child contributes nothing
+    assert rows == [
+        ("http://h.com/direct.xml", "http://h.com/d", 0),
+        ("http://h.com/index.xml", "http://h.com/a", 1),
+        ("http://h.com/index.xml", "http://h.com/b", 1),
+        ("http://h.com/index.xml", "http://h.com/c", 1),
+        ("http://h.com/sm1.xml", "http://h.com/a", 0),
+        ("http://h.com/sm1.xml", "http://h.com/b", 0),
+        ("http://h.com/sm2.xml", "http://h.com/c", 0),
+    ]
+
+
+def test_resolve_sitemap_index_nested_index_dropped(spark):
+    from erigon_extract_spark.operators.html import resolve_sitemap_index
+
+    # a child that is itself an index violates the protocol's no-nesting
+    # rule; its pages are NOT discovered (bounded walk)
+    idx = ("<sitemapindex><sitemap><loc>http://h.com/sub.xml</loc>"
+           "</sitemap></sitemapindex>")
+    sub = ("<sitemapindex><sitemap><loc>http://h.com/leaf.xml</loc>"
+           "</sitemap></sitemapindex>")
+    leaf = "<urlset><url><loc>http://h.com/x</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [
+            ("http://h.com/root.xml", idx),
+            ("http://h.com/sub.xml", sub),
+            ("http://h.com/leaf.xml", leaf),
+        ],
+        "url string, xml string",
+    )
+    out = resolve_sitemap_index(df).collect()
+    rows = sorted((r["root_url"], r["loc"], r["depth"]) for r in out)
+    assert rows == [
+        ("http://h.com/leaf.xml", "http://h.com/x", 0),
+        ("http://h.com/sub.xml", "http://h.com/x", 1),
+    ]
+
+
+def test_extract_feed_links_rss_and_atom(spark):
+    from erigon_extract_spark.operators.html import extract_feed_links
+
+    rss = (
+        "<rss><channel><link>http://h.com/</link>"
+        "<item><title>t1</title><link> http://h.com/p1?a=1&amp;b=2 "
+        "</link></item>"
+        "<item><link>http://h.com/p2</link></item></channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<link href="http://h.com/feed" rel="self"/>'
+        '<entry><link href="http://h.com/e1?x=1&amp;y=2"/></entry>'
+        '<entry><LINK HREF="http://h.com/e2"/></entry></feed>'
+    )
+    df = spark.createDataFrame(
+        [(1, rss), (2, atom)], "doc_id long, xml string"
+    )
+    out = extract_feed_links(df).collect()
+    got = sorted((r["doc_id"], r["link"]) for r in out)
+    assert got == [
+        (1, "http://h.com/"),
+        (1, "http://h.com/p1?a=1&b=2"),
+        (1, "http://h.com/p2"),
+        (2, "http://h.com/e1?x=1&y=2"),
+        (2, "http://h.com/e2"),
+        (2, "http://h.com/feed"),
+    ]
+
+
+def test_feed_and_sitemap_extracts_zero_shuffle(spark):
+    from erigon_extract_spark.operators.html import extract_feed_links
+
+    df = spark.createDataFrame([(1, "<rss/>")], "doc_id long, xml string")
+    plan = extract_feed_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
