@@ -399,6 +399,70 @@ def extract_gif_frames(
     )
 
 
+def extract_video_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL frame sampling from MJPEG-in-AVI video (functions/avi.py
+    container walk + functions/jpeg.py baseline decode per frame): one
+    output row per sampled timestamp, carrying the decoded frame
+    re-encoded as PNG — the video-to-image-training-examples stage,
+    sharing extract_gif_frames' output contract (FRAMES_SCHEMA) so
+    downstream aHash/resize/near-dup operators compose unchanged.
+
+    Timeline contract (the GIF path's, with fixed frame duration): AVI
+    frame i is visible over [i*frame_ms, (i+1)*frame_ms); ticks run
+    every ``every_ms`` over [0, n_frames*frame_ms); the emitted frame
+    is the one visible at the tick. One JPEG decode + PNG encode per
+    DISTINCT sampled frame (cached), not per tick.
+
+    Same Arrow-batched mapInPandas envelope and per-payload quarantine
+    as the other media kernels — one malformed container or frame fills
+    decode_error, never fails the job. Scale shape: pure map stage,
+    zero shuffles (the multimodal_png_scale 100x probe's plan family)."""
+    from erigon_extract_spark.functions.avi import decode_avi_mjpeg
+    from erigon_extract_spark.functions.jpeg import decode_jpeg
+    from erigon_extract_spark.functions.png import encode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 "null payload"))
+                    continue
+                try:
+                    w, h, frame_us, frames = decode_avi_mjpeg(
+                        bytes(payload)
+                    )
+                    frame_ms = max(frame_us // 1000, 1)
+                    total = len(frames) * frame_ms
+                    png_cache: dict[int, bytearray] = {}
+                    for k, ts in enumerate(range(0, total, every_ms)):
+                        fi = min(ts // frame_ms, len(frames) - 1)
+                        if fi not in png_cache:
+                            img = decode_jpeg(frames[fi])
+                            png_cache[fi] = bytearray(encode_png(img))
+                        rows.append(
+                            (doc_id, k, ts, w, h, png_cache[fi], None)
+                        )
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append((doc_id, None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_ts_ms", "width",
+                         "height", "payload", "decode_error"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
+    )
+
+
 def ahash_from_png(
     images: DataFrame, id_col: str = "img_id", png_col: str = "png"
 ) -> DataFrame:
