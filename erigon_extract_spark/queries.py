@@ -41,6 +41,12 @@ from erigon_extract_spark.operators.windows import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# per-artifact build serialization for _cached_artifact (see its docstring)
+import threading as _threading  # noqa: E402
+
+_ARTIFACT_LOCKS: dict = {}
+_ARTIFACT_LOCKS_GUARD = _threading.Lock()
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -123,10 +129,21 @@ def _cached_artifact(sf_dir: str, src_table: str, family: str,
     killed build never leaves a partial artifact at the final path. A
     failed rename is tolerated ONLY when the final artifact actually
     exists (a lost build race); any other failure re-raises instead of
-    silently deleting the fresh build and querying nothing."""
+    silently deleting the fresh build and querying nothing.
+
+    Same-PROCESS concurrency is serialized per artifact: the gate mirror
+    runs queries on a 6-thread pool, and when two queries share an
+    artifact (the bucketed-table pair was the first), two threads
+    building into a pid-keyed tmp dir stomp each other's in-flight write
+    (observed as a FileNotFoundException inside the Spark file commit).
+    A per-final-path lock makes the second thread wait and then find the
+    finished artifact; the tmp suffix also carries the thread id so even
+    un-serialized callers can never collide in-process. Cross-PROCESS
+    races remain handled by the rename-race tolerance above."""
     import hashlib
     import os
     import tempfile
+    import threading
 
     src = os.path.join(os.path.abspath(sf_dir), f"{src_table}.parquet")
     st = os.stat(src)
@@ -140,25 +157,28 @@ def _cached_artifact(sf_dir: str, src_table: str, family: str,
     if os.stat(root).st_uid != os.getuid():
         raise RuntimeError(f"cache dir {root} owned by another user")
     final = os.path.join(root, f"{family}_{tag}")
-    if not os.path.isdir(final):
-        tmp_dir = f"{final}.build.{os.getpid()}"
-        try:
-            build(tmp_dir)
-        except BaseException:
-            # a failed build must not leak a partial .build.<pid> dir
-            # into the uid cache (one per retry, forever)
-            import shutil
+    with _ARTIFACT_LOCKS_GUARD:
+        lock = _ARTIFACT_LOCKS.setdefault(final, threading.Lock())
+    with lock:
+        if not os.path.isdir(final):
+            tmp_dir = f"{final}.build.{os.getpid()}.{threading.get_ident()}"
+            try:
+                build(tmp_dir)
+            except BaseException:
+                # a failed build must not leak a partial .build.* dir
+                # into the uid cache (one per retry, forever)
+                import shutil
 
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            raise
-        try:
-            os.rename(tmp_dir, final)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            if not os.path.isdir(final):  # not a lost race — surface it
+                shutil.rmtree(tmp_dir, ignore_errors=True)
                 raise
+            try:
+                os.rename(tmp_dir, final)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                if not os.path.isdir(final):  # not a lost race — surface it
+                    raise
     return final
 
 
@@ -6048,6 +6068,98 @@ def source_jsonl_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean, _bad = split_quarantine(read_documents_jsonl(spark, str(path)))
     return clean.select(
         "doc_id", "lang", "source", "n_chars", F.length("text").alias("text_len")
+    )
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Build-once (uid artifact cache) + per-session catalog registration
+    of the bucketed orders/customer pair: 8 buckets on the custkey join
+    key, sorted within bucket, one file per bucket (sources/bucketed.py).
+
+    The autoBucketedScan conf is decided at PHYSICAL planning — which is
+    lazy, after this function returns — so it must stay set on the
+    session rather than save/restored here. ``false`` means "always scan
+    with the bucketed layout", which is what enables both the
+    zero-Exchange join and SelectedBucketsCount pruning; it affects only
+    catalog bucketed-table scans, and these queries are their sole users.
+    """
+    import os
+
+    from erigon_extract_spark.sources.bucketed import (
+        register_bucketed,
+        write_bucketed,
+    )
+
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    out = []
+    for table, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        df = _load(spark, sf_dir, table)
+        parent = _cached_artifact(
+            sf_dir, table, "bkt", f"key={key},n=8",
+            lambda tmp, df=df, key=key: write_bucketed(
+                df, os.path.join(tmp, "data"), key, 8, [key]
+            ),
+        )
+        tag = os.path.basename(parent).rsplit("_", 1)[-1]
+        out.append(
+            register_bucketed(
+                spark, f"bkt_{table}_{tag}", os.path.join(parent, "data"),
+                df, key, 8, [key],
+            )
+        )
+    return out
+
+
+@query(
+    "source_bucketed_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def source_bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over two catalog-registered bucketed tables — the
+    Spark analog of the reference's sorted-table merge join
+    (erigon_extract.c's co-ordered scans): both sides bucketed INTO the
+    same 8 on the join key, so the sort-merge join runs with ZERO
+    Exchange on either side (plan-tested with broadcast disabled,
+    tests/test_bucketed.py). At 100 TB this converts the per-job
+    corpus-sized shuffle into a one-time bucketed write. The hash gate
+    proves the bucketed write+catalog round trip is value-lossless."""
+    orders, customer = _bucketed_tables(spark, sf_dir)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+        )
+    )
+
+
+@query(
+    "source_bucketed_pointlookup",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def source_bucketed_pointlookup_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucket-pruned point lookup on the bucketed customer table: an
+    equality predicate on the bucket column reads 1/8 of the files
+    (``SelectedBucketsCount: 1 out of 8`` — plan-tested), the no-index
+    analog of the reference's MDBX B-tree point GET (S1 family,
+    erigon_extract.c). Key 42 exists at every shipped SF."""
+    _, customer = _bucketed_tables(spark, sf_dir)
+    return customer.filter(F.col("c_custkey") == 42).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
 
 
