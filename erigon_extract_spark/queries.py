@@ -6071,6 +6071,43 @@ def source_jsonl_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _csv_oracle_sql() -> str:
+    # Same read-only-import discipline as _jsonl_oracle_sql: only the path
+    # literal is needed at import time; the query function materializes
+    # the fixture at execution.
+    from erigon_extract_spark.sources.csvfile import SAMPLE_PATH
+
+    cols = (
+        "{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', "
+        "'source': 'VARCHAR', 'n_chars': 'BIGINT'}"
+    )
+    return f"""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM read_csv('{SAMPLE_PATH}', header=true, columns={cols})
+    """
+
+
+@query("source_csv_documents", _csv_oracle_sql())
+def source_csv_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest under the hash gate: explicit contract schema (no
+    inference pass), RFC 4180 doubled-quote escaping (Spark's backslash
+    default would mis-parse every standard CSV producer's output —
+    sources/csvfile.py), splittable single-line records (no multiLine),
+    PERMISSIVE quarantine. The fixture's text fields all embed commas and
+    every 5th embeds doubled quotes, so the gate hashes the quoting
+    corners, not just the happy path. Corrupt-line routing is exercised
+    in tests/test_csv_source.py."""
+    from erigon_extract_spark.sources.csvfile import (
+        ensure_sample,
+        read_documents_csv,
+        split_quarantine,
+    )
+
+    path = ensure_sample()
+    clean, _bad = split_quarantine(read_documents_csv(spark, str(path)))
+    return clean.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     """Build-once (uid artifact cache) + per-session catalog registration
     of the bucketed orders/customer pair: 8 buckets on the custkey join
