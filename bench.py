@@ -81,6 +81,10 @@ HEADLINE = [
     "dedup_url",  # canonicalize + one hash-agg frontier dedup
     "text_topk_ngrams",  # count agg + TakeOrderedAndProject top-50
     "graph_pagerank_web",  # links->host edges->10 integer PR iterations
+    # --- round-8 additions ---
+    "source_bucketed_join",  # zero-Exchange co-located bucketed SMJ
+    "multimodal_video_frames",  # AVI walk + JPEG frame decode + PNG re-encode
+    "corpus_route_by_language",  # lang-id + broadcast policy routing
 ]
 
 
@@ -223,6 +227,7 @@ def main() -> None:
         "erigon_state_history", "ref_dialect_decode",
         "erigon_transpose_scale", "dedup_scale", "keccak_scale",
         "curation_scale", "multimodal_png_scale",
+        "multimodal_video_frames",  # fixed 20-doc synthetic AVI fixture
     }
     # output-bound: the band self-join's pair count is a DATA property
     # (pairs ∝ per-key density x band x rows — operators/rangejoin.py

@@ -6200,6 +6200,68 @@ def source_bucketed_pointlookup_q(
     )
 
 
+def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once hive-layout orders fact partitioned by order month —
+    the standard 100 TB time-partitioned fact layout (one directory per
+    month; a partition-column predicate never touches the other months'
+    files)."""
+    import os
+
+    parent = _cached_artifact(
+        sf_dir, "orders", "pmonth", "p=o_month",
+        lambda tmp: (
+            _load(spark, sf_dir, "orders")
+            .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.partitionBy("o_month")
+            .parquet(os.path.join(tmp, "data"))
+        ),
+    )
+    return spark.read.parquet(os.path.join(parent, "data"))
+
+
+def _quarter_dim(spark: SparkSession) -> DataFrame:
+    """Tiny month->quarter dimension (1995-2001, the fixture's date range) —
+    the date_dim of a star schema, joined on the fact's partition key."""
+    rows = [
+        (f"{y}-{m:02d}", f"{y}Q{(m - 1) // 3 + 1}")
+        for y in range(1995, 2002)
+        for m in range(1, 13)
+    ]
+    return spark.createDataFrame(rows, "o_month string, quarter string")
+
+
+@query(
+    "source_partitioned_dpp",
+    """
+    SELECT o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+    FROM (SELECT *, strftime(o_orderdate, '%Y-%m') AS o_month FROM orders)
+    WHERE o_month IN ('1996-04', '1996-05', '1996-06')
+    GROUP BY o_month
+    """,
+)
+def source_partitioned_dpp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a month-partitioned fact: the
+    quarter predicate lives on the DIMENSION, so no static filter can
+    prune the fact scan — Spark's DPP turns the broadcast dim results
+    into a runtime IN-subquery on the fact's partition column
+    (``dynamicpruningexpression`` in PartitionFilters, plan-tested in
+    tests/test_bucketed.py) and reads 3 of ~80 month directories. At
+    100 TB this is the difference between scanning a week and scanning
+    seven years. Values are integer-exact (count + bigint sum)."""
+    fact = _month_partitioned_orders(spark, sf_dir)
+    dim = _quarter_dim(spark).filter(F.col("quarter") == "1996Q2")
+    return (
+        fact.join(F.broadcast(dim), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+        )
+    )
+
+
 # Golden-value oracle: all outputs are integer-exact sums of a
 # deterministic md5-derived corpus (config-sweep verified; see
 # erigon_transpose_scale note). tokens_total = 20 tokens x 200k docs and

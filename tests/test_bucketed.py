@@ -105,3 +105,17 @@ def test_register_rejects_unsafe_identifiers(spark):
 
     with pytest.raises(ValueError):
         _ident("evil; DROP TABLE x")
+
+
+def test_dpp_runtime_prunes_fact_partitions(spark):
+    """The quarter filter sits on the dim, so only DYNAMIC pruning can
+    restrict the fact scan — assert the runtime IN-subquery reached the
+    partition filters of the month-partitioned orders scan."""
+    from erigon_extract_spark.queries import QUERIES
+
+    df = QUERIES["source_partitioned_dpp"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert df.count() == 3
