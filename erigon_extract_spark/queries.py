@@ -6262,6 +6262,73 @@ def source_partitioned_dpp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_salted_skew",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.salted_agg) under the
+    hash gate: event_type is the all-hot-keys case — a handful of values
+    owning every row, the aggregation shape AQE's skew handling does NOT
+    fix (it only splits join partitions). Salting fans each hot key over
+    16 sub-keys for the partial agg, then merges; the gate proves the
+    two-phase decomposition (count->sum, sum->sum, min/max->self) is
+    value-identical to the plain GROUP BY the oracle runs."""
+    from erigon_extract_spark.operators.skew import salted_agg
+
+    events = _load(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_event_id": F.sum("event_id"),
+            "min_user": F.min("user_id"),
+            "max_user": F.max("user_id"),
+        },
+    )
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated skew join (operators/skew.salted_join) under the
+    hash gate: the big side (events) is salted randomly, the dim side is
+    replicated across all 16 salt values, and the join runs on
+    key+salt — the no-broadcast fallback for a hot-keyed join whose dim
+    is too large to broadcast. The gate proves replication+salting emits
+    each matched row exactly once (the failure mode to fear here is
+    duplicate or lost matches, which a row count alone would miss on a
+    reshuffled dup/drop pair)."""
+    from erigon_extract_spark.operators.skew import salted_join
+
+    events = _load(spark, sf_dir, "events")
+    dim = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, dim, ["user_id"], salt_buckets=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # Golden-value oracle: all outputs are integer-exact sums of a
 # deterministic md5-derived corpus (config-sweep verified; see
 # erigon_transpose_scale note). tokens_total = 20 tokens x 200k docs and

@@ -54,6 +54,24 @@ def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_documents_csv_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_documents_csv` — same explicit
+    schema, RFC 4180 quoting, and PERMISSIVE quarantine over a directory
+    watched by Structured Streaming (the file-drop ingest pattern: a
+    crawler lands CSV shards, the stream picks each up exactly once via
+    the source's file tracking). Batch/stream parity is pinned by an
+    availableNow == batch pytest."""
+    return (
+        spark.readStream.schema(DOCUMENTS_CSV_SCHEMA)
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean rows without the quarantine column, corrupt rows) — same
     contract and SPARK-21610 caveat as sources/jsonl.split_quarantine."""

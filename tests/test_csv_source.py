@@ -64,3 +64,54 @@ def test_csv_reader_stays_splittable(spark, tmp_path):
         assert df.count() == 20000
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_csv_stream_available_now_matches_batch(spark, tmp_path):
+    """Streaming CSV ingest (file-drop pattern) over two landed shards
+    equals the batch read of the same directory — schema, quarantine,
+    and quoting behave identically in both engines."""
+    import shutil
+    import tempfile
+
+    from erigon_extract_spark.sources.csvfile import (
+        ensure_sample,
+        read_documents_csv,
+        read_documents_csv_stream,
+        split_quarantine,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    ensure_sample(d / "shard0.csv")
+    # second shard: ids offset, one corrupt line to prove quarantine
+    # flows through the stream too
+    (d / "shard1.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        '100,"late, shard",en,src9,11\n'
+        "garbage-line-without-fields\n"
+    )
+    clean_stream, _ = split_quarantine(
+        read_documents_csv_stream(spark, str(d))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_csv_")
+    try:
+        q = (
+            clean_stream.writeStream.format("memory")
+            .queryName("csv_stream_t")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    streamed = {
+        r.doc_id for r in spark.table("csv_stream_t").collect()
+    }
+    clean_batch, bad_batch = split_quarantine(
+        read_documents_csv(spark, str(d))
+    )
+    assert streamed == {r.doc_id for r in clean_batch.collect()}
+    assert 100 in streamed and len(streamed) == 51
+    assert len(bad_batch.collect()) == 1
