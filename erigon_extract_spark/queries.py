@@ -6263,6 +6263,46 @@ def source_partitioned_dpp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maintenance_compact",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def maintenance_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the hash gate: documents rewritten by
+    sources/compact.compact_parquet (range-partitioned on doc_id, sorted
+    within files so row-group min/max stats become selective again — the
+    streaming-sink maintenance job every long-running ingest needs), then
+    aggregated from the COMPACTED copy against an oracle reading the
+    ORIGINAL — proving the rewrite is value-lossless. File-count sizing
+    and the in-place-overwrite refusal are pytest'd (tests/test_cli.py,
+    tests/test_bucketing.py)."""
+    import os
+
+    from erigon_extract_spark.sources.compact import compact_parquet
+
+    parent = _cached_artifact(
+        sf_dir, "documents", "compacted", "rows=200,sort=doc_id",
+        lambda tmp: compact_parquet(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            os.path.join(tmp, "data"),
+            target_rows_per_file=200,
+            sort_cols=["doc_id"],
+        ),
+    )
+    df = spark.read.parquet(os.path.join(parent, "data"))
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
     "agg_salted_skew",
     """
     SELECT event_type,
