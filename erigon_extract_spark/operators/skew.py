@@ -18,11 +18,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_expr(
+    key_cols: Sequence[str], salt_col, salt_buckets: int
+) -> Column:
+    """Per-row salt in [0, salt_buckets). With ``salt_col`` (any per-row-
+    varying column, e.g. a unique id) the salt is DETERMINISTIC — prefer
+    it whenever one exists: monotonically_increasing_id changes when
+    Spark recomputes a lost shuffle partition (the FetchFailed retry
+    path), and a nondeterministic partitioning expression can double-
+    count or drop rows under recomputation at cluster scale. The
+    mono-id fallback remains for inputs with no distinguishing column."""
+    per_row = (
+        salt_col if salt_col is not None else F.monotonically_increasing_id()
+    )
+    return F.pmod(F.hash(*key_cols, per_row), F.lit(salt_buckets))
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: Sequence[str],
     aggs: dict[str, "Column | tuple[Column, object]"],
     salt_buckets: int = 16,
+    salt_col: "Column | None" = None,
 ) -> DataFrame:
     """Two-phase aggregation: salt the key, partially aggregate per
     (key, salt), then merge. Only aggregates with a correct two-phase
@@ -41,7 +58,7 @@ def salted_agg(
     plausible-looking wrong numbers, which is strictly worse than an error.
     """
     salted = df.withColumn(
-        "__salt", F.pmod(F.hash(*key_cols, F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "__salt", _salt_expr(key_cols, salt_col, salt_buckets)
     )
     phase1_exprs: dict[str, Column] = {}
     merges: dict[str, object] = {}
@@ -89,6 +106,7 @@ def salted_join(
     on: Sequence[str],
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_col: "Column | None" = None,
 ) -> DataFrame:
     """Skewed equi-join without broadcast: salt the big side randomly,
     replicate the small side across all salt values, join on key+salt.
@@ -98,8 +116,7 @@ def salted_join(
     one straggler task holding the whole hot key.
     """
     big_salted = big.withColumn(
-        "__salt",
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+        "__salt", _salt_expr([], salt_col, salt_buckets)
     )
     small_replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -6325,6 +6325,9 @@ def agg_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erigon_extract_spark.operators.skew import salted_agg
 
     events = _load(spark, sf_dir, "events")
+    # salt on the unique event_id: deterministic under task retry
+    # (see operators/skew._salt_expr), and keeps the blanket plan audit's
+    # no-monotonically_increasing_id invariant
     return salted_agg(
         events,
         ["event_type"],
@@ -6334,6 +6337,7 @@ def agg_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_user": F.min("user_id"),
             "max_user": F.max("user_id"),
         },
+        salt_col=F.col("event_id"),
     )
 
 
@@ -6362,7 +6366,10 @@ def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    joined = salted_join(events, dim, ["user_id"], salt_buckets=16)
+    joined = salted_join(
+        events, dim, ["user_id"], salt_buckets=16,
+        salt_col=F.col("event_id"),  # deterministic retry-safe salt
+    )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

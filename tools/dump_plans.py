@@ -129,6 +129,19 @@ SHOWCASE = [
      "Corpus top-k: map-side-combined count aggregate feeding "
      "TakeOrderedAndProject — per-partition partial top-50, never a "
      "global sort of the n-gram table."),
+    ("source_bucketed_join",
+     "Bucketed co-located join: both scans carry the catalog bucket "
+     "spec, so the custkey SortMergeJoin runs with ZERO Exchange on "
+     "either side — the only exchange in the plan is the final "
+     "mktsegment aggregation."),
+    ("source_partitioned_dpp",
+     "Dynamic partition pruning: the fact scan's PartitionFilters "
+     "contain dynamicpruningexpression(...) fed by the broadcast "
+     "quarter dim — 3 of ~80 month directories read at runtime."),
+    ("agg_salted_skew",
+     "Salted two-phase aggregation: partial agg on (key, salt) then "
+     "merge on key — two hash aggregates, each with map-side partials; "
+     "no single hot-key partition."),
 ]
 
 
