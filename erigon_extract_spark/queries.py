@@ -6119,6 +6119,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     with the bucketed layout", which is what enables both the
     zero-Exchange join and SelectedBucketsCount pruning; it affects only
     catalog bucketed-table scans, and these queries are their sole users.
+
+    INVARIANT: any future bucketed-table query added to this session will
+    inherit forced bucketed scans from this session-wide conf. If one ever
+    needs autoBucketedScan back, scope the conf through a dedicated
+    session/conf context instead of flipping it here.
     """
     import os
 

@@ -104,7 +104,7 @@ def register_bucketed(
         USING parquet
         CLUSTERED BY ({_ident(bucket_col)}) {sorted_by}
         INTO {int(n_buckets)} BUCKETS
-        LOCATION '{location}'
+        LOCATION '{location.replace("'", "''")}'
         """
     )
     return spark.table(name)

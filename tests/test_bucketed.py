@@ -54,6 +54,7 @@ def _plan(df) -> str:
 
 def test_bucketed_join_no_exchange(spark, bucketed_pair):
     ft, dt = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = ft.join(dt, ft.o_custkey == dt.c_custkey)
@@ -62,7 +63,7 @@ def test_bucketed_join_no_exchange(spark, bucketed_pair):
         assert "Exchange" not in plan, plan
         assert j.count() == 4000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_bucketed_groupby_no_exchange(spark, bucketed_pair):
@@ -107,15 +108,13 @@ def test_register_rejects_unsafe_identifiers(spark):
         _ident("evil; DROP TABLE x")
 
 
-def test_dpp_runtime_prunes_fact_partitions(spark):
+def test_dpp_runtime_prunes_fact_partitions(spark, sf_dir):
     """The quarter filter sits on the dim, so only DYNAMIC pruning can
     restrict the fact scan — assert the runtime IN-subquery reached the
     partition filters of the month-partitioned orders scan."""
     from erigon_extract_spark.queries import QUERIES
 
-    df = QUERIES["source_partitioned_dpp"](
-        spark, "/root/testdata/sf0.001"
-    )
+    df = QUERIES["source_partitioned_dpp"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert df.count() == 3
