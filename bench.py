@@ -133,6 +133,13 @@ def _idle_gate(
         time.sleep(poll_s)
 
 
+def _load_now() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -167,6 +174,15 @@ def main() -> None:
     # estimator. NOTE for cross-round comparison: rounds 1-2 published
     # single-run/min-of-2 numbers — treat sub-30% deltas against those
     # as noise.
+    # Per-section load provenance (VERDICT r8 #3): the start gate can only
+    # certify the FIRST second of a 40-minute run, and all three r8 runs
+    # were hit by co-tenants arriving in DIFFERENT sections. Sampling the
+    # 1/5/15-min load before and after each section pins which section (if
+    # any) was load-hit without cross-run forensics; a hit section should
+    # be re-run once before committing.
+    section_loads: dict[str, dict] = {}
+    section_loads["headline"] = {"start": _load_now()}
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -188,6 +204,8 @@ def main() -> None:
     # plan that would not survive 100 TB. One measured run per probe —
     # the 1x side is min-of-3 from the headline loop above, and the 10x
     # plans are codegen-warm from those runs (identical shapes).
+    section_loads["headline"]["end"] = _load_now()
+    section_loads["scale10"] = {"start": section_loads["headline"]["end"]}
     scale10: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALE10", "1") != "0":
         for name in (
@@ -235,6 +253,8 @@ def main() -> None:
     # ratio tracks output rows, not the (linear-in-candidates) plan.
     # Tagged so the ratio summary reflects plan scaling only.
     OUTPUT_BOUND = {"range_interval_join"}
+    section_loads["scale10"]["end"] = _load_now()
+    section_loads["sf1"] = {"start": section_loads["scale10"]["end"]}
     sf1: dict[str, dict] = {}
     if (
         os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
@@ -273,6 +293,9 @@ def main() -> None:
             print(f"# sf1 section failed: {exc}", file=sys.stderr)
             sf1 = {"error": str(exc)[:200]}
 
+    section_loads["sf1"]["end"] = _load_now()
+    section_loads["compression"] = {"start": section_loads["sf1"]["end"]}
+
     # BASELINE.md's one quantitative size target: sorted+zstd parquet vs
     # the ad-hoc encodings on a fixed corpus (tools/measure_compression).
     try:
@@ -283,14 +306,13 @@ def main() -> None:
         print(f"# compression measure failed: {exc}", file=sys.stderr)
         compression = None
 
+    section_loads["compression"]["end"] = _load_now()
+
     total = round(sum(times.values()), 3)
     # ambient context for cross-round comparisons: identical-code runs
     # have measured 2x total swings under co-tenant load (NOTES.md), so
     # the sampled host load rides along with every bench line
-    try:
-        load_avg = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        load_avg = None
+    load_avg = _load_now()
     # The driver captures only a bounded stdout TAIL; BENCH_r06.json
     # recorded "parsed": null because the full per-query sf1 section
     # outgrew that window. Split the artifact: the FINAL stdout line is a
@@ -320,6 +342,7 @@ def main() -> None:
         "compression": compression,
         "load_avg": load_avg,
         "load_gate": load_gate,
+        "section_loads": section_loads,
         # true median: even-length lists average the two middle elements
         # (the old upper-middle pick biased the summary high — r7 advice)
         "sf1_ratio_median": (
