@@ -9824,6 +9824,47 @@ def corpus_route_by_language_q(
     )
 
 
+@query(
+    "stream_band_join_batch",
+    """
+    SELECT a.user_id AS user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT a.event_id) AS n_events_with_neighbor
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts + INTERVAL 30 MINUTE
+     AND a.event_id <> b.event_id
+    GROUP BY a.user_id
+    """,
+)
+def stream_band_join_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING band-join builder itself (streaming/stream_join.
+    stream_band_self_join), oracle-gated in batch mode — the
+    stream_latest_state_batch pattern: withWatermark is a batch no-op
+    and the watermarked two-sided-bound join degrades to a plain join,
+    so the hash gate verifies the exact pair semantics the availableNow
+    replay test executes across micro-batches. Keyed per USER (not per
+    event_type) so each equi-join group stays small — the batch
+    execution is join-linear here, while the production batch path for
+    corpus-sized bands stays operators/rangejoin.band_self_join's
+    bucketed rewrite. The streaming plan's 100 TB property is state
+    eviction: each side buffers only band+delay of event time
+    (StreamingSymmetricHashJoin), so state ∝ rate x window, never
+    history."""
+    from erigon_extract_spark.streaming.stream_join import (
+        stream_band_self_join,
+    )
+
+    events = _events_raw(spark, sf_dir)
+    pairs = stream_band_self_join(
+        events, ["user_id"], "ts", band_seconds=1800, id_col="event_id"
+    )
+    return pairs.groupBy(F.col("a_user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct(F.col("a_event_id")).alias("n_events_with_neighbor"),
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its

@@ -118,6 +118,90 @@ def test_stream_band_join_matches_batch(spark, sf_dir, events_dir):
     assert got == want and len(want) > 0
 
 
+def test_stream_band_join_replayed_micro_batches(spark, sf_dir):
+    """Replay the band join across MULTIPLE micro-batches (VERDICT r8 #4):
+    time-ordered chunks + maxFilesPerTrigger=1, so pairs whose sides land
+    in different batches exist only if StreamingSymmetricHashJoin kept the
+    earlier side buffered. Time-ordered arrival is the correctness
+    precondition: a state row is evicted once its ts drops band+delay
+    behind the watermark, and each new chunk's rows sit within band of at
+    most the previous chunk's tail — which is exactly what a
+    monotonically-ingesting feed (Kafka by log-append time) provides."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erigon_extract_spark.operators.rangejoin import band_self_join
+    from erigon_extract_spark.streaming.stream_join import stream_band_self_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", "event_id", "ts")
+
+    d = tempfile.mkdtemp(prefix="events_chunks_")
+    try:
+        pdf = batch.orderBy("ts", "event_id").toPandas()
+        n = len(pdf)
+        chunk_of = {}
+        for i in range(4):
+            part = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+            chunk_of.update((eid, i) for eid in part["event_id"])
+            path = f"{d}/chunk_{i}.parquet"
+            # micros keeps the written file type identical to the declared
+            # read schema (ns would come back bigint under nanosAsLong)
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                path, coerce_timestamps="us",
+            )
+            # the file source replays in modification-time order — pin it
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        joined = stream_band_self_join(
+            stream, ["user_id"], "ts", band_seconds=21600, id_col="event_id"
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        try:
+            q = (
+                joined.select("a_event_id", "b_event_id")
+                .writeStream.format("memory")
+                .queryName("band_pairs_replay")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+        got = {
+            (r.a_event_id, r.b_event_id)
+            for r in spark.sql("SELECT * FROM band_pairs_replay").collect()
+        }
+        want = {
+            (r.a_event_id, r.b_event_id)
+            for r in band_self_join(
+                batch, ["user_id"], "ts", 21_600_000_000, "event_id"
+            ).collect()
+        }
+        cross = {
+            p for p in want if chunk_of[p[0]] != chunk_of[p[1]]
+        }
+        assert n_batches >= 2, "replay collapsed into one micro-batch"
+        assert cross, "fixture produced no cross-batch pairs — test is vacuous"
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_session_windows_available_now(spark, sf_dir, events_dir):
     """Session windows under a real streaming trigger must equal the batch
     run of the same builder (which the DuckDB oracle hash-verifies as
