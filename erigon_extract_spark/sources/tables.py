@@ -92,21 +92,92 @@ def write_sorted_parquet(
     sort_cols: list[str],
     num_partitions: int | None = None,
     max_records_per_file: int = 5_000_000,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """Range-partition by the sort prefix, sort within partitions, write.
 
     Produces globally range-ordered files whose Parquet row-group min/max
-    stats support pruned point reads on the sort key."""
+    stats support pruned point reads on the sort key.
+
+    ``bloom_cols`` additionally writes a Parquet bloom filter per row
+    group for each named column — the physical-layout answer for point
+    lookups on a column the file is NOT sorted by (min/max stats are
+    vacuous there; the reference gets the same O(log N)-seek effect from
+    its page index, README.md:37-41). parquet-mr consults the bloom
+    during row-group filtering on equality predicates, so a miss skips
+    the group without reading data pages. ``bloom_ndv`` sizes the filter
+    (expected distinct values per row group; over-sizing costs footer
+    bytes, under-sizing raises the false-positive rate)."""
     if num_partitions:
         df = df.repartitionByRange(num_partitions, *sort_cols)
     else:
         df = df.repartitionByRange(*sort_cols)
-    (
+    writer = (
         df.sortWithinPartitions(*sort_cols)
         .write.option("maxRecordsPerFile", max_records_per_file)
-        .mode("overwrite")
-        .parquet(path)
     )
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(int(bloom_ndv))
+        )
+    writer.mode("overwrite").parquet(path)
+
+
+def bloom_row_group_stats(
+    spark: SparkSession, path: str, column: str, value
+) -> dict:
+    """Footer-level bloom-filter pruning evidence for a point lookup.
+
+    Reads every data file's footer through parquet-mr (the same classes
+    Spark's scan uses for row-group filtering) and probes each row
+    group's bloom filter for ``column`` with ``value``. Returns
+    ``{"row_groups", "with_bloom", "maybe_contains"}`` —
+    ``row_groups - maybe_contains`` is exactly the number of row groups
+    an equality scan skips without touching data pages. str/bytes values
+    hash as parquet Binary; ints ride py4j's long overload."""
+    from erigon_extract_spark.sources.compact import data_files
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    if isinstance(value, str):
+        jval = jvm.org.apache.parquet.io.api.Binary.fromString(value)
+    elif isinstance(value, (bytes, bytearray)):
+        jval = jvm.org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            bytes(value)
+        )
+    else:
+        jval = value
+    n_groups = n_bloom = n_maybe = 0
+    for f in data_files(spark, path):
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jpath, hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            for block in reader.getFooter().getBlocks():
+                col = next(
+                    c
+                    for c in block.getColumns()
+                    if c.getPath().toDotString() == column
+                )
+                n_groups += 1
+                bf = reader.readBloomFilter(col)
+                if bf is None:
+                    n_maybe += 1  # no filter -> the group cannot be skipped
+                    continue
+                n_bloom += 1
+                if bf.findHash(bf.hash(jval)):
+                    n_maybe += 1
+        finally:
+            reader.close()
+    return {
+        "row_groups": n_groups,
+        "with_bloom": n_bloom,
+        "maybe_contains": n_maybe,
+    }
 
 
 def write_block_partitioned(
