@@ -405,8 +405,11 @@ def extract_video_frames(
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """REAL frame sampling from MJPEG-in-AVI video (functions/avi.py
-    container walk + functions/jpeg.py baseline decode per frame): one
+    """REAL frame sampling from MJPEG video in EITHER container —
+    RIFF-AVI (functions/avi.py) or ISO-BMFF MP4 (functions/mp4.py),
+    sniffed per payload from the leading bytes the way a production
+    ingest must (the container is a property of each file, not of the
+    column) — plus functions/jpeg.py baseline decode per frame: one
     output row per sampled timestamp, carrying the decoded frame
     re-encoded as PNG — the video-to-image-training-examples stage,
     sharing extract_gif_frames' output contract (FRAMES_SCHEMA) so
@@ -424,7 +427,15 @@ def extract_video_frames(
     zero shuffles (the multimodal_png_scale 100x probe's plan family)."""
     from erigon_extract_spark.functions.avi import decode_avi_mjpeg
     from erigon_extract_spark.functions.jpeg import decode_jpeg
+    from erigon_extract_spark.functions.mp4 import decode_mp4_mjpeg
     from erigon_extract_spark.functions.png import encode_png
+
+    def _decode_container(data: bytes):
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            return decode_avi_mjpeg(data)
+        if data[4:8] == b"ftyp":
+            return decode_mp4_mjpeg(data)
+        raise ValueError("unrecognized video container")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -435,7 +446,7 @@ def extract_video_frames(
                                  "null payload"))
                     continue
                 try:
-                    w, h, frame_us, frames = decode_avi_mjpeg(
+                    w, h, frame_us, frames = _decode_container(
                         bytes(payload)
                     )
                     frame_ms = max(frame_us // 1000, 1)

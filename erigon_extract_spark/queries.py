@@ -5747,6 +5747,107 @@ def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_frames",
+    """
+    WITH f AS (
+      -- doc d is a 3-frame MJPEG MP4 at 4 fps (250ms/frame); ticks every
+      -- 250ms over [0, 750) hit each frame exactly once
+      SELECT d.d AS doc_id, t.k AS frame_idx,
+             CAST(t.k * 250 AS BIGINT) AS frame_ts_ms
+      FROM UNNEST(generate_series(0, 19)) AS d(d),
+           UNNEST(generate_series(0, 2)) AS t(k)
+    ),
+    px AS (
+      SELECT doc_id, frame_idx, frame_ts_ms,
+             -- 32x32 of 8x8-constant tiles: per-tile value repeated 64x;
+             -- DC-exact at quality 50 so the decoded sum IS the formula
+             (SELECT SUM(64 * (128 + 2 * ((f.doc_id * 13 + f.frame_idx * 17
+                                           + ty.ty * 5 + tx.tx * 3)
+                                          % 53 - 26)))
+              FROM UNNEST(generate_series(0, 3)) AS ty(ty),
+                   UNNEST(generate_series(0, 3)) AS tx(tx)) AS px_sum
+      FROM f
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, frame_ts_ms,
+           CAST(px_sum AS BIGINT) AS px_sum
+    FROM px
+    """,
+)
+def multimodal_mp4_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ISO-BMFF container under the value hash — the MP4 twin of
+    multimodal_video_frames (VERDICT r8 stretch #8): 20 deterministic
+    3-frame MJPEG MP4s are containerized per executor (functions/mp4.py
+    box tree: ftyp + mdat + moov sample tables), sniffed and walked back
+    out by the SAME operator (extract_video_frames auto-detects the
+    container per payload), each sampled frame JPEG-decoded and PNG
+    re-encoded, then reduced to per-frame pixel sums the oracle derives
+    from the tile formula. Constants differ from the AVI gate (13/17 vs
+    7/11) so the two container paths cannot cross-pass on copied
+    output. Exactness despite lossy JPEG: the multimodal_jpeg_roundtrip
+    DC-quantization argument (8x8-constant tiles, even offsets from
+    128, quality 50)."""
+    import pandas as pd
+
+    from erigon_extract_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from erigon_extract_spark.functions.jpeg import encode_jpeg
+        from erigon_extract_spark.functions.mp4 import encode_mp4_mjpeg
+
+        ty, tx = np.mgrid[0:4, 0:4]
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                frames = []
+                for fi in range(3):
+                    tiles = 128 + 2 * (
+                        (d * 13 + fi * 17 + ty * 5 + tx * 3) % 53 - 26
+                    )
+                    img = np.repeat(
+                        np.repeat(tiles, 8, axis=0), 8, axis=1
+                    ).astype("uint8")
+                    frames.append(
+                        encode_jpeg(img, quality=50, restart_interval=3)
+                    )
+                rows.append((d, bytearray(encode_mp4_mjpeg(
+                    frames, width=32, height=32, fps=4
+                ))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def summarize(batches):
+        from erigon_extract_spark.functions.png import decode_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "px_sum": [
+                        int(decode_png(bytes(p)).astype("int64").sum())
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    media = spark.range(20).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    frames = extract_video_frames(media, every_ms=250)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_ts_ms", "payload"
+    ).mapInPandas(
+        summarize,
+        schema="doc_id long, frame_idx int, frame_ts_ms long, px_sum long",
+    )
+
+
+@query(
     "events_user_similarity",
     f"""
     WITH traj AS (
