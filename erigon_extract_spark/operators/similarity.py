@@ -85,6 +85,62 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """For each anchor vector, the ``k`` most-cosine-similar corpus
+    vectors carrying a DIFFERENT label — contrastive-training hard
+    negatives (the negatives closest to the decision boundary, which
+    carry most of the gradient signal; easy random negatives teach
+    nothing once training warms up).
+
+    anchors: (anchor_id, embedding, label). Same scale shape as
+    brute_force_topk: the anchor batch broadcasts (it is a training
+    batch — small by construction), the corpus streams through map
+    tasks with zero corpus shuffle, and only the per-anchor top-k
+    aggregation exchanges rows. For corpus-scale anchor sets, generate
+    candidates with the sublinear paths first (lsh_bucket_topk /
+    ivf_topk) and re-rank with the same different-label filter — this
+    operator is the exact kernel those compositions share.
+    """
+    a = anchors.select(
+        F.col(anchor_id_col),
+        F.col(vec_col).alias("__avec"),
+        l2_norm(F.col(vec_col)).alias("__anorm"),
+        F.col(label_col).alias("__alabel"),
+    )
+    c = corpus.select(
+        id_col, vec_col, label_col, l2_norm(F.col(vec_col)).alias("__cnorm")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col(label_col) != F.col("__alabel"))
+        .select(
+            anchor_id_col,
+            id_col,
+            F.col(label_col).alias("negative_label"),
+            cosine_prenorm(
+                F.col(vec_col), F.col("__avec"),
+                F.col("__cnorm"), F.col("__anorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     probes: DataFrame,

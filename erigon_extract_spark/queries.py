@@ -5848,6 +5848,60 @@ def multimodal_mp4_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_hard_negatives",
+    """
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec,
+             label AS alabel
+      FROM embeddings WHERE vec_id < 8
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.anchor_id, e.vec_id, e.label AS negative_label,
+             list_dot_product(e.v, a.avec)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(a.avec, a.avec))) AS cos_raw
+      FROM vecs e CROSS JOIN anchors a
+      WHERE e.label <> a.alabel
+    )
+    SELECT anchor_id, vec_id, negative_label,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def sim_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining (operators/similarity.
+    hard_negatives): for each anchor, the 5 most-similar vectors with a
+    DIFFERENT label — the boundary-adjacent negatives that carry the
+    gradient signal. Plan: anchor batch broadcasts, corpus streams map-
+    side with zero shuffle, one per-anchor top-k exchange (the
+    sim_bruteforce_topk shape plus the label guard). Float parity per
+    that gate's discipline: double products both sides, ROUND(,6)."""
+    from erigon_extract_spark.operators.similarity import hard_negatives
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = hard_negatives(emb, anchors, k=5)
+    return out.select(
+        "anchor_id", "vec_id", "negative_label",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+@query(
     "events_user_similarity",
     f"""
     WITH traj AS (

@@ -441,3 +441,43 @@ def test_cached_artifact_cleans_tmp_on_build_failure(tmp_path, monkeypatch):
 
     final = _cached_artifact(src_dir, "embeddings", "fam", "p=1", ok_build)
     assert os.path.isfile(os.path.join(final, "ok"))
+
+
+def test_hard_negatives_label_guard_and_numpy_parity(spark, emb):
+    """Hard negatives never share the anchor's label, return exactly k
+    per anchor, and match an independent numpy derivation."""
+    import numpy as np
+
+    from erigon_extract_spark.operators.similarity import hard_negatives
+
+    embd = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    anchors = embd.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    got = hard_negatives(embd, anchors, k=5).collect()
+
+    rows = embd.collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = {r.vec_id: r.label for r in rows}
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3}
+    for aid, negs in by_anchor.items():
+        assert len(negs) == 5
+        assert all(labels[n.vec_id] != labels[aid] for n in negs)
+        assert all(n.negative_label == labels[n.vec_id] for n in negs)
+        a = mat[ids == aid][0]
+        sims = mat @ a
+        mask = np.array([labels[i] != labels[aid] for i in ids])
+        order = sorted(
+            zip(-sims[mask], ids[mask])
+        )  # cosine desc, vec_id asc — the operator's tie order
+        want = [int(v) for _, v in order[:5]]
+        assert sorted(n.vec_id for n in negs) == sorted(want)
