@@ -226,6 +226,10 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # quadratic scan IS the documented algorithm (oracle baselines)
         "dedup_embedding_cosine",
         "sim_bruteforce_topk",
+        # hard-negative mining: corpus x broadcast ANCHOR BATCH (a
+        # training batch — bounded by construction); the corpus scan is
+        # linear, the anchor side never exceeds batch size
+        "sim_hard_negatives",
         # probes x centroids: the broadcast side is the n_lists centroid
         # table (8 rows) — the cell-selection step of IVF, linear in probes
         "sim_ivf_topk",
