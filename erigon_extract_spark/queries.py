@@ -6263,6 +6263,54 @@ def source_csv_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _xml_oracle_sql() -> str:
+    # DuckDB has no XML reader, so the oracle reconstructs the fixture's
+    # rows from the same generating formula (sources/xmlfile.ensure_sample
+    # is a pure function of these literals). If the Spark reader
+    # mis-decoded an entity reference, a CDATA section, or the rowTag
+    # attribute, the value hash diverges. Import-time stays
+    # filesystem-read-only: no path literal is even needed.
+    return """
+    WITH gen AS (
+      SELECT i,
+             CASE WHEN i % 5 = 0
+                  THEN 'raw <b>bold ' || i || '</b> & amp'
+                  ELSE 'row ' || i || ' & less < than ' || i
+             END AS text
+      FROM generate_series(0, 49) t(i)
+    )
+    SELECT i AS doc_id,
+           text,
+           (['en', 'de', 'fr', 'es'])[(i % 4) + 1] AS lang,
+           'src' || (i % 3) AS source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM gen
+    """
+
+
+@query("source_xml_documents", _xml_oracle_sql())
+def source_xml_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest under the hash gate (Spark 4's built-in ``xml`` source,
+    sources/xmlfile.py): explicit contract schema (no inference pass),
+    rowTag record tokenization (splittable large files — record-per-
+    element XML keeps CSV/JSONL's parallelism, unlike multiLine JSON),
+    ``doc_id`` carried as a rowTag attribute through attributePrefix,
+    PERMISSIVE quarantine. The fixture's text fields all embed entity-
+    escaped '&' and '<' and every 5th is a CDATA section carrying raw
+    markup, so the gate hashes the two decode conventions, not just the
+    happy path. Corrupt-record routing, the write round trip, and the
+    streaming twin are exercised in tests/test_xml_source.py."""
+    from erigon_extract_spark.sources.xmlfile import (
+        ensure_sample,
+        read_documents_xml,
+        split_quarantine,
+    )
+
+    path = ensure_sample()
+    clean, _bad = split_quarantine(read_documents_xml(spark, str(path)))
+    return clean.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     """Build-once (uid artifact cache) + per-session catalog registration
     of the bucketed orders/customer pair: 8 buckets on the custkey join
