@@ -141,6 +141,123 @@ def hard_negatives(
     )
 
 
+def mmr_select(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 4,
+    n_candidates: int = 12,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse selection — retrieve-then-rerank.
+
+    Per anchor, greedily pick ``k`` items maximizing
+    ``lam * relevance - mu * max(similarity to already-selected)``:
+    the classic MMR objective (Carbonell & Goldstein 1998) used for
+    diverse few-shot example selection and dedup-aware retrieval. The
+    relevance-only top-k returns near-duplicates of each other; the
+    penalty term forces coverage of distinct regions.
+
+    Scale shape — the two-stage retrieve-then-rerank pattern:
+
+    1. **Candidate generation is distributed**: the anchor batch
+       broadcasts, the corpus streams map-side with zero shuffle, one
+       per-anchor top-``n_candidates`` exchange (exactly the
+       brute_force_topk plan; swap in lsh_bucket_topk / ivf_topk for
+       sublinear candidate generation — this stage is pluggable).
+    2. **Rerank is per-anchor-bounded**: the greedy loop is inherently
+       sequential in ``k``, but its input is only ``n_candidates`` rows
+       per anchor, so it runs as one Arrow batch per anchor inside
+       applyInPandas — O(k * n_candidates) work on O(n_candidates * d)
+       data, never corpus-sized, never on the driver.
+
+    ``lam`` and ``mu`` are independent weights (NOT forced to sum to 1):
+    ``1 - 0.7`` in binary floating point is 0.30000000000000004, so a
+    derived ``mu`` could never be reproduced exactly by an oracle writing
+    the literal 0.3 — both engines must start from the same literals.
+
+    Anchors sharing the corpus id space are excluded from their own
+    candidate list (``id_col != anchor_id_col``).
+    """
+    import pandas as pd
+
+    a = anchors.select(
+        F.col(anchor_id_col),
+        F.col(vec_col).alias("__avec"),
+        l2_norm(F.col(vec_col)).alias("__anorm"),
+    )
+    c = corpus.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cnorm")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col(id_col) != F.col(anchor_id_col))
+        .select(
+            anchor_id_col,
+            id_col,
+            vec_col,
+            cosine_prenorm(
+                F.col(vec_col), F.col("__avec"),
+                F.col("__cnorm"), F.col("__anorm"),
+            ).alias("relevance"),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("relevance").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .drop("__rn")
+    )
+
+    out_schema = (
+        f"{anchor_id_col} long, sel_rank int, {id_col} long, "
+        "relevance double, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        anchor = pdf[anchor_id_col].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        rel = pdf["relevance"].to_numpy(dtype=np.float64)
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(norms, norms)
+        n = len(ids)
+        selected: list[int] = []
+        remaining = list(range(n))
+        rows = []
+        for step in range(1, min(k, n) + 1):
+            best = None
+            best_key = None
+            for i in remaining:
+                pen = max(S[i, j] for j in selected) if selected else 0.0
+                score = lam * rel[i] - mu * pen
+                key = (-score, ids[i])  # score desc, id asc tie-break
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            rows.append(
+                (anchor, step, ids[best], rel[best], -best_key[0])
+            )
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                anchor_id_col, "sel_rank", id_col, "relevance", "mmr_score",
+            ],
+        )
+
+    return cand.groupBy(anchor_id_col).applyInPandas(rerank, out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -5902,6 +5902,132 @@ def sim_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_mmr_rerank",
+    """
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+      FROM embeddings WHERE vec_id < 4
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id, e.v,
+             list_dot_product(e.v, a.avec)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(a.avec, a.avec))) AS rel
+      FROM vecs e CROSS JOIN anchors a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    cand AS (
+      SELECT anchor_id, vec_id, v, rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 12
+    ),
+    sim AS (
+      SELECT c1.anchor_id, c1.vec_id AS va, c2.vec_id AS vb,
+             list_dot_product(c1.v, c2.v)
+               / (sqrt(list_dot_product(c1.v, c1.v))
+                  * sqrt(list_dot_product(c2.v, c2.v))) AS s
+      FROM cand c1 JOIN cand c2 ON c1.anchor_id = c2.anchor_id
+    ),
+    s1 AS (
+      SELECT anchor_id, vec_id, rel, 0.7e0 * rel AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1
+    ),
+    r2 AS (
+      SELECT c.anchor_id, c.vec_id, c.rel,
+             0.7e0 * c.rel - 0.3e0 * m1.s AS score
+      FROM cand c
+      JOIN s1 ON s1.anchor_id = c.anchor_id AND c.vec_id <> s1.vec_id
+      JOIN sim m1 ON m1.anchor_id = c.anchor_id AND m1.va = c.vec_id
+                 AND m1.vb = s1.vec_id
+    ),
+    s2 AS (
+      SELECT anchor_id, vec_id, rel, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY score DESC, vec_id) AS rn
+            FROM r2) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT c.anchor_id, c.vec_id, c.rel,
+             0.7e0 * c.rel - 0.3e0 * GREATEST(m1.s, m2.s) AS score
+      FROM cand c
+      JOIN s1 ON s1.anchor_id = c.anchor_id AND c.vec_id <> s1.vec_id
+      JOIN s2 ON s2.anchor_id = c.anchor_id AND c.vec_id <> s2.vec_id
+      JOIN sim m1 ON m1.anchor_id = c.anchor_id AND m1.va = c.vec_id
+                 AND m1.vb = s1.vec_id
+      JOIN sim m2 ON m2.anchor_id = c.anchor_id AND m2.va = c.vec_id
+                 AND m2.vb = s2.vec_id
+    ),
+    s3 AS (
+      SELECT anchor_id, vec_id, rel, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY score DESC, vec_id) AS rn
+            FROM r3) WHERE rn = 1
+    ),
+    r4 AS (
+      SELECT c.anchor_id, c.vec_id, c.rel,
+             0.7e0 * c.rel - 0.3e0 * GREATEST(m1.s, m2.s, m3.s) AS score
+      FROM cand c
+      JOIN s1 ON s1.anchor_id = c.anchor_id AND c.vec_id <> s1.vec_id
+      JOIN s2 ON s2.anchor_id = c.anchor_id AND c.vec_id <> s2.vec_id
+      JOIN s3 ON s3.anchor_id = c.anchor_id AND c.vec_id <> s3.vec_id
+      JOIN sim m1 ON m1.anchor_id = c.anchor_id AND m1.va = c.vec_id
+                 AND m1.vb = s1.vec_id
+      JOIN sim m2 ON m2.anchor_id = c.anchor_id AND m2.va = c.vec_id
+                 AND m2.vb = s2.vec_id
+      JOIN sim m3 ON m3.anchor_id = c.anchor_id AND m3.va = c.vec_id
+                 AND m3.vb = s3.vec_id
+    ),
+    s4 AS (
+      SELECT anchor_id, vec_id, rel, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY score DESC, vec_id) AS rn
+            FROM r4) WHERE rn = 1
+    )
+    SELECT anchor_id, 1 AS sel_rank, vec_id,
+           ROUND(rel, 6) AS relevance, ROUND(score, 6) AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT anchor_id, 2, vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s2
+    UNION ALL
+    SELECT anchor_id, 3, vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s3
+    UNION ALL
+    SELECT anchor_id, 4, vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s4
+    """,
+)
+def sim_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse selection (operators/similarity.
+    mmr_select): retrieve-then-rerank — distributed top-12 candidate
+    generation per anchor (the brute_force_topk broadcast plan), then the
+    greedy k=4 MMR loop as one bounded Arrow batch per anchor group
+    (never corpus-sized, never driver-side). The oracle unrolls the four
+    greedy steps explicitly (s1..s4: each step's penalty is the GREATEST
+    pairwise cosine against everything already selected), so a selection
+    divergence — not just a score error — flips the hash. lam/mu are
+    independent literals on both sides (1 - 0.7 != 0.3 in binary floats;
+    see the operator docstring)."""
+    from erigon_extract_spark.operators.similarity import mmr_select
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    anchors = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    out = mmr_select(emb, anchors, k=4, n_candidates=12, lam=0.7, mu=0.3)
+    return out.select(
+        "anchor_id", "sel_rank", "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
+@query(
     "events_user_similarity",
     f"""
     WITH traj AS (

@@ -230,6 +230,10 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # training batch — bounded by construction); the corpus scan is
         # linear, the anchor side never exceeds batch size
         "sim_hard_negatives",
+        # MMR retrieve-then-rerank: candidate generation is the same
+        # corpus x broadcast-anchor shape; the rerank stage is bounded
+        # at n_candidates rows per anchor group
+        "sim_mmr_rerank",
         # probes x centroids: the broadcast side is the n_lists centroid
         # table (8 rows) — the cell-selection step of IVF, linear in probes
         "sim_ivf_topk",

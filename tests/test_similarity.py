@@ -481,3 +481,67 @@ def test_hard_negatives_label_guard_and_numpy_parity(spark, emb):
         )  # cosine desc, vec_id asc — the operator's tie order
         want = [int(v) for _, v in order[:5]]
         assert sorted(n.vec_id for n in negs) == sorted(want)
+
+def test_mmr_select_numpy_parity_and_diversity(spark, emb):
+    """MMR rerank matches an independent numpy greedy derivation exactly
+    (selection order, not just the set), and actually diversifies: on at
+    least one anchor the k selections differ from the relevance-only
+    top-k (if they never differ, the penalty term is dead code)."""
+    import numpy as np
+
+    from erigon_extract_spark.operators.similarity import mmr_select
+
+    K, N_CAND, LAM, MU = 4, 12, 0.7, 0.3
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    anchors = embd.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    got = mmr_select(embd, anchors, k=K, n_candidates=N_CAND,
+                     lam=LAM, mu=MU).collect()
+
+    rows = embd.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3}
+
+    any_diverged = False
+    for aid, sels in by_anchor.items():
+        sels.sort(key=lambda r: r.sel_rank)
+        assert [r.sel_rank for r in sels] == list(range(1, K + 1))
+        a = unit[ids == aid][0]
+        rel = unit @ a
+        mask = ids != aid
+        # candidate set: top-N_CAND by (rel desc, id asc)
+        order = sorted(zip(-rel[mask], ids[mask]))[:N_CAND]
+        cand_ids = [int(v) for _, v in order]
+        cand_rel = {int(v): -nr for nr, v in order}
+        # independent greedy MMR
+        selected, remaining = [], list(cand_ids)
+        for _ in range(K):
+            best, best_key = None, None
+            for cid in remaining:
+                ci = unit[ids == cid][0]
+                pen = max(
+                    (float(ci @ unit[ids == s][0]) for s in selected),
+                    default=0.0,
+                )
+                score = LAM * cand_rel[cid] - MU * pen
+                key = (-score, cid)
+                if best_key is None or key < best_key:
+                    best, best_key = cid, key
+            selected.append(best)
+            remaining.remove(best)
+        assert [r.vec_id for r in sels] == selected, (aid, sels, selected)
+        # mmr_score must be non-increasing is NOT guaranteed by MMR in
+        # general, but rank-1 is the pure-relevance argmax by definition
+        assert sels[0].vec_id == cand_ids[0]
+        if [r.vec_id for r in sels] != cand_ids[:K]:
+            any_diverged = True
+    assert any_diverged, "penalty term never changed a selection"
