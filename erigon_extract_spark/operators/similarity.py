@@ -1068,6 +1068,45 @@ def lsh_bucket_topk(
     )
 
 
+def ann_recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    probe_id_col: str = "probe_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-probe recall of an approximate top-k against the exact top-k —
+    the measurement that decides whether an ANN configuration (n_planes,
+    n_probe, codebook size) is trustworthy before it serves a corpus.
+
+    Both inputs are top-k result sets: (probe_id, vec_id[, ...]). Output:
+    (probe_id, n_exact, n_hits, recall). Everything here is
+    evaluation-scale — k rows per probe on both sides — so the joins are
+    broadcast-trivial at any corpus size; the expensive part is producing
+    the inputs, which each carry their own scale story (brute force =
+    one corpus scan per probe batch; LSH/IVF = pruned candidate reads).
+    """
+    e = exact.select(probe_id_col, id_col)
+    a = approx.select(probe_id_col, id_col)
+    n_exact = e.groupBy(probe_id_col).agg(F.count("*").alias("n_exact"))
+    hits = (
+        e.join(a, [probe_id_col, id_col])
+        .groupBy(probe_id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        n_exact.join(hits, probe_id_col, "left")
+        .select(
+            probe_id_col,
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

@@ -1150,6 +1150,108 @@ def _lsh_topk_oracle_sql(dim: int = 64, n_planes: int = 6) -> str:
     """
 
 
+def _recall_oracle_sql(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+    """Recall@k of the LSH path against the exact path — BOTH are
+    SQL-expressible (the hyperplane constants embed as DOUBLE[] literals,
+    see _lsh_topk_oracle_sql), so even the evaluation harness is under
+    the differential hash gate."""
+    from erigon_extract_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, p + 1)) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product(v, {plane}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    bucket = "\n             + ".join(bits)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             ({bucket}) AS bucket
+      FROM vecs
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, v AS pvec, bucket
+      FROM sig WHERE vec_id < 5
+    ),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, s.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(s.v, p.pvec)
+                            / (sqrt(list_dot_product(s.v, s.v))
+                               * sqrt(list_dot_product(p.pvec, p.pvec)))
+                            DESC,
+                          s.vec_id) AS rn
+        FROM vecs s CROSS JOIN probes p
+      ) WHERE rn <= {k}
+    ),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, s.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(s.v, p.pvec)
+                            / (sqrt(list_dot_product(s.v, s.v))
+                               * sqrt(list_dot_product(p.pvec, p.pvec)))
+                            DESC,
+                          s.vec_id) AS rn
+        FROM sig s JOIN probes p USING (bucket)
+      ) WHERE rn <= {k}
+    ),
+    n_exact AS (
+      SELECT probe_id, COUNT(*) AS n_exact FROM exact GROUP BY probe_id
+    ),
+    hits AS (
+      SELECT e.probe_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+      GROUP BY e.probe_id
+    )
+    SELECT probe_id, n_exact,
+           COALESCE(n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                 / CAST(n_exact AS DOUBLE), 6) AS recall
+    FROM n_exact LEFT JOIN hits USING (probe_id)
+    """
+
+
+@query("sim_recall_eval", _recall_oracle_sql())
+def sim_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation under the hash gate (operators/similarity.
+    ann_recall_report): per-probe recall@10 of the LSH bucket path against
+    the exact brute-force top-k — the measurement that decides whether an
+    index configuration is trustworthy before it serves a corpus. Both
+    paths are deterministic, so the WHOLE evaluation (exact ranking, LSH
+    bucketing with embedded plane literals, intersection counting) is
+    differential-hash-checked, not just eyeballed. The recall ratio is a
+    quotient of small integers — exact in both engines."""
+    from erigon_extract_spark.operators.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, probes, k=10)
+    approx = lsh_bucket_topk(emb, probes, dim=64, k=10, n_planes=6)
+    out = ann_recall_report(exact, approx)
+    return out.select(
+        "probe_id", "n_exact", "n_hits",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 @query("sim_lsh_topk", _lsh_topk_oracle_sql())
 def sim_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via hyperplane-LSH bucketing — the sublinear scale

@@ -234,6 +234,10 @@ def test_no_unexpected_quadratic_plans_across_all_queries(spark, sf_dir):
         # corpus x broadcast-anchor shape; the rerank stage is bounded
         # at n_candidates rows per anchor group
         "sim_mmr_rerank",
+        # recall evaluation: its EXACT arm is brute_force_topk (the
+        # documented baseline); the eval joins themselves are k-rows-
+        # per-probe scale
+        "sim_recall_eval",
         # probes x centroids: the broadcast side is the n_lists centroid
         # table (8 rows) — the cell-selection step of IVF, linear in probes
         "sim_ivf_topk",

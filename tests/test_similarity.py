@@ -545,3 +545,39 @@ def test_mmr_select_numpy_parity_and_diversity(spark, emb):
         if [r.vec_id for r in sels] != cand_ids[:K]:
             any_diverged = True
     assert any_diverged, "penalty term never changed a selection"
+
+def test_ann_recall_report_properties(spark, emb):
+    """Recall evaluator: identical inputs score 1.0; a deliberately
+    wrong approx arm scores 0 hits (and survives the left join); the
+    LSH arm's recall lands in (0, 1] with n_exact pinned at k."""
+    from erigon_extract_spark.operators.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = embd.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = brute_force_topk(embd, probes, k=10)
+
+    perfect = ann_recall_report(exact, exact).collect()
+    assert {r.recall for r in perfect} == {1.0}
+    assert {r.n_exact for r in perfect} == {10}
+
+    # shift every approx id out of the corpus range: zero intersection
+    wrong = exact.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    zero = ann_recall_report(exact, wrong).collect()
+    assert {r.n_hits for r in zero} == {0}
+    assert {r.recall for r in zero} == {0.0}
+
+    approx = lsh_bucket_topk(embd, probes, dim=64, k=10, n_planes=6)
+    got = {r.probe_id: r for r in ann_recall_report(exact, approx).collect()}
+    assert set(got) == {0, 1, 2}
+    for pid, r in got.items():
+        assert r.n_exact == 10
+        assert 0 < r.recall <= 1.0  # self-match guarantees at least one hit
+        assert r.n_hits == round(r.recall * 10)
