@@ -85,6 +85,13 @@ HEADLINE = [
     "source_bucketed_join",  # zero-Exchange co-located bucketed SMJ
     "multimodal_video_frames",  # AVI walk + JPEG frame decode + PNG re-encode
     "corpus_route_by_language",  # lang-id + broadcast policy routing
+    # --- round-9 additions ---
+    "multimodal_mp4_frames",  # ISO-BMFF box walk + JPEG frame decode
+    "sim_hard_negatives",  # broadcast anchor batch x corpus, label guard
+    "stream_band_join_batch",  # stream-stream band join, batch-mode gate
+    "sim_mmr_rerank",  # top-N candidates + bounded per-anchor MMR greedy
+    "sim_recall_eval",  # LSH-vs-exact recall@10 evaluation harness
+    "source_xml_documents",  # legacy-tokenizer XML ingest (fixture-bound)
 ]
 
 
