@@ -6491,6 +6491,63 @@ def source_csv_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+_WARC_ORACLE_SQL = """
+    WITH gen AS (
+      SELECT i,
+             '<html><body>doc ' || i || ' & tail ' || (i * i)
+               || '</body></html>' AS rest
+      FROM generate_series(0, 29) t(i)
+    ),
+    body AS (
+      SELECT i,
+             CASE WHEN i % 7 = 0
+                  THEN 'line one ' || i || chr(13) || chr(10)
+                       || 'line two ' || i || chr(13) || chr(10) || rest
+                  ELSE rest
+             END AS payload_text
+      FROM gen
+    )
+    SELECT CAST(2 + 2 * i AS INT) AS rec_idx,
+           'https://example.org/page/' || i AS target_uri,
+           'text/html' AS content_type,
+           CAST(length(payload_text) AS BIGINT) AS content_length,
+           payload_text
+    FROM body
+    """
+
+
+@query("source_warc_documents", _WARC_ORACLE_SQL)
+def source_warc_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest under the hash gate (sources/warc.py — the ISO 28500
+    crawl-archive format Common Crawl ships): binaryFile per-shard read,
+    Arrow-batched record parsing with resync-on-corruption quarantine
+    (one producer bug costs one record, not the shard tail), bomb caps on
+    header/record/shard sizes. DuckDB reads no WARC, so the oracle
+    reconstructs the 30 response records from the fixture's generating
+    formula — every 7th payload embeds CRLF pairs so framing is proven to
+    come from Content-Length, not separator scanning. The gzip twin
+    (one member per record, the CC layout) is pinned byte-identical in
+    tests/test_warc_source.py."""
+    from erigon_extract_spark.sources.warc import (
+        ensure_sample,
+        read_warc,
+        split_quarantine,
+    )
+
+    path = ensure_sample()
+    clean, _bad = split_quarantine(read_warc(spark, str(path)))
+    return (
+        clean.filter(F.col("warc_type") == "response")
+        .select(
+            "rec_idx",
+            "target_uri",
+            "content_type",
+            "content_length",
+            F.col("payload").cast("string").alias("payload_text"),
+        )
+    )
+
+
 def _xml_oracle_sql() -> str:
     # DuckDB has no XML reader, so the oracle reconstructs the fixture's
     # rows from the same generating formula (sources/xmlfile.ensure_sample

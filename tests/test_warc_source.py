@@ -1,0 +1,137 @@
+"""WARC source: record framing, gzip twin, corruption resync, bomb caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_warc_plain_and_gzip_twins_identical(spark, tmp_path):
+    """The per-record-gzip-member twin (the Common Crawl layout) parses
+    byte-identical to the plain shard, and response payloads match the
+    generating formula — including the CRLF-bearing every-7th bodies
+    whose framing only Content-Length can get right."""
+    from erigon_extract_spark.sources.warc import (
+        _sample_body,
+        ensure_sample,
+        read_warc,
+        split_quarantine,
+    )
+
+    plain_dir = tmp_path / "plain"
+    gz_dir = tmp_path / "gz"
+    plain_dir.mkdir()
+    gz_dir.mkdir()
+    ensure_sample(plain_dir / "sample.warc")
+    ensure_sample(gz_dir / "sample.warc", gz=True)
+
+    def rows(d):
+        clean, bad = split_quarantine(read_warc(spark, str(d)))
+        assert bad.collect() == []
+        return sorted(
+            (r.rec_idx, r.warc_type, r.target_uri, r.content_type,
+             r.content_length, bytes(r.payload))
+            for r in clean.collect()
+        )
+
+    got_plain = rows(plain_dir)
+    got_gz = rows(gz_dir)
+    assert [r[1:] for r in got_plain] == [r[1:] for r in got_gz]
+    assert len(got_plain) == 61  # warcinfo + 30 request/response pairs
+    resp = [r for r in got_plain if r[1] == "response"]
+    assert len(resp) == 30
+    for i, r in enumerate(resp):
+        assert r[2] == f"https://example.org/page/{i}"
+        assert r[5] == _sample_body(i)
+        assert r[4] == len(_sample_body(i))
+
+
+def test_warc_corruption_resyncs_per_record(spark, tmp_path):
+    """One malformed record (bad header line) quarantines and the parser
+    resyncs at the next WARC/1.0 magic — following records survive."""
+    from erigon_extract_spark.sources.warc import (
+        _record,
+        read_warc,
+        split_quarantine,
+    )
+
+    good = _record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://a/1")],
+        b"payload one",
+    )
+    bad = b"WARC/1.0\r\nNoColonHere\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    good2 = _record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://a/2")],
+        b"payload two",
+    )
+    (tmp_path / "mixed.warc").write_bytes(good + bad + good2)
+    clean, badf = split_quarantine(read_warc(spark, str(tmp_path)))
+    uris = sorted(r.target_uri for r in clean.collect())
+    assert uris == ["https://a/1", "https://a/2"]
+    assert badf.count() >= 1
+    assert any(
+        "malformed header" in r._corrupt for r in badf.collect()
+    )
+
+
+def test_warc_truncated_payload_quarantined(spark, tmp_path):
+    from erigon_extract_spark.sources.warc import (
+        _record,
+        read_warc,
+        split_quarantine,
+    )
+
+    good = _record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://a/1")],
+        b"x" * 100,
+    )
+    (tmp_path / "cut.warc").write_bytes(good[:-60])  # cut mid-payload
+    clean, bad = split_quarantine(read_warc(spark, str(tmp_path)))
+    assert clean.collect() == []
+    rows = bad.collect()
+    assert len(rows) == 1 and "truncated payload" in rows[0]._corrupt
+
+
+def test_warc_bomb_caps_quarantine_not_oom():
+    """Pure-parser checks (no Spark): an absurd Content-Length and a
+    truncated gzip member both quarantine instead of allocating."""
+    import gzip
+
+    from erigon_extract_spark.sources.warc import (
+        MAX_CONTENT_LENGTH,
+        _record,
+        parse_warc_records,
+    )
+
+    huge = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"Content-Length: {MAX_CONTENT_LENGTH + 1}\r\n\r\n".encode()
+    )
+    rows = list(parse_warc_records(huge, "f"))
+    assert rows and rows[0][7] and "outside" in rows[0][7]
+
+    ok = _record([("WARC-Type", "response")], b"fine")
+    cut_gz = gzip.compress(ok, mtime=0)[:-4]
+    rows = list(parse_warc_records(cut_gz, "f"))
+    assert rows and rows[0][7] and "gzip" in rows[0][7]
+
+
+def test_warc_parallelism_is_per_shard(spark, tmp_path):
+    """N shard files plan N tasks (binaryFile source) — the documented
+    sharding contract."""
+    from erigon_extract_spark.sources.warc import _record, read_warc
+
+    for s in range(4):
+        (tmp_path / f"shard{s}.warc").write_bytes(
+            b"".join(
+                _record(
+                    [("WARC-Type", "response"),
+                     ("WARC-Target-URI", f"https://a/{s}/{i}")],
+                    f"body {s} {i}".encode(),
+                )
+                for i in range(10)
+            )
+        )
+    df = read_warc(spark, str(tmp_path))
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 40
+    assert df.filter(F.col("_corrupt").isNotNull()).count() == 0
