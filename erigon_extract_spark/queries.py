@@ -6795,6 +6795,46 @@ def maintenance_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _filestats_oracle_sql() -> str:
+    # Path literal only at import time (read-only import discipline);
+    # the fixture is committed AND re-materialized by the query function,
+    # so DuckDB's parquet_file_metadata always finds the same six shards.
+    from erigon_extract_spark.sources.compact import FILESTATS_DIR
+
+    return f"""
+    WITH m AS (
+      SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+             num_rows AS n_rows
+      FROM parquet_file_metadata('{FILESTATS_DIR}/*.parquet')
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, file_name)
+                AS INT) AS file_rank,
+           file_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           n_rows < 100 AS is_small
+    FROM m
+    """
+
+
+@query("maintenance_file_stats", _filestats_oracle_sql())
+def maintenance_file_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file DETECTOR under the hash gate (sources/compact.
+    file_stats — compact_parquet is the fixer, maintenance_compact its
+    gate): per-file row counts via one distributed input_file_name pass
+    (shuffle = one row per FILE, never data-sized), ranked with fragment
+    flags. The oracle reads the same committed shard directory through
+    DuckDB's parquet_file_metadata — the engines agree not just on data
+    values but on the FILE-LEVEL layout metadata a 100 TB maintenance
+    loop keys its decisions on."""
+    from erigon_extract_spark.sources.compact import (
+        ensure_filestats_fixture,
+        file_stats,
+    )
+
+    path = ensure_filestats_fixture()
+    return file_stats(spark, str(path), small_rows=100)
+
+
 @query(
     "agg_salted_skew",
     """

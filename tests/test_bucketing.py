@@ -127,3 +127,38 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_pat
         spans.append((min(x for x, _ in ids), max(y for _, y in ids)))
     spans.sort()
     assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_file_stats_detects_then_compaction_clears_fragmentation(
+    spark, tmp_path
+):
+    """The full maintenance loop: file_stats flags the fragments on the
+    skewed fixture layout, compact_parquet rewrites, and a second
+    file_stats pass reports zero small files with total rows preserved."""
+    from erigon_extract_spark.sources.compact import (
+        FILESTATS_SHARDS,
+        compact_parquet,
+        ensure_filestats_fixture,
+        file_stats,
+    )
+
+    src = ensure_filestats_fixture(tmp_path / "frag")
+    before = {r.file_name: r for r in file_stats(spark, str(src)).collect()}
+    assert len(before) == len(FILESTATS_SHARDS)
+    assert sum(r.n_rows for r in before.values()) == sum(FILESTATS_SHARDS)
+    assert sum(r.is_small for r in before.values()) == 3
+    # ranks: deterministic (n_rows desc, name asc)
+    ranked = sorted(before.values(), key=lambda r: r.file_rank)
+    assert [r.file_name for r in ranked[:2]] == [
+        "shard0.parquet", "shard1.parquet",
+    ]
+
+    out = tmp_path / "compacted"
+    compact_parquet(
+        spark, str(src), str(out), target_rows_per_file=1500,
+        sort_cols=["doc_id"],
+    )
+    after = file_stats(spark, str(out)).collect()
+    assert sum(r.n_rows for r in after) == sum(FILESTATS_SHARDS)
+    assert all(not r.is_small for r in after)
+    assert len(after) < len(before)
