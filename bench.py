@@ -92,6 +92,8 @@ HEADLINE = [
     "sim_mmr_rerank",  # top-N candidates + bounded per-anchor MMR greedy
     "sim_recall_eval",  # LSH-vs-exact recall@10 evaluation harness
     "source_xml_documents",  # legacy-tokenizer XML ingest (fixture-bound)
+    "source_warc_documents",  # WARC shard parse + quarantine (fixture-bound)
+    "maintenance_file_stats",  # per-file layout health report
 ]
 
 
