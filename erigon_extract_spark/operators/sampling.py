@@ -256,3 +256,41 @@ def reservoir_per_key(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test split keyed on the CONTENT fingerprint instead of a
+    row id — the dedup-aware split.
+
+    An id-hash split (stable_split) scatters duplicates across sides:
+    two copies of one document land in train AND test, and the eval is
+    contaminated — the classic benchmark-leakage bug. Hashing the
+    normalized text (operators/text.normalize_text, the same
+    canonicalization every content hash in the engine uses) makes split
+    assignment a pure function of content, so exact/normalized
+    duplicates co-locate BY CONSTRUCTION — no join against a dup table,
+    no extra shuffle; the split stays one stateless projection. For
+    NEAR-duplicate safety, assign by the cluster representative from the
+    LSH/connected-components path instead (dedup_connected_clusters) —
+    same mechanism, keyed on the cluster id.
+    """
+    from erigon_extract_spark.operators.text import normalize_text
+
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    bucket = stable_hash_bucket(normalize_text(F.col(text_col)), 100)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = bucket < F.lit(lo + pct)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+        lo += pct
+    return df.withColumn("split", expr)

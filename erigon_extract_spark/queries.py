@@ -4339,6 +4339,75 @@ def sample_stable_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_leakage_safe_split",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, upper(text) || '   '
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+      FROM base
+    ),
+    b AS (
+      SELECT doc_id, md5(ntext) AS fp,
+             CAST('0x' || substr(md5(ntext), 1, 8) AS BIGINT) % 100
+               AS bucket
+      FROM norm
+    ),
+    s AS (
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             fp, doc_id
+      FROM b
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_fingerprints
+    FROM s GROUP BY split
+    UNION ALL
+    SELECT '__all__', COUNT(*), COUNT(DISTINCT fp) FROM s
+    """,
+)
+def sample_leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (operators/sampling.
+    leakage_safe_split): assignment is a pure function of the NORMALIZED
+    CONTENT, so duplicates can never straddle train and test — the
+    benchmark-contamination bug an id-hash split (sample_stable_split)
+    commits by construction. The gate plants normalized duplicates
+    (upper-cased + padded copies of every 3rd doc under new ids) and
+    reports per-split doc/fingerprint counts plus the global row: no
+    straddling ⟺ the per-split fingerprint counts sum to the global
+    distinct count — an arithmetic the hash gate freezes and the pytest
+    asserts explicitly."""
+    from erigon_extract_spark.operators.sampling import leakage_safe_split
+    from erigon_extract_spark.operators.text import normalize_text
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    base = docs.unionByName(dups)
+    s = leakage_safe_split(base, "text").withColumn(
+        "fp", F.md5(normalize_text(F.col("text")))
+    )
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+    allr = s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    ).select(F.lit("__all__").alias("split"), "n_docs", "n_fingerprints")
+    return per.unionByName(allr)
+
+
 def _minhash_portable_ctes() -> str:
     """The md5-minhash CTE chain (words -> shingles -> hashes -> sigs ->
     bands -> candidate ``pairs``), shared by the portable-LSH oracle and

@@ -103,10 +103,11 @@ def file_stats(spark: SparkSession, path: str, small_rows: int = 100):
 
 from pathlib import Path as _Path
 
+# own top-level fixture dir (NOT inside fixtures_parquet/ — that
+# directory is the fixture_store sidecar, whose byte-identical
+# regeneration test enumerates it exactly)
 FILESTATS_DIR = (
-    _Path(__file__).resolve().parent.parent.parent
-    / "fixtures_parquet"
-    / "filestats"
+    _Path(__file__).resolve().parent.parent.parent / "fixtures_filestats"
 )
 
 FILESTATS_SHARDS = [1000, 1000, 500, 40, 25, 10]

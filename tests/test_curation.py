@@ -260,3 +260,62 @@ def test_corpus_route_by_language_partition_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert base == again and len(base) > 0
+
+
+def test_leakage_safe_split_colocates_duplicates(spark, sf_dir):
+    """Content-keyed split: every normalized-duplicate pair lands on the
+    SAME side (an id-hash split demonstrably does not), split fractions
+    are sane, and assignment is stable across partitionings."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.sampling import (
+        leakage_safe_split,
+        stable_split,
+    )
+    from erigon_extract_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    base = docs.unionByName(dups)
+
+    s = leakage_safe_split(base, "text").withColumn(
+        "fp", F.md5(normalize_text(F.col("text")))
+    )
+    straddle = (
+        s.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+    # the id-hash split DOES leak on the same data — the bug is real
+    leaky = stable_split(base, "doc_id").withColumn(
+        "fp", F.md5(normalize_text(F.col("text")))
+    )
+    leaked = (
+        leaky.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert leaked > 0
+
+    frac = {r.split: r.n for r in s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(frac.values())
+    assert 0.7 < frac["train"] / total < 0.9
+    assert set(frac) == {"train", "val", "test"}
+
+    # partition-invariance: same assignment under a different layout
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(base.repartition(17), "text").collect()
+    }
+    first = {r.doc_id: r.split for r in s.collect()}
+    assert again == first
