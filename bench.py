@@ -94,6 +94,7 @@ HEADLINE = [
     "source_xml_documents",  # legacy-tokenizer XML ingest (fixture-bound)
     "source_warc_documents",  # WARC shard parse + quarantine (fixture-bound)
     "maintenance_file_stats",  # per-file layout health report
+    "sample_leakage_safe_split",  # content-keyed dedup-aware split
 ]
 
 
