@@ -151,6 +151,7 @@ def mmr_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     anchor_id_col: str = "anchor_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diverse selection — retrieve-then-rerank.
 
@@ -181,35 +182,41 @@ def mmr_select(
 
     Anchors sharing the corpus id space are excluded from their own
     candidate list (``id_col != anchor_id_col``).
+
+    ``candidates`` swaps the generation stage: pass a DataFrame of
+    (anchor_id, id, vec, relevance) from any retrieval path (LSH
+    buckets, IVF cells) and only the rerank runs — the top-
+    ``n_candidates`` cut and the greedy loop are identical either way.
     """
     import pandas as pd
 
-    a = anchors.select(
-        F.col(anchor_id_col),
-        F.col(vec_col).alias("__avec"),
-        l2_norm(F.col(vec_col)).alias("__anorm"),
-    )
-    c = corpus.select(
-        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cnorm")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(a))
-        .filter(F.col(id_col) != F.col(anchor_id_col))
-        .select(
-            anchor_id_col,
-            id_col,
-            vec_col,
-            cosine_prenorm(
-                F.col(vec_col), F.col("__avec"),
-                F.col("__cnorm"), F.col("__anorm"),
-            ).alias("relevance"),
+    if candidates is None:
+        a = anchors.select(
+            F.col(anchor_id_col),
+            F.col(vec_col).alias("__avec"),
+            l2_norm(F.col(vec_col)).alias("__anorm"),
         )
-    )
+        c = corpus.select(
+            id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cnorm")
+        )
+        candidates = (
+            c.crossJoin(F.broadcast(a))
+            .filter(F.col(id_col) != F.col(anchor_id_col))
+            .select(
+                anchor_id_col,
+                id_col,
+                vec_col,
+                cosine_prenorm(
+                    F.col(vec_col), F.col("__avec"),
+                    F.col("__cnorm"), F.col("__anorm"),
+                ).alias("relevance"),
+            )
+        )
     w = Window.partitionBy(anchor_id_col).orderBy(
         F.col("relevance").desc(), F.col(id_col).asc()
     )
     cand = (
-        scored.withColumn("__rn", F.row_number().over(w))
+        candidates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_candidates)
         .drop("__rn")
     )

@@ -6072,30 +6072,7 @@ def sim_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_mmr_rerank",
-    """
-    WITH anchors AS (
-      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
-      FROM embeddings WHERE vec_id < 4
-    ),
-    vecs AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    scored AS (
-      SELECT a.anchor_id, e.vec_id, e.v,
-             list_dot_product(e.v, a.avec)
-               / (sqrt(list_dot_product(e.v, e.v))
-                  * sqrt(list_dot_product(a.avec, a.avec))) AS rel
-      FROM vecs e CROSS JOIN anchors a
-      WHERE e.vec_id <> a.anchor_id
-    ),
-    cand AS (
-      SELECT anchor_id, vec_id, v, rel
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-                                         ORDER BY rel DESC, vec_id) AS rn
-            FROM scored) WHERE rn <= 12
-    ),
+_MMR_UNROLL_TAIL = """
     sim AS (
       SELECT c1.anchor_id, c1.vec_id AS va, c2.vec_id AS vb,
              list_dot_product(c1.v, c2.v)
@@ -6169,6 +6146,38 @@ def sim_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT anchor_id, 3, vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s3
     UNION ALL
     SELECT anchor_id, 4, vec_id, ROUND(rel, 6), ROUND(score, 6) FROM s4
+    """
+# ^ the shared 4-step greedy unroll: expects a `cand` CTE with columns
+#   (anchor_id, vec_id, v, rel); both MMR gates splice their own
+#   candidate-generation CTEs in front of it, so the rerank spec can
+#   never drift between the brute-force and LSH variants.
+
+
+@query(
+    "sim_mmr_rerank",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+      FROM embeddings WHERE vec_id < 4
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id, e.v,
+             list_dot_product(e.v, a.avec)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(a.avec, a.avec))) AS rel
+      FROM vecs e CROSS JOIN anchors a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    cand AS (
+      SELECT anchor_id, vec_id, v, rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 12
+    ),
+    {_MMR_UNROLL_TAIL}
     """,
 )
 def sim_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6191,6 +6200,109 @@ def sim_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("anchor_id"), "embedding"
     )
     out = mmr_select(emb, anchors, k=4, n_candidates=12, lam=0.7, mu=0.3)
+    return out.select(
+        "anchor_id", "sel_rank", "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
+def _mmr_lsh_oracle_sql(dim: int = 64, n_planes: int = 6) -> str:
+    """The LSH-candidate MMR variant: same deterministic plane literals
+    as _lsh_topk_oracle_sql for candidate generation, same unroll tail as
+    sim_mmr_rerank for the greedy rerank — the two stages compose in SQL
+    exactly as the operators compose in Spark."""
+    from erigon_extract_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, p + 1)) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product(v, {plane}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    bucket = "\n             + ".join(bits)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             ({bucket}) AS bucket
+      FROM vecs
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, v AS avec, bucket
+      FROM sig WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT a.anchor_id, s.vec_id, s.v,
+             list_dot_product(s.v, a.avec)
+               / (sqrt(list_dot_product(s.v, s.v))
+                  * sqrt(list_dot_product(a.avec, a.avec))) AS rel
+      FROM sig s JOIN anchors a USING (bucket)
+      WHERE s.vec_id <> a.anchor_id
+    ),
+    cand AS (
+      SELECT anchor_id, vec_id, v, rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 12
+    ),
+    {_MMR_UNROLL_TAIL}
+    """
+
+
+@query("sim_mmr_lsh", _mmr_lsh_oracle_sql())
+def sim_mmr_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR with SUBLINEAR candidate generation — the pluggability the
+    mmr_select docstring promises, proven under the hash gate: candidates
+    come from the LSH bucket equi-join (shuffle ∝ corpus, not anchors ×
+    corpus) instead of the brute-force broadcast scan, and the identical
+    bounded per-anchor greedy rerank runs on top. The oracle splices the
+    LSH plane-literal CTEs in front of the SAME unroll tail the
+    brute-force gate uses, so the two gates share the rerank spec by
+    construction. Anchors whose bucket holds fewer than k neighbors
+    select fewer rows — both engines agree on the degenerate-bucket
+    semantics."""
+    from erigon_extract_spark.operators.similarity import (
+        cosine_prenorm,
+        l2_norm,
+        lsh_signature,
+        mmr_select,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c = emb.withColumn(
+        "__bucket", lsh_signature(F.col("embedding"), 64, 6)
+    ).withColumn("__cnorm", l2_norm(F.col("embedding")))
+    anchors = c.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__avec"),
+        F.col("__cnorm").alias("__anorm"),
+        "__bucket",
+    )
+    cand = (
+        c.join(F.broadcast(anchors), "__bucket")
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            "embedding",
+            cosine_prenorm(
+                F.col("embedding"), F.col("__avec"),
+                F.col("__cnorm"), F.col("__anorm"),
+            ).alias("relevance"),
+        )
+    )
+    out = mmr_select(
+        emb,
+        anchors.select("anchor_id", F.col("__avec").alias("embedding")),
+        k=4, n_candidates=12, lam=0.7, mu=0.3,
+        candidates=cand,
+    )
     return out.select(
         "anchor_id", "sel_rank", "vec_id",
         F.round("relevance", 6).alias("relevance"),
