@@ -48,19 +48,31 @@ _MAGIC = b"WARC/1.0"
 
 
 def _gunzip_members(data: bytes, cap: int = MAX_DECOMPRESSED_BYTES) -> bytes:
-    """Decompress concatenated gzip members with a total-size cap."""
+    """Decompress concatenated gzip members with a total-size cap.
+
+    Chunked (1 MB per decompress call) so the cap is enforced DURING
+    inflation — a 1 KB member claiming to expand to 10 GB (the classic
+    decompression bomb) raises after ~cap bytes, never after a full
+    allocation. Pytest-pinned with a crafted high-ratio member.
+    """
     out = []
     total = 0
     view = data
     while view:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        chunk = d.decompress(view)
-        total += len(chunk)
-        if total > cap:
-            raise ValueError(f"decompressed size exceeds cap {cap}")
-        out.append(chunk)
-        if not d.eof:  # truncated member
-            raise ValueError("truncated gzip member")
+        buf = view
+        while not d.eof:
+            chunk = d.decompress(buf, 1 << 20)
+            if chunk:
+                total += len(chunk)
+                if total > cap:
+                    raise ValueError(
+                        f"decompressed size exceeds cap {cap}"
+                    )
+                out.append(chunk)
+            buf = d.unconsumed_tail
+            if not d.eof and not buf and not chunk:  # input exhausted
+                raise ValueError("truncated gzip member")
         view = d.unused_data
     return b"".join(out)
 

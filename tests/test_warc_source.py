@@ -114,6 +114,20 @@ def test_warc_bomb_caps_quarantine_not_oom():
     rows = list(parse_warc_records(cut_gz, "f"))
     assert rows and rows[0][7] and "gzip" in rows[0][7]
 
+    # decompression bomb: a ~100 KB member expanding to 100 MB must raise
+    # at the cap DURING inflation (chunked decompress), not after a full
+    # allocation — and the multi-member and roundtrip paths still work
+    import pytest
+
+    from erigon_extract_spark.sources.warc import _gunzip_members
+
+    bomb = gzip.compress(b"\x00" * (100 << 20), mtime=0)
+    assert len(bomb) < (1 << 20)  # high ratio, the attack premise
+    with pytest.raises(ValueError, match="exceeds cap"):
+        _gunzip_members(bomb, cap=1 << 20)
+    two = gzip.compress(b"abc", mtime=0) + gzip.compress(b"def", mtime=0)
+    assert _gunzip_members(two) == b"abcdef"
+
 
 def test_warc_parallelism_is_per_shard(spark, tmp_path):
     """N shard files plan N tasks (binaryFile source) — the documented
