@@ -197,6 +197,36 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc` — the crawler file-drop
+    pattern: shards land in a directory, Structured Streaming picks each
+    up exactly once, and the SAME Arrow-batched parser runs per shard
+    (mapInPandas is stateless, so batch/stream parity is structural;
+    pinned by an availableNow == batch pytest)."""
+    import pandas as pd
+
+    def gen(batches):
+        cols = ["path", "rec_idx", "warc_type", "target_uri",
+                "content_type", "content_length", "payload", "_corrupt"]
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_records(bytes(content), str(p)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(gen, schema=WARC_FIELDS)
+    )
+
+
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean records without the quarantine column, corrupt rows)."""
     from pyspark.sql import functions as F

@@ -194,3 +194,56 @@ def test_warc_parser_never_raises_property():
         assert rows, "input produced no rows at all"
 
     resync()
+
+
+def test_warc_stream_available_now_matches_batch(spark, tmp_path):
+    """Streaming WARC ingest over two landed shards (one gzipped, one
+    with a corrupt record) equals the batch read: same clean set, same
+    quarantine behavior through the stream."""
+    import shutil
+    import tempfile
+
+    from erigon_extract_spark.sources.warc import (
+        _record,
+        ensure_sample,
+        read_warc,
+        read_warc_stream,
+        split_quarantine,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    ensure_sample(d / "shard0.warc", gz=True)
+    (d / "shard1.warc").write_bytes(
+        _record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", "https://late/1")],
+            b"late shard",
+        )
+        + b"WARC/1.0\r\nBrokenHeader\r\n\r\n"
+    )
+    clean_stream, _ = split_quarantine(read_warc_stream(spark, str(d)))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_warc_")
+    try:
+        q = (
+            clean_stream.writeStream.format("memory")
+            .queryName("warc_stream_t")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    streamed = {
+        (r.target_uri, r.rec_idx)
+        for r in spark.table("warc_stream_t").collect()
+    }
+    clean_batch, bad_batch = split_quarantine(read_warc(spark, str(d)))
+    assert streamed == {
+        (r.target_uri, r.rec_idx) for r in clean_batch.collect()
+    }
+    assert ("https://late/1", 0) in streamed
+    assert len(streamed) == 62  # 61 fixture records + the late shard
+    assert bad_batch.count() >= 1
