@@ -1112,3 +1112,85 @@ def containment_pairs(
             F.expr("(n_common * 1000000) div n_a"),
         )
     )
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    thresholds: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8),
+) -> DataFrame:
+    """Recall of the banded minhash-LSH candidate set against EXACT
+    Jaccard truth, per similarity threshold — the measurement that
+    qualifies an (n_hashes, bands) configuration before it dedups a
+    corpus (the dedup twin of similarity.ann_recall_report).
+
+    Truth and candidates share ONE shingle definition (the widened
+    ``shingle_n``-gram sets the portable minhash path hashes), so the
+    report isolates the banding s-curve: recall should rise toward 1.0
+    as the threshold climbs past the band breakpoint (r rows/band →
+    P(candidate) = 1-(1-j^r)^b), and the low-threshold rows quantify
+    what the bucket join is allowed to miss.
+
+    Scale: the candidate arm is the metered-linear LSH plan; the truth
+    arm is the exact inverted-index shingle self-join — evaluation-run
+    cost, paid on a SAMPLE at 100 TB (the report is how you pick the
+    config before the full run, not a per-run stage).
+    """
+    cand = minhash_lsh_pairs_portable(
+        docs, text_col, id_col, n_hashes, bands, shingle_n
+    ).select("doc_id_a", "doc_id_b", F.lit(1).alias("__c"))
+    sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_id_a"),
+            F.col(f"r.{id_col}").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("__na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("__nb")
+    )
+    truth = (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "__j",
+            F.col("n_common").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+        .join(cand, ["doc_id_a", "doc_id_b"], "left")
+    )
+    return (
+        truth.withColumn(
+            "threshold",
+            F.explode(F.array(*[F.lit(float(t)) for t in thresholds])),
+        )
+        .filter(F.col("__j") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "threshold",
+            "n_true",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

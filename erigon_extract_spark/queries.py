@@ -4568,6 +4568,56 @@ def dedup_minhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_portable(docs)
 
 
+@query(
+    "dedup_recall_eval",
+    f"""
+    WITH {_minhash_portable_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+             COUNT(*) AS n_common
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ),
+    truth AS (
+      SELECT i.doc_id_a, i.doc_id_b,
+             CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS j,
+             (p.doc_id_a IS NOT NULL) AS is_cand
+      FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_id_a
+        JOIN sizes sb ON sb.doc_id = i.doc_id_b
+        LEFT JOIN pairs p
+          ON p.doc_id_a = i.doc_id_a AND p.doc_id_b = i.doc_id_b
+    ),
+    th AS (SELECT * FROM (VALUES (0.2e0), (0.4e0), (0.6e0), (0.8e0))
+           t(threshold))
+    SELECT threshold,
+           COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM truth JOIN th ON j >= threshold
+    GROUP BY threshold
+    """,
+)
+def dedup_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-vs-exact recall for the DEDUP family (operators/dedup.
+    lsh_recall_report — the twin of sim_recall_eval): per similarity
+    threshold, what fraction of true Jaccard-similar pairs the banded
+    minhash candidates recover. Truth and candidates hash the SAME
+    widened 5-gram shingle sets, so the report isolates the banding
+    s-curve (4 bands x 4 rows here). Both arms are md5-portable, so the
+    ENTIRE evaluation — shingles, signatures, banding, the exact
+    inverted-index truth join, the per-threshold recall quotients — is
+    differential-hash-checked."""
+    from erigon_extract_spark.operators.dedup import lsh_recall_report
+
+    docs = _load(spark, sf_dir, "documents")
+    return lsh_recall_report(docs)
+
+
 def _simhash_portable_oracle_sql() -> str:
     """32-bit portable SimHash mirrored in SQL: per-bit ±1 vote sums,
     sign-bit reassembly, 8-bit chunk banding, Hamming filter."""

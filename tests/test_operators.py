@@ -941,3 +941,35 @@ def test_wav_real_audio_kernel_end_to_end(spark):
         media.filter("doc_id = 1"), fake_decode=False
     ).collect()}
     assert meta[1].duration_ms == 1000 and meta[1].width is None
+
+
+def test_lsh_recall_report_scurve(spark, sf_dir):
+    """The banding s-curve: recall is non-decreasing in the threshold,
+    hits 1.0 on near-duplicates (planted: a doc and its 90%-overlap
+    mutation), and candidate hits never exceed true pairs."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.dedup import lsh_recall_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant near-duplicates: copy every 10th doc with one word appended
+    # (jaccard over 5-gram shingles stays very high)
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailer")).alias("text"),
+    )
+    rep = {
+        float(r.threshold): r
+        for r in lsh_recall_report(docs.unionByName(dups)).collect()
+    }
+    assert rep, "no thresholds produced rows"
+    ts = sorted(rep)
+    recalls = [rep[t].recall for t in ts]
+    assert recalls == sorted(recalls), recalls  # s-curve: non-decreasing
+    for t in ts:
+        assert 0.0 <= rep[t].recall <= 1.0
+        assert rep[t].n_hit <= rep[t].n_true
+    # the planted near-dups sit far above the 4x4 band breakpoint
+    assert rep[ts[-1]].recall == 1.0, rep[ts[-1]]
