@@ -93,6 +93,7 @@ HEADLINE = [
     "sim_recall_eval",  # LSH-vs-exact recall@10 evaluation harness
     "source_xml_documents",  # legacy-tokenizer XML ingest (fixture-bound)
     "source_warc_documents",  # WARC shard parse + quarantine (fixture-bound)
+    "dedup_recall_eval",  # banded-LSH vs exact-Jaccard recall s-curve
     "maintenance_file_stats",  # per-file layout health report
     "sample_leakage_safe_split",  # content-keyed dedup-aware split
 ]
