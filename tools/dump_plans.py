@@ -142,6 +142,20 @@ SHOWCASE = [
      "Salted two-phase aggregation: partial agg on (key, salt) then "
      "merge on key — two hash aggregates, each with map-side partials; "
      "no single hot-key partition."),
+    ("sim_mmr_lsh",
+     "MMR retrieve-then-rerank, sublinear stage 1: candidates via a "
+     "BroadcastHashJoin on the LSH bucket key (no nested loop, shuffle "
+     "∝ corpus); the greedy rerank is one bounded Arrow batch per "
+     "anchor group behind a single anchor_id exchange."),
+    ("dedup_recall_eval",
+     "LSH recall evaluation: candidate arm is the banded-LSH plan; the "
+     "exact-truth arm is a shingle inverted-index equi-join; the "
+     "threshold dimension rides a Generate (explode) — no "
+     "BroadcastNestedLoopJoin, no cartesian anywhere."),
+    ("maintenance_file_stats",
+     "File-level health report: input_file_name projection feeding a "
+     "map-side-combined count — the exchange carries ONE row per FILE "
+     "(metadata-sized), never data rows."),
 ]
 
 
