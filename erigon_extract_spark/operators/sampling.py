@@ -282,7 +282,14 @@ def leakage_safe_split(
     weights = weights or {"train": 80, "val": 10, "test": 10}
     if sum(weights.values()) != 100:
         raise ValueError(f"split weights must sum to 100: {weights}")
-    bucket = stable_hash_bucket(normalize_text(F.col(text_col)), 100)
+    # md5(NULL) is NULL → a null bucket matches no when-branch → a null
+    # text would get split=NULL and silently vanish from every split
+    # fraction. Coalesce to '' instead: null/empty texts are content-
+    # duplicates of each other, so they co-locate in one split — the
+    # same guarantee every other duplicate gets.
+    bucket = stable_hash_bucket(
+        F.coalesce(normalize_text(F.col(text_col)), F.lit("")), 100
+    )
     expr = None
     lo = 0
     for name, pct in weights.items():

@@ -246,7 +246,17 @@ def mmr_select(
             best_key = None
             for i in remaining:
                 pen = max(S[i, j] for j in selected) if selected else 0.0
-                score = lam * rel[i] - mu * pen
+                # Quantize BEFORE the argmax: the engine computes S via
+                # BLAS (V @ V.T) while the SQL oracle folds
+                # list_dot_product sequentially — last-ulp differences
+                # are real, and an argmax decided at full precision can
+                # flip the SELECTION on a near-tie even though both
+                # engines round the reported score to 6 dp. At 9 dp the
+                # engines agree (float64 dot error ~1e-15 on unit
+                # vectors) and genuine ties collapse to the shared
+                # id-asc tie-break on both sides. The oracle tail
+                # (queries._MMR_UNROLL_TAIL) rounds identically.
+                score = round(lam * rel[i] - mu * pen, 9)
                 key = (-score, ids[i])  # score desc, id asc tie-break
                 if best_key is None or key < best_key:
                     best, best_key = i, key

@@ -6131,14 +6131,20 @@ _MMR_UNROLL_TAIL = """
       FROM cand c1 JOIN cand c2 ON c1.anchor_id = c2.anchor_id
     ),
     s1 AS (
-      SELECT anchor_id, vec_id, rel, 0.7e0 * rel AS score
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-                                         ORDER BY rel DESC, vec_id) AS rn
+      -- scores are ROUND(,9)-quantized BEFORE every argmax: the engine
+      -- computes pairwise cosines with BLAS, this oracle with
+      -- sequential list_dot_product folds; selection must not hinge on
+      -- the last ulp (operators/similarity.mmr_select quantizes the
+      -- same way before its greedy argmax)
+      SELECT anchor_id, vec_id, rel, ROUND(0.7e0 * rel, 9) AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY anchor_id
+                ORDER BY ROUND(0.7e0 * rel, 9) DESC, vec_id) AS rn
             FROM cand) WHERE rn = 1
     ),
     r2 AS (
       SELECT c.anchor_id, c.vec_id, c.rel,
-             0.7e0 * c.rel - 0.3e0 * m1.s AS score
+             ROUND(0.7e0 * c.rel - 0.3e0 * m1.s, 9) AS score
       FROM cand c
       JOIN s1 ON s1.anchor_id = c.anchor_id AND c.vec_id <> s1.vec_id
       JOIN sim m1 ON m1.anchor_id = c.anchor_id AND m1.va = c.vec_id
@@ -6152,7 +6158,8 @@ _MMR_UNROLL_TAIL = """
     ),
     r3 AS (
       SELECT c.anchor_id, c.vec_id, c.rel,
-             0.7e0 * c.rel - 0.3e0 * GREATEST(m1.s, m2.s) AS score
+             ROUND(0.7e0 * c.rel - 0.3e0 * GREATEST(m1.s, m2.s), 9)
+               AS score
       FROM cand c
       JOIN s1 ON s1.anchor_id = c.anchor_id AND c.vec_id <> s1.vec_id
       JOIN s2 ON s2.anchor_id = c.anchor_id AND c.vec_id <> s2.vec_id
@@ -6169,7 +6176,8 @@ _MMR_UNROLL_TAIL = """
     ),
     r4 AS (
       SELECT c.anchor_id, c.vec_id, c.rel,
-             0.7e0 * c.rel - 0.3e0 * GREATEST(m1.s, m2.s, m3.s) AS score
+             ROUND(0.7e0 * c.rel - 0.3e0 * GREATEST(m1.s, m2.s, m3.s), 9)
+               AS score
       FROM cand c
       JOIN s1 ON s1.anchor_id = c.anchor_id AND c.vec_id <> s1.vec_id
       JOIN s2 ON s2.anchor_id = c.anchor_id AND c.vec_id <> s2.vec_id

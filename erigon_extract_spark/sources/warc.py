@@ -106,13 +106,23 @@ def parse_warc_records(data: bytes, path: str = "") -> Iterator[tuple]:
             yield (path, idx, None, None, None, None, None,
                    f"garbage before record at byte {start}")
             idx += 1
+        # Resync point for every quarantined record: the NEXT magic
+        # after this one. Resuming at hdr_end+4 instead would leave the
+        # orphaned body in the stream, where it triggers a second
+        # "garbage before record" quarantine row — one producer bug must
+        # cost exactly one quarantine row, not two. (-1 = no further
+        # record: stop after yielding, emitting no trailing-bytes row
+        # for the same reason.)
+        resync = data.find(_MAGIC, start + len(_MAGIC))
         hdr_end = data.find(b"\r\n\r\n", start, start + MAX_HEADER_BLOCK)
         if hdr_end < 0:
             yield (path, idx, None, None, None, None, None,
                    "unterminated header block (cap "
                    f"{MAX_HEADER_BLOCK})")
             idx += 1
-            pos = start + len(_MAGIC)  # resync past this magic
+            if resync < 0:
+                return
+            pos = resync
             continue
         headers = {}
         bad_header = None
@@ -128,7 +138,9 @@ def parse_warc_records(data: bytes, path: str = "") -> Iterator[tuple]:
             yield (path, idx, None, None, None, None, None,
                    f"malformed header line: {bad_header!r}")
             idx += 1
-            pos = hdr_end + 4
+            if resync < 0:
+                return
+            pos = resync
             continue
         try:
             length = int(headers.get(b"content-length", b""))
@@ -136,14 +148,18 @@ def parse_warc_records(data: bytes, path: str = "") -> Iterator[tuple]:
             yield (path, idx, None, None, None, None, None,
                    "missing or non-integer Content-Length")
             idx += 1
-            pos = hdr_end + 4
+            if resync < 0:
+                return
+            pos = resync
             continue
         if not 0 <= length <= MAX_CONTENT_LENGTH:
             yield (path, idx, None, None, None, None, None,
                    f"Content-Length {length} outside [0, "
                    f"{MAX_CONTENT_LENGTH}]")
             idx += 1
-            pos = hdr_end + 4
+            if resync < 0:
+                return
+            pos = resync
             continue
         body_start = hdr_end + 4
         body_end = body_start + length

@@ -85,6 +85,14 @@ def _finish_contract(df: DataFrame) -> DataFrame:
             F.col("_doc_id").isNotNull() & cast_ok.isNull(),
             F.concat(F.lit("bad doc_id attribute: "), F.col("_doc_id")),
         )
+        .when(
+            # A <doc> with no doc_id attribute at all parses "cleanly"
+            # (null attribute, null _corrupt) — without this branch it
+            # would enter the clean contract as a keyless row. The key
+            # is the contract's identity column; keyless rows quarantine.
+            F.col("_doc_id").isNull(),
+            F.lit("missing doc_id attribute"),
+        )
         .alias("_corrupt"),
     )
 

@@ -319,3 +319,21 @@ def test_leakage_safe_split_colocates_duplicates(spark, sf_dir):
     }
     first = {r.doc_id: r.split for r in s.collect()}
     assert again == first
+
+
+def test_leakage_safe_split_assigns_null_and_empty_text(spark):
+    """md5(NULL) is NULL, so an unguarded split leaves null-text rows
+    with split=NULL — silently outside every split fraction. The
+    operator coalesces the normalized text to '' first: null, empty,
+    and whitespace-only texts are content-duplicates of each other, so
+    they all land (non-null) in the SAME split."""
+    from erigon_extract_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.split for r in leakage_safe_split(df, "text").collect()}
+    assert all(v is not None for v in rows.values()), rows
+    # null / empty / whitespace-only normalize identically -> one split
+    assert rows[1] == rows[2] == rows[3]

@@ -67,10 +67,47 @@ def test_warc_corruption_resyncs_per_record(spark, tmp_path):
     clean, badf = split_quarantine(read_warc(spark, str(tmp_path)))
     uris = sorted(r.target_uri for r in clean.collect())
     assert uris == ["https://a/1", "https://a/2"]
-    assert badf.count() >= 1
-    assert any(
-        "malformed header" in r._corrupt for r in badf.collect()
+    # exactly ONE quarantine row: the parser resyncs at the next
+    # WARC/1.0 magic, so the bad record's orphaned body must NOT emit a
+    # second "garbage before record" row
+    bad_rows = badf.collect()
+    assert len(bad_rows) == 1
+    assert "malformed header" in bad_rows[0]._corrupt
+
+
+def test_warc_one_bad_record_one_quarantine_row_pure():
+    """Pure-parser twin across every quarantine-resync branch: bad
+    header line, missing Content-Length, oversize Content-Length, and
+    unterminated header block each cost exactly one quarantine row
+    whether followed by another record (resync at its magic) or at the
+    shard tail (stop, no trailing-bytes row)."""
+    from erigon_extract_spark.sources.warc import (
+        MAX_CONTENT_LENGTH,
+        _record,
+        parse_warc_records,
     )
+
+    good = _record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://a/g")],
+        b"fine",
+    )
+    bads = [
+        b"WARC/1.0\r\nNoColonHere\r\nContent-Length: 2\r\n\r\nok\r\n\r\n",
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\norphan body\r\n\r\n",
+        b"WARC/1.0\r\nContent-Length: "
+        + str(MAX_CONTENT_LENGTH + 1).encode()
+        + b"\r\n\r\nbody\r\n\r\n",
+        b"WARC/1.0\r\nWARC-Type: response\r\nno terminator",
+    ]
+    for bad in bads:
+        # bad record in the middle: 2 clean + exactly 1 quarantine
+        rows = list(parse_warc_records(good + bad + good))
+        assert [r[7] is None for r in rows].count(True) == 2, bad
+        assert len(rows) == 3, (bad, [r[7] for r in rows])
+        # bad record at the tail: 1 clean + exactly 1 quarantine
+        rows = list(parse_warc_records(good + bad))
+        assert len(rows) == 2, (bad, [r[7] for r in rows])
+        assert rows[0][7] is None and rows[1][7] is not None
 
 
 def test_warc_truncated_payload_quarantined(spark, tmp_path):

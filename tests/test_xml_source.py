@@ -55,6 +55,11 @@ def test_xml_corrupt_records_quarantined_not_fatal(spark, tmp_path):
         "<source>s</source><n_chars>6</n_chars></doc>\n"
         '  <doc doc_id="3"><text>also ok</text><lang>fr</lang>'
         "<source>src1</source><n_chars>7</n_chars></doc>\n"
+        # missing-attribute corruption: no doc_id at all parses "cleanly"
+        # (null attribute, null _corrupt) — the contract must quarantine
+        # the keyless row, not admit it with a null identity column
+        "  <doc><text>keyless</text><lang>en</lang>"
+        "<source>s</source><n_chars>7</n_chars></doc>\n"
         "</docs>\n"
     )
     clean, bad = split_quarantine(read_documents_xml(spark, str(p)))
@@ -62,10 +67,11 @@ def test_xml_corrupt_records_quarantined_not_fatal(spark, tmp_path):
     # full-row collect: projecting only _corrupt trips SPARK-21610 (see
     # split_quarantine docstring in sources/jsonl.py)
     bad_rows = bad.collect()
-    assert len(bad_rows) == 3
+    assert len(bad_rows) == 4
     assert any(
         r._corrupt == "bad doc_id attribute: not-a-number" for r in bad_rows
     )
+    assert any(r._corrupt == "missing doc_id attribute" for r in bad_rows)
 
 
 def test_xml_parallelism_is_per_file_not_per_split(spark, tmp_path):
