@@ -8,6 +8,7 @@ reference binary (show_usage, erigon_extract.c:2595-2611), Spark-side.
     python -m erigon_extract_spark.cli build --fixtures <outdir>   # pipeline -> sorted parquet
     python -m erigon_extract_spark.cli dump <state_history_parquet>  # K5 canonical dump
     python -m erigon_extract_spark.cli state-at <parquet> --block N [--address hex]
+    python -m erigon_extract_spark.cli state-at <merged.dat> --ref-file --block N --address hex [--slot hex]
     python -m erigon_extract_spark.cli ann-build <emb.parquet> <idx> # persisted IVFPQ
     python -m erigon_extract_spark.cli ann-query <idx> <probes.parquet> -k 10
     python -m erigon_extract_spark.cli index-build <docs.parquet> <idx>  # inverted text index
@@ -171,6 +172,8 @@ def _dump(args) -> int:
 
 
 def _state_at(args) -> int:
+    if args.ref_file:
+        return _state_at_ref_file(args)
     from erigon_extract_spark.operators.dump import canonical_dump
     from erigon_extract_spark.plans.state import account_state_at
 
@@ -185,6 +188,58 @@ def _state_at(args) -> int:
     ).withColumn("value", F.lit(None).cast("binary"))
     for r in canonical_dump(rows).collect():
         print(r["line"])
+    return 0
+
+
+def _state_at_ref_file(args) -> int:
+    """O(log N) as-of lookup INTO an encoded merged file (no Spark, no
+    full decode — the reference README's headline read path): binary
+    search over the file's 4 KiB restart pages via codec.refstream.
+    point_lookup. With --slot, the account is looked up first to resolve
+    the live incarnation as of the block — two O(log N) searches."""
+    from erigon_extract_spark.codec import refstream as rs
+
+    if not args.address:
+        print("--ref-file requires --address", file=sys.stderr)
+        return 2
+    address = bytes.fromhex(args.address)
+    it, stats = rs.point_lookup(args.store, address, args.block)
+    if args.slot is not None:
+        if it is None:
+            print("(account not found; no incarnation for slot lookup)",
+                  file=sys.stderr)
+            return 1
+        inc = args.incarnation if args.incarnation is not None else it.incarnation
+        it, s2 = rs.point_lookup(
+            args.store, address, args.block,
+            slot=bytes.fromhex(args.slot), incarnation=inc,
+        )
+        for k in ("page_probes", "pages_fully_decoded", "bytes_read"):
+            stats[k] += s2[k]
+    if it is None:
+        print("(not found)", file=sys.stderr)
+        print(f"({stats['page_probes']} page probes, "
+              f"{stats['pages_fully_decoded']} pages decoded, "
+              f"{stats['bytes_read']} bytes of {stats['pages_total']} pages)",
+              file=sys.stderr)
+        return 1
+    if it.is_storage:
+        print(f"  Storage block={it.block} address={it.address.hex()}")
+        print(f"          inc={it.incarnation} "
+              f"value={_print_number(it.value)}")
+    else:
+        code = (
+            "0"
+            if it.code_hash in (bytes(32), rs.EMPTY_CODE_HASH)
+            else it.code_hash.hex()
+        )
+        print(f"  Account block={it.block} address={it.address.hex()}")
+        print(f"          inc={it.incarnation} nonce={it.nonce} "
+              f"balance={_print_number(it.balance)} codeHash={code}")
+    print(f"({stats['page_probes']} page probes, "
+          f"{stats['pages_fully_decoded']} pages decoded, "
+          f"{stats['bytes_read']} bytes of {stats['pages_total']} pages)",
+          file=sys.stderr)
     return 0
 
 
@@ -433,9 +488,19 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_dump)
 
     p = sub.add_parser("state-at", help="as-of account state query")
-    p.add_argument("store")
+    p.add_argument("store", help="state-history parquet, or with "
+                   "--ref-file a merged encoded .dat file")
     p.add_argument("--block", type=int, required=True)
     p.add_argument("--address", default=None, help="hex, no 0x")
+    p.add_argument("--ref-file", action="store_true",
+                   help="store is an encoded merged full-history file: "
+                   "answer via O(log N) restart-page binary search "
+                   "(no Spark, no full decode)")
+    p.add_argument("--slot", default=None,
+                   help="hex storage slot (--ref-file only): storage "
+                   "as-of lookup, incarnation resolved via the account")
+    p.add_argument("--incarnation", type=int, default=None,
+                   help="override the slot lookup's incarnation")
     p.set_defaults(fn=_state_at)
 
     p = sub.add_parser("profile", help="per-column stats of a parquet table")

@@ -718,6 +718,107 @@ def page_tasks(file_size: int, page_shift: int = 12,
     return tasks
 
 
+def merged_page_starts(hdr: dict, file_size: int) -> list[int]:
+    """Byte offsets of the independently-decodable restart pages of a
+    merged full-history file, in order: the region after the header, then
+    every aligned page boundary up to end_of_states (the same layout
+    ``page_tasks`` chunks into scan ranges)."""
+    end = min(file_size, hdr["end_of_states"])
+    page = 1 << (hdr["page_shift"] or 12)
+    first_boundary = ((hdr["header_size"] + page - 1) // page) * page
+    starts = [hdr["header_size"]] + list(range(first_boundary, end, page))
+    return sorted(set(s for s in starts if s < end))
+
+
+def _item_sort_key(it) -> tuple:
+    """The merge comparator's total order (erigon_extract.c:2102-2129):
+    (address, kind, incarnation-for-storage, slot, block). Accounts sort
+    before storage per address; account incarnation is payload, not key."""
+    if it.is_storage:
+        return (it.address, 1, it.incarnation, it.slot, it.block)
+    return (it.address, 0, 0, b"", it.block)
+
+
+def point_lookup(
+    path: str,
+    address: bytes,
+    block: int,
+    *,
+    slot: bytes | None = None,
+    incarnation: int = 0,
+):
+    """O(log N) as-of point lookup INTO a merged full-history file —
+    the reference's headline read path (README.md:37-41: "any account or
+    storage can be looked up at any point in block time in O(log N)
+    time"; the 4 KiB restart pages at erigon_extract.c:802-822 exist
+    precisely so a seek can land mid-file and decode).
+
+    Binary search over restart pages: each probe decodes only the FIRST
+    item of one page (pages start with a fresh-state entry by writer
+    construction), narrowing to the single page that contains the
+    greatest key <= (address [, incarnation, slot], block) — the merged
+    file is address-major, so the as-of version of a key is exactly that
+    greatest entry. One final page decodes fully. Total IO:
+    ceil(log2(pages)) + 1 pages, independent of file size.
+
+    Returns ``(item | None, stats)`` — None when the key has no version
+    at or before ``block``. ``stats`` counts the probes so tests (and
+    the CLI) can assert the logarithmic bound rather than trust it.
+
+    The engine's own store answers the same query from sorted Parquet +
+    column stats + bloom filters (plans/state.account_state_at); this is
+    the format-fidelity twin for archives living in the reference dialect.
+    """
+    import os
+
+    kind = 0 if slot is None else 1
+    size = os.path.getsize(path)
+    stats = {"page_probes": 0, "pages_fully_decoded": 0, "bytes_read": 0}
+    with open(path, "rb") as f:
+        hdr = decode_header(f.read(HEADER_SIZE))
+        stats["bytes_read"] += HEADER_SIZE
+        end = min(size, hdr["end_of_states"])
+        starts = merged_page_starts(hdr, size)
+        stats["pages_total"] = len(starts)
+        if not starts:
+            return None, stats
+        target = (address, kind, incarnation if kind else 0, slot or b"", block)
+
+        def read_page(i: int) -> bytes:
+            s = starts[i]
+            e = starts[i + 1] if i + 1 < len(starts) else end
+            f.seek(s)
+            blob = f.read(e - s)
+            stats["bytes_read"] += len(blob)
+            return blob
+
+        def first_key(i: int):
+            stats["page_probes"] += 1
+            it = next(RefReader(0).items(read_page(i)), None)
+            return None if it is None else _item_sort_key(it)
+
+        lo, hi, best = 0, len(starts) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            k = first_key(mid)
+            if k is not None and k <= target:
+                best, lo = mid, mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            return None, stats
+        stats["pages_fully_decoded"] += 1
+        found = None
+        for it in RefReader(0).items(read_page(best)):
+            k = _item_sort_key(it)
+            if k > target:
+                break
+            found, found_key = it, k
+        if found is None or found_key[:4] != target[:4]:
+            return None, stats  # no version of this key at or before block
+        return found, stats
+
+
 def read_ref_file_df(spark, path: str, strategy: int = 0,
                      paged: bool | None = None, pages_per_task: int = 256):
     """Decode a reference-dialect file into a DataFrame of unified items

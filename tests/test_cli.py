@@ -247,3 +247,51 @@ def test_cli_index_build_and_query(spark, sf_dir, tmp_path, capsys):
         .collect()
     }
     assert got == naive and got  # non-empty on this corpus
+
+
+def test_cli_state_at_ref_file_point_lookup(capsys):
+    """state-at --ref-file: the O(log N) lookup INTO the encoded merged
+    file (reference README.md:37-41) — answers must match the full
+    decode of the same committed fixture file, account and storage."""
+    d = str(fixture_store.ensure())
+    path = f"{d}/full-history.dat"
+    _hdr, items = rs.decode_full_history_file(open(path, "rb").read())
+
+    accounts = [i for i in items if not i.is_storage]
+    probe = accounts[len(accounts) // 2]
+    want = max(
+        (i for i in accounts
+         if i.address == probe.address and i.block <= probe.block),
+        key=lambda i: i.block,
+    )
+    rc = cli.main(["state-at", path, "--ref-file",
+                   "--block", str(probe.block),
+                   "--address", probe.address.hex()])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"Account block={want.block} address={want.address.hex()}" in cap.out
+    assert f"nonce={want.nonce}" in cap.out
+    assert "page probes" in cap.err and "pages decoded" in cap.err
+
+    storages = [i for i in items if i.is_storage]
+    sp = storages[len(storages) // 2]
+    swant = max(
+        (i for i in storages
+         if (i.address, i.incarnation, i.slot) == (sp.address, sp.incarnation, sp.slot)
+         and i.block <= sp.block),
+        key=lambda i: i.block,
+    )
+    rc = cli.main(["state-at", path, "--ref-file",
+                   "--block", str(sp.block),
+                   "--address", sp.address.hex(),
+                   "--slot", sp.slot.hex(),
+                   "--incarnation", str(sp.incarnation)])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"Storage block={swant.block} address={swant.address.hex()}" in cap.out
+
+    # unknown address: not found, exit 1
+    rc = cli.main(["state-at", path, "--ref-file",
+                   "--block", "1000000", "--address", "ff" * 20])
+    cap = capsys.readouterr()
+    assert rc == 1 and "(not found)" in cap.err

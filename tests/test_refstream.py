@@ -354,3 +354,105 @@ def test_fuzz_decode_never_hangs_or_crashes(junk, strategy):
         return
     for it in items:
         assert isinstance(it, (rs.AccountItem, rs.StorageItem))
+
+
+# ---------------------------------------------------------------------------
+# O(log N) point lookup into the merged file (README.md:37-41)
+# ---------------------------------------------------------------------------
+
+
+def _lookup_truth(items, address, block, *, slot=None, incarnation=0):
+    """Linear-scan oracle: greatest item <= the target key whose
+    (address, kind, incarnation, slot) matches exactly — the same as-of
+    semantics plans/state.account_state_at answers from Parquet."""
+    kind = 0 if slot is None else 1
+    tgt = (address, kind, incarnation if kind else 0, slot or b"", block)
+    best = None
+    for it in items:
+        k = rs._item_sort_key(it)
+        if k <= tgt and k[:4] == tgt[:4]:
+            best = it
+    return best
+
+
+def test_point_lookup_parity_exhaustive(tmp_path):
+    """Every (address x block) account probe and every (address, inc,
+    slot) x block storage probe over the fixture history answers
+    identically to the linear-scan oracle."""
+    items = _fixture_items()
+    path = tmp_path / "merged.dat"
+    path.write_bytes(rs.encode_full_history_file(items, 0, 121))
+
+    addresses = sorted({it.address for it in items})
+    blocks = list(range(0, 126, 7)) + [0, 1, 120, 121, 125]
+    for addr in addresses:
+        for b in blocks:
+            got, _ = rs.point_lookup(str(path), addr, b)
+            want = _lookup_truth(items, addr, b)
+            assert (None if got is None else got.astuple()) == (
+                None if want is None else want.astuple()
+            ), (addr.hex(), b)
+    storage_keys = sorted(
+        {(it.address, it.incarnation, it.slot) for it in items if it.is_storage}
+    )
+    for addr, inc, slot in storage_keys[:12]:
+        for b in blocks:
+            got, _ = rs.point_lookup(
+                str(path), addr, b, slot=slot, incarnation=inc
+            )
+            want = _lookup_truth(items, addr, b, slot=slot, incarnation=inc)
+            assert (None if got is None else got.astuple()) == (
+                None if want is None else want.astuple()
+            ), (addr.hex(), inc, slot.hex(), b)
+
+
+def test_point_lookup_not_found(tmp_path):
+    items = _fixture_items()
+    path = tmp_path / "merged.dat"
+    path.write_bytes(rs.encode_full_history_file(items, 0, 121))
+    # address below / above / between every fixture address
+    got, _ = rs.point_lookup(str(path), bytes(20), 10**9)
+    assert got is None
+    got, _ = rs.point_lookup(str(path), b"\xff" * 20, 10**9)
+    assert got is None
+    # block earlier than the key's first version (genesis rows dropped)
+    it0 = min(items, key=rs._item_sort_key)
+    if it0.block > 0:
+        got, _ = rs.point_lookup(str(path), it0.address, it0.block - 1)
+        assert got is None
+
+
+def test_point_lookup_touches_olog_pages(tmp_path):
+    """The capability claim itself: on a many-page file the lookup reads
+    ceil(log2(pages)) first-item probes plus ONE fully-decoded page —
+    never a scan. Counted, not trusted."""
+    import math
+
+    fx = fxmod.generate(seed=7, n_addresses=700, n_blocks=4000,
+                        n_body_blocks=10)
+    rows = fxmod.expected_state_history(fx)
+    items = []
+    for addr, kind, inc, slot, block_from, nonce, bal, ch, val in rows:
+        if kind == 0:
+            items.append(rs.AccountItem(block_from, addr, nonce, bal, inc, ch))
+        else:
+            items.append(rs.StorageItem(block_from, addr, inc, slot, val))
+    path = tmp_path / "big.dat"
+    path.write_bytes(rs.encode_full_history_file(items, 0, 4001))
+
+    probe_addrs = sorted({it.address for it in items})[::9]
+    max_probes = 0
+    for addr in probe_addrs:
+        got, stats = rs.point_lookup(str(path), addr, 2000)
+        want = _lookup_truth(items, addr, 2000)
+        assert (None if got is None else got.astuple()) == (
+            None if want is None else want.astuple()
+        )
+        assert stats["pages_total"] >= 32, stats  # claim needs real N
+        bound = math.ceil(math.log2(stats["pages_total"])) + 1
+        assert stats["page_probes"] <= bound, stats
+        assert stats["pages_fully_decoded"] == 1, stats
+        # IO bound: probed pages + the final page + the header
+        assert stats["bytes_read"] <= (stats["page_probes"] + 1) * 4096 + 256
+        max_probes = max(max_probes, stats["page_probes"])
+    assert max_probes >= 2  # the search actually bisected
