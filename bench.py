@@ -192,20 +192,54 @@ def main() -> None:
     # any) was load-hit without cross-run forensics; a hit section should
     # be re-run once before committing.
     section_loads: dict[str, dict] = {}
-    section_loads["headline"] = {"start": _load_now()}
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = q.QUERIES[name]
-        best, n = float("inf"), 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    def _headline_pass(tag: str) -> dict[str, float]:
+        sec = {"start": _load_now()}
+        section_loads[tag] = sec
+        during_max = 0.0
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = q.QUERIES[name]
+            best, n = float("inf"), 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+            cur = _load_now()
+            if cur:
+                during_max = max(during_max, cur[0])
+            print(f"# {tag} {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        sec["end"] = _load_now()
+        sec["during_max_1min"] = round(during_max, 2)
+        return out
+
+    # Load-robust headline (VERDICT r9 #5): the start gate certifies only
+    # the first second; the r9 driver artifact burned at load 7-19 AFTER
+    # the gate opened at 0.46. The section now samples the 1-min load
+    # after every query; if the max sample exceeds the retry threshold,
+    # the whole section re-runs once (after waiting for idle again) and
+    # the artifact reports the per-query MIN of the two passes — acting
+    # on the provenance instead of merely explaining the noise.
+    retry_threshold = float(
+        os.environ.get("SPARK_GRAFT_SECTION_LOAD_RETRY", "2.0")
+    )
+    times = _headline_pass("headline")
+    hit = section_loads["headline"]["during_max_1min"] > retry_threshold
+    section_loads["headline"]["load_hit"] = hit
+    if hit and os.environ.get("SPARK_GRAFT_HEADLINE_RETRY", "1") != "0":
+        print(
+            f"# headline section load-hit (max 1-min "
+            f"{section_loads['headline']['during_max_1min']} > "
+            f"{retry_threshold}); retrying once",
+            file=sys.stderr,
+        )
+        _idle_gate(threshold=retry_threshold, budget_s=600.0)
+        times2 = _headline_pass("headline_retry")
+        times = {k: min(times[k], times2.get(k, times[k])) for k in times}
 
     # Scale curve (VERDICT r4 #2): the four synthetic throughput probes
     # re-run at 10x volume via their `scale` parameter. Each probe's
@@ -215,8 +249,7 @@ def main() -> None:
     # plan that would not survive 100 TB. One measured run per probe —
     # the 1x side is min-of-3 from the headline loop above, and the 10x
     # plans are codegen-warm from those runs (identical shapes).
-    section_loads["headline"]["end"] = _load_now()
-    section_loads["scale10"] = {"start": section_loads["headline"]["end"]}
+    section_loads["scale10"] = {"start": _load_now()}
     scale10: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALE10", "1") != "0":
         for name in (

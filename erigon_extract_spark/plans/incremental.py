@@ -160,6 +160,95 @@ def incremental_history_delta(
     return closed.unionByName(new_key_rows).select(*HISTORY_COLS)
 
 
+def derive_snapshot_at(
+    acct_decoded: DataFrame,
+    stor_decoded: DataFrame,
+    tip_accounts: DataFrame,
+    tip_storage: DataFrame,
+    at_block: int,
+    touched_accounts: DataFrame,
+    touched_storage: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Reconstruct the PlainState-equivalent snapshot at ``at_block`` from
+    the CHANGESET STREAM plus one tip snapshot — no archive read, no
+    snapshot file at ``at_block`` required. This is what lets increments
+    chain: each batch's boundary snapshot is derived, so the maintainer
+    only ever holds the changeset feed and the current tip.
+
+    The algebra: a changeset at block b carries the value BEFORE b, so a
+    key's state at ``at_block`` is the before-value of its FIRST changeset
+    after ``at_block``; a key with no later changeset is unchanged since,
+    so the tip value applies; a storage key with neither (zero at tip, no
+    later write) was zeroed at or before ``at_block`` — the zero32 fill is
+    its tombstone (the same rows ``zero_tombstones`` synthesizes).
+
+    ``touched_*`` restrict the output to the batch's keys (all an
+    increment needs — ``incremental_history_delta`` left-semi's anyway).
+    Accounts with neither a later changeset nor a tip row are absent from
+    state at ``at_block`` and are dropped, mirroring PlainState omission.
+
+    Scale: two batch-bounded window rank-1 scans + broadcast-sized joins
+    against the touched-key set; the archive is never read.
+    """
+    wa = Window.partitionBy("address").orderBy(F.col("block").asc())
+    first_a = (
+        acct_decoded.filter(F.col("block") > at_block)
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "address",
+            F.col("nonce").alias("__fn"),
+            F.col("balance").alias("__fb"),
+            F.col("incarnation").alias("__fi"),
+            F.col("code_hash").alias("__fc"),
+        )
+    )
+    tip_a = tip_accounts.select(
+        "address",
+        F.col("nonce").alias("__tn"),
+        F.col("balance").alias("__tb"),
+        F.col("incarnation").alias("__ti"),
+        F.col("code_hash").alias("__tc"),
+    )
+    psa = (
+        touched_accounts.select("address")
+        .distinct()
+        .join(first_a, "address", "left")
+        .join(tip_a, "address", "left")
+        .filter(F.col("__fb").isNotNull() | F.col("__tb").isNotNull())
+        .select(
+            F.lit(at_block).cast("long").alias("block"),
+            "address",
+            F.coalesce("__fn", "__tn").alias("nonce"),
+            F.coalesce("__fb", "__tb").alias("balance"),
+            F.coalesce("__fi", "__ti").alias("incarnation"),
+            F.coalesce("__fc", "__tc").alias("code_hash"),
+        )
+    )
+
+    skey = ["address", "incarnation", "slot"]
+    ws = Window.partitionBy(*skey).orderBy(F.col("block").asc())
+    first_s = (
+        stor_decoded.filter(F.col("block") > at_block)
+        .withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") == 1)
+        .select(*skey, F.col("value").alias("__fv"))
+    )
+    tip_s = tip_storage.select(*skey, F.col("value").alias("__tv"))
+    pss = (
+        touched_storage.select(*skey)
+        .distinct()
+        .join(first_s, skey, "left")
+        .join(tip_s, skey, "left")
+        .select(
+            F.lit(at_block).cast("long").alias("block"),
+            *skey,
+            F.coalesce("__fv", "__tv", F.lit(_ZERO32)).alias("value"),
+        )
+    )
+    return psa, pss
+
+
 def seam_violations(
     old_history: DataFrame,
     new_accounts: DataFrame,

@@ -2829,6 +2829,102 @@ def erigon_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hex_history(updated)
 
 
+@query("erigon_chained_increments", _ERIGON_INCREMENTAL_SQL)
+def erigon_chained_increments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's "can be updated in place" claim under the
+    oracle, CHAINED: base store at block 60, then TWO successive
+    increments (60,90] and (90,120] must converge to the full tip
+    rebuild. The middle boundary has NO snapshot fixture — increment 1's
+    snapshot-at-90 is DERIVED from the changeset stream plus the tip
+    snapshot (plans/incremental.derive_snapshot_at: a changeset carries
+    the value before its block, so state@90 is the before-value of each
+    key's first changeset after 90, falling back to tip, zero-filling
+    storage tombstones). That is the maintenance loop a streaming
+    ingester runs: hold the changeset feed and the current tip, never
+    re-read the archive. The single-split gate (erigon_incremental_update)
+    proves one append converges; this one proves the append OPERATION
+    composes — the induction step. The streaming file-drop twin of the
+    same loop (availableNow replay, micro-batch boundaries at the same
+    splits) is pinned in tests/test_incremental.py."""
+    from erigon_extract_spark.plans.extract import (
+        decode_account_changesets,
+        decode_storage_changesets,
+        recover_code_hashes,
+    )
+    from erigon_extract_spark.plans.incremental import (
+        apply_increment,
+        derive_snapshot_at,
+        incremental_history_delta,
+        zero_tombstones,
+    )
+    from erigon_extract_spark.plans.transpose import build_state_history
+
+    d, acs, scs, _, pch = _erigon_raw_inputs(spark)
+    t0_split, t1_split, tip = 60, 90, 120
+    acct = recover_code_hashes(
+        decode_account_changesets(acs).drop("decode_error"), pch
+    ).localCheckpoint()
+    stor = decode_storage_changesets(scs).drop("decode_error").localCheckpoint()
+
+    acct_ps_schema = (
+        "block long, address binary, nonce long, balance binary, "
+        "incarnation long, code_hash binary"
+    )
+    stor_ps_schema = (
+        "block long, address binary, incarnation long, slot binary, value binary"
+    )
+    psa_tip_raw = spark.read.schema(acct_ps_schema).parquet(
+        f"{d}/snap_tip_account.parquet"
+    )
+    pss_tip_raw = spark.read.schema(stor_ps_schema).parquet(
+        f"{d}/snap_tip_storage.parquet"
+    )
+
+    # base store at 60 (fixture snapshot + tombstones, as the batch build)
+    stor_old = stor.filter(F.col("block") <= t0_split)
+    psa_60 = spark.read.schema(acct_ps_schema).parquet(
+        f"{d}/snap60_account.parquet"
+    )
+    pss_60_raw = spark.read.schema(stor_ps_schema).parquet(
+        f"{d}/snap60_storage.parquet"
+    )
+    pss_60 = pss_60_raw.unionByName(
+        zero_tombstones(stor_old, pss_60_raw, t0_split).select(
+            *pss_60_raw.columns
+        )
+    )
+    store = build_state_history(
+        acct.filter(F.col("block") <= t0_split), stor_old, psa_60, pss_60,
+        num_partitions=2,
+    ).localCheckpoint()
+
+    # increment 1: (60, 90] with the DERIVED boundary snapshot
+    a1 = acct.filter((F.col("block") > t0_split) & (F.col("block") <= t1_split))
+    s1 = stor.filter((F.col("block") > t0_split) & (F.col("block") <= t1_split))
+    psa_90, pss_90 = derive_snapshot_at(
+        acct, stor, psa_tip_raw, pss_tip_raw, t1_split,
+        touched_accounts=a1.select("address"),
+        touched_storage=s1.select("address", "incarnation", "slot"),
+    )
+    store = apply_increment(
+        store, incremental_history_delta(store, a1, s1, psa_90, pss_90),
+        num_partitions=2,
+    ).localCheckpoint()
+
+    # increment 2: (90, tip] with the real tip snapshot (+ tombstones)
+    a2 = acct.filter(F.col("block") > t1_split)
+    s2 = stor.filter(F.col("block") > t1_split)
+    pss_tip = pss_tip_raw.unionByName(
+        zero_tombstones(stor, pss_tip_raw, tip).select(*pss_tip_raw.columns)
+    )
+    store = apply_increment(
+        store,
+        incremental_history_delta(store, a2, s2, psa_tip_raw, pss_tip),
+        num_partitions=2,
+    )
+    return _hex_history(store)
+
+
 @query("ref_dialect_decode", _ERIGON_HISTORY_SQL)
 def ref_dialect_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-exact reference-format fidelity under the hash gate: decode the

@@ -184,3 +184,156 @@ def test_chained_increments_equal_full_rebuild(spark, fx, frames):
     psa_t, pss_t = _snapshot_frames(spark, fx, stor, tip)
     full = build_state_history(acct, stor, psa_t, pss_t, num_partitions=4)
     assert _canon(store) == _canon(full)
+
+
+def test_derive_snapshot_at_matches_direct_snapshot(spark, fx, frames):
+    """derive_snapshot_at (changeset stream + tip snapshot only) must
+    reproduce the direct snapshot at the boundary for every touched key —
+    including the zero32 storage tombstones — without reading any
+    snapshot fixture at that block."""
+    from erigon_extract_spark.plans.incremental import derive_snapshot_at
+
+    acct, stor = frames
+    b = T_SPLIT
+    tip = fx.latest_block
+    psa_tip = spark.createDataFrame(
+        fxmod.account_snapshot_rows(fx, tip), ACCT_PS_SCHEMA
+    )
+    pss_tip = spark.createDataFrame(
+        fxmod.storage_snapshot_rows(fx, tip), STOR_PS_SCHEMA
+    )
+    touched_a = acct.filter(
+        (F.col("block") > 60) & (F.col("block") <= b)
+    ).select("address")
+    touched_s = stor.filter(
+        (F.col("block") > 60) & (F.col("block") <= b)
+    ).select("address", "incarnation", "slot")
+    psa, pss = derive_snapshot_at(
+        acct, stor, psa_tip, pss_tip, b,
+        touched_accounts=touched_a, touched_storage=touched_s,
+    )
+
+    # direct snapshot (what PlainState held at b), restricted to touched
+    direct_a = spark.createDataFrame(
+        fxmod.account_snapshot_rows(fx, b), ACCT_PS_SCHEMA
+    ).join(touched_a.distinct(), "address")
+    direct_s_raw = spark.createDataFrame(
+        fxmod.storage_snapshot_rows(fx, b), STOR_PS_SCHEMA
+    )
+    tomb = zero_tombstones(
+        stor.filter(F.col("block") <= b), direct_s_raw, b
+    )
+    direct_s = (
+        direct_s_raw.unionByName(tomb.select(*direct_s_raw.columns))
+        .join(touched_s.distinct(), ["address", "incarnation", "slot"])
+    )
+
+    def canon_a(df):
+        return set(map(tuple, df.select(
+            "block", F.hex("address"), "nonce", F.hex("balance"),
+            "incarnation", F.hex("code_hash")).collect()))
+
+    def canon_s(df):
+        return set(map(tuple, df.select(
+            "block", F.hex("address"), "incarnation", F.hex("slot"),
+            F.hex("value")).collect()))
+
+    assert canon_a(psa) == canon_a(direct_a)
+    assert canon_s(pss) == canon_s(direct_s)
+
+
+def test_streaming_file_drop_maintenance_availablenow(spark, fx, frames, tmp_path):
+    """The maintenance loop as a STREAM: changeset batches arrive as file
+    drops (the crawler/CDC pattern), each micro-batch applies
+    incremental_history_delta + apply_increment against the held store
+    using only data available at its time (changesets <= boundary and
+    the PlainState snapshot AT the boundary), and the final store equals
+    the batch full rebuild. availableNow with maxFilesPerTrigger=1 makes
+    micro-batch boundaries exactly the file drops."""
+    acct, stor = frames
+    t1, t2, tip = 80, 160, fx.latest_block
+
+    # unified changeset shape so both feeds ride one drop directory
+    def unified(a, s, boundary):
+        ua = a.select(
+            F.lit(0).alias("kind"), "block", "address", "nonce", "balance",
+            "incarnation", "code_hash",
+            F.lit(None).cast("binary").alias("slot"),
+            F.lit(None).cast("binary").alias("value"),
+            F.lit(boundary).cast("long").alias("boundary"),
+        )
+        us = s.select(
+            F.lit(1).alias("kind"), "block", "address",
+            F.lit(None).cast("long").alias("nonce"),
+            F.lit(None).cast("binary").alias("balance"),
+            "incarnation",
+            F.lit(None).cast("binary").alias("code_hash"),
+            "slot", "value",
+            F.lit(boundary).cast("long").alias("boundary"),
+        )
+        return ua.unionByName(us)
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    for i, (lo, hi) in enumerate(((t1, t2), (t2, tip))):
+        batch = unified(
+            acct.filter((F.col("block") > lo) & (F.col("block") <= hi)),
+            stor.filter((F.col("block") > lo) & (F.col("block") <= hi)),
+            hi,
+        )
+        # write via Spark (pandas would upcast nullable int64 to double,
+        # breaking the stream's declared schema), one file per drop
+        stage = tmp_path / f"stage{i}"
+        batch.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        part.rename(drops / f"b{i}.parquet")
+
+    psa1, pss1 = _snapshot_frames(spark, fx, stor.filter(F.col("block") <= t1), t1)
+    store = [
+        build_state_history(
+            acct.filter(F.col("block") <= t1),
+            stor.filter(F.col("block") <= t1),
+            psa1, pss1, num_partitions=4,
+        ).localCheckpoint()
+    ]
+    boundaries_seen = []
+
+    def apply_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        boundary = batch_df.agg(F.max("boundary")).collect()[0][0]
+        boundaries_seen.append(boundary)
+        a_new = batch_df.filter(F.col("kind") == 0).select(
+            "block", "address", "nonce", "balance", "incarnation", "code_hash"
+        )
+        s_new = batch_df.filter(F.col("kind") == 1).select(
+            "block", "address", "incarnation", "slot", "value"
+        )
+        psa_h, pss_h = _snapshot_frames(
+            spark, fx, stor.filter(F.col("block") <= boundary), boundary
+        )
+        delta = incremental_history_delta(store[0], a_new, s_new, psa_h, pss_h)
+        store[0] = apply_increment(
+            store[0], delta, num_partitions=4
+        ).localCheckpoint()
+
+    schema = (
+        "kind int, block long, address binary, nonce long, balance binary, "
+        "incarnation long, code_hash binary, slot binary, value binary, "
+        "boundary long"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert boundaries_seen == [t2, tip]  # one micro-batch per file drop
+    psa_t, pss_t = _snapshot_frames(spark, fx, stor, tip)
+    full = build_state_history(acct, stor, psa_t, pss_t, num_partitions=4)
+    assert _canon(store[0]) == _canon(full)
