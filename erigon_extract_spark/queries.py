@@ -3268,6 +3268,124 @@ def erigon_state_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Probe blocks for the encoded-file O(log N) lookup gate: genesis, three
+# mid-history points, the erigon_state_at block, and the tip.
+_REF_LOOKUP_BLOCKS = (0, 30, 60, 90, 100, 120)
+_REF_LOOKUP_STOR_BLOCKS = (60, 120)
+
+
+def _ref_lookup_oracle_sql() -> str:
+    """As-of answers for every (key, probe_block) pair, derived relationally
+    from the decoded fixture tables: greatest block_from <= probe per key —
+    the SQL statement of README.md:37-41's 'any account or storage can be
+    looked up at any point in block time'."""
+    blocks = ", ".join(f"({b})" for b in _REF_LOOKUP_BLOCKS)
+    sblocks = ", ".join(f"({b})" for b in _REF_LOOKUP_STOR_BLOCKS)
+    return (
+        _erigon_history_cte()
+        + f"""
+    , probes(probe_block) AS (VALUES {blocks}),
+    sprobes(probe_block) AS (VALUES {sblocks}),
+    acct_hits AS (
+      SELECT hex(h.address) AS address, 0 AS kind,
+             arg_max(h.incarnation, h.block_from) AS incarnation,
+             CAST(NULL AS VARCHAR) AS slot,
+             p.probe_block AS probe_block,
+             MAX(h.block_from) AS block_from,
+             arg_max(h.nonce, h.block_from) AS nonce,
+             hex(arg_max(h.balance, h.block_from)) AS balance,
+             hex(arg_max(h.code_hash, h.block_from)) AS code_hash,
+             CAST(NULL AS VARCHAR) AS value
+      FROM state_history h CROSS JOIN probes p
+      WHERE h.kind = 0 AND h.block_from <= p.probe_block
+      GROUP BY h.address, p.probe_block
+    ),
+    stor_hits AS (
+      SELECT hex(h.address) AS address, 1 AS kind,
+             h.incarnation AS incarnation,
+             hex(h.slot) AS slot,
+             p.probe_block AS probe_block,
+             MAX(h.block_from) AS block_from,
+             CAST(NULL AS BIGINT) AS nonce,
+             CAST(NULL AS VARCHAR) AS balance,
+             CAST(NULL AS VARCHAR) AS code_hash,
+             hex(arg_max(h.value, h.block_from)) AS value
+      FROM state_history h CROSS JOIN sprobes p
+      WHERE h.kind = 1 AND h.block_from <= p.probe_block
+      GROUP BY h.address, h.incarnation, h.slot, p.probe_block
+    )
+    SELECT * FROM acct_hits UNION ALL SELECT * FROM stor_hits
+    """
+    )
+
+
+@query("erigon_ref_file_lookup", _ref_lookup_oracle_sql())
+def erigon_ref_file_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline READ path under the hash gate: O(log N)
+    binary-search point lookups INTO the encoded merged full-history file
+    (README.md:37-41; restart pages erigon_extract.c:802-822), answered by
+    codec/refstream.point_lookup — each probe decodes only first-items of
+    log2(pages) restart pages plus ONE full page, never the file.
+
+    The probe set is every state key the history contains (changeset keys
+    union the +1-shifted PlainState keys), each looked up at six account /
+    two storage probe blocks; misses (no version at or before the probe)
+    emit no row on either side. The oracle reconstructs the same answers
+    relationally (argmax block_from <= probe over the state-history CTE),
+    so a defect anywhere in the encode, the page-start geometry, the
+    binary-search comparator, or the final in-page scan breaks the value
+    hash. The logarithmic IO bound itself is pytest-pinned by probe counts
+    in tests/test_refstream.py; this gate pins the ANSWERS.
+
+    Scale note: each lookup is O(log N) page IO independent of file size —
+    the driver-side loop here is fixture-sized test plumbing, not a scan."""
+    import pyarrow.parquet as pq
+
+    from erigon_extract_spark import fixture_store
+    from erigon_extract_spark.codec.refstream import point_lookup
+
+    d = fixture_store.ensure()
+    path = str(d / "full-history.dat")
+
+    def cols(tbl: str, names: list[str]):
+        t = pq.read_table(str(d / tbl), columns=names)
+        return zip(*(t.column(c).to_pylist() for c in names))
+
+    addrs = sorted(
+        {bytes(a) for (a,) in cols("d_account_changes.parquet", ["address"])}
+        | {bytes(a) for (a,) in cols("d_ps_account.parquet", ["address"])}
+    )
+    skeys = set()
+    for tbl in ("d_storage_changes.parquet", "d_ps_storage.parquet"):
+        for a, i, s in cols(tbl, ["address", "incarnation", "slot"]):
+            skeys.add((bytes(a), int(i), bytes(s)))
+
+    rows = []
+    for b in _REF_LOOKUP_BLOCKS:
+        for a in addrs:
+            it, _ = point_lookup(path, a, b)
+            if it is not None:
+                rows.append((
+                    a.hex().upper(), 0, int(it.incarnation), None, b,
+                    int(it.block), int(it.nonce), it.balance.hex().upper(),
+                    it.code_hash.hex().upper(), None,
+                ))
+    for b in _REF_LOOKUP_STOR_BLOCKS:
+        for a, inc, s in sorted(skeys):
+            it, _ = point_lookup(path, a, b, slot=s, incarnation=inc)
+            if it is not None:
+                rows.append((
+                    a.hex().upper(), 1, inc, s.hex().upper(), b,
+                    int(it.block), None, None, None, it.value.hex().upper(),
+                ))
+    schema = (
+        "address string, kind int, incarnation long, slot string, "
+        "probe_block int, block_from long, nonce long, balance string, "
+        "code_hash string, value string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped analytic queries, part 2 (correlated subqueries, EXISTS /
 # NOT EXISTS, outer-join histograms, conditional-aggregate ratios,
