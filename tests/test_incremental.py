@@ -331,8 +331,7 @@ def test_streaming_file_drop_maintenance_availablenow(spark, fx, frames, tmp_pat
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-
+    assert q.awaitTermination(600), "availableNow stream timed out"
     assert boundaries_seen == [t2, tip]  # one micro-batch per file drop
     psa_t, pss_t = _snapshot_frames(spark, fx, stor, tip)
     full = build_state_history(acct, stor, psa_t, pss_t, num_partitions=4)

@@ -96,7 +96,7 @@ def test_jsonl_streaming_ingest_with_quarantine(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "availableNow stream timed out"
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     got = {r.is_corrupt: r["count"]

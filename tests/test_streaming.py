@@ -37,7 +37,10 @@ def _run_available_now(out, name, mode):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # assert completion: a silent timeout would let the assertions
+        # read PARTIAL results and fail as a wrong pair set (the r10
+        # saturation flake) instead of as what it is — a timeout
+        assert q.awaitTermination(600), "availableNow stream timed out"
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -177,7 +180,10 @@ def test_stream_band_join_replayed_micro_batches(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
+            # assert completion: a silent timeout would let the assertions
+            # read PARTIAL results and fail as a wrong pair set (the r10
+            # saturation flake) instead of as what it is — a timeout
+            assert q.awaitTermination(600), "availableNow stream timed out"
             n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)

@@ -73,7 +73,7 @@ def test_frontier_stream_equals_batch_distinct(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "availableNow stream timed out"
         got = {
             r.canonical_url
             for r in spark.sql("SELECT canonical_url FROM frontier_t").collect()
@@ -127,7 +127,7 @@ def test_html_extract_is_streaming_safe(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "availableNow stream timed out"
         got = {
             (r.doc_id, r.text, r.n_blocks_total, r.n_blocks_kept)
             for r in spark.sql("SELECT * FROM html_stream_t").collect()

@@ -69,7 +69,7 @@ def test_stream_rekey_versions(spark, two_batches):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
+            assert q.awaitTermination(600), "availableNow stream timed out"
             return {
                 (bytes(r.address), r.block_from, r.block_to, r.nonce)
                 for r in spark.read.schema(

@@ -36,7 +36,7 @@ def _run(out, name):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "availableNow stream timed out"
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -176,7 +176,7 @@ def test_xml_stream_available_now_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "availableNow stream timed out"
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     streamed = {r.doc_id for r in spark.table("xml_stream_t").collect()}
