@@ -1956,7 +1956,13 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    # The theta join plans as BroadcastNestedLoopJoin with b broadcast and
+    # a streamed; a small embeddings parquet arrives as ONE scan partition,
+    # so without this repartition the whole O(n^2) pair loop runs as a
+    # single task (measured: 240 s at sf0.1 on one core; 32-way it is
+    # seconds, and the r10 sf1 sweep ground a single task for 25+ min).
+    # Parallelism hygiene only — pair SET and values are unchanged.
+    pairs = a.repartition(32).join(b, F.col("vec_id_a") < F.col("vec_id_b"))
     cos = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         pairs.withColumn("__cos", cos)

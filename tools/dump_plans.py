@@ -156,6 +156,11 @@ SHOWCASE = [
      "File-level health report: input_file_name projection feeding a "
      "map-side-combined count — the exchange carries ONE row per FILE "
      "(metadata-sized), never data rows."),
+    ("erigon_chained_increments",
+     "In-place maintenance induction step: base + two appended "
+     "increments resolve through the SAME rekey window as the full "
+     "rebuild — one range exchange over the union, no per-increment "
+     "re-shuffle, no join against the existing store."),
 ]
 
 

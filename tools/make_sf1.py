@@ -54,6 +54,31 @@ def _replica(table: pa.Table, name: str, i: int) -> pa.Table:
         typ = out.schema.field(idx).type
         shifted = pc.add(out.column(idx), pa.scalar(i * base, type=typ))
         out = out.set_column(idx, out.schema.field(idx), shifted)
+    if name == "embeddings":
+        # Same rationale as the documents text tag below: replicas must
+        # not be EXACT copies of each other. Untouched, every vector has
+        # REPLICAS-1 identical twins in other replicas, so any cell/bucket
+        # that groups similar vectors becomes quadratically hot with pairs
+        # no real corpus exhibits (an r10 full-sf1 sweep ground one cell
+        # single-task for 25+ minutes). A tiny per-replica epsilon on the
+        # first dimension keeps each logical vector's neighborhood (the
+        # near-dup and top-k structure within a replica) while breaking
+        # cross-replica exactness.
+        import numpy as np
+
+        idx = out.schema.get_field_index("embedding")
+        col = out.column(idx).combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.values.to_numpy(zero_copy_only=False).copy()
+        flat[offsets[:-1]] += np.float32(i) * np.float32(1e-3)
+        out = out.set_column(
+            idx,
+            out.schema.field(idx),
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat, type=pa.float32()),
+            ),
+        )
     if name == "documents":
         tag = f"[r{i}] "
         idx = out.schema.get_field_index("text")
