@@ -1,0 +1,186 @@
+"""Deterministic, oracle-gateable Lloyd k-means over an embedding column.
+
+Why this exists next to ``pyspark.ml.clustering.KMeans`` (already used as
+an internal trainer by the PQ/IVF operators in ``operators/similarity.py``):
+MLlib's KMeans is seeded but NOT reproducible across engines — k-means||
+init, sampling, and float reduction order are implementation details, so
+its output cannot be put under the DuckDB value-hash gate. Corpus-curation
+pipelines use k-means directly (topic bucketing, cluster-balanced
+sampling, SemDeDup's cluster stage), so the clustering itself deserves a
+gate, not just operators built on top of it.
+
+This module implements textbook Lloyd iterations with every source of
+cross-engine nondeterminism pinned:
+
+- **init**: the k vectors with the smallest ids, elementwise-rounded to
+  6 dp (no sampling, no RNG);
+- **assignment**: squared L2 distance quantized to 9 dp before the
+  argmin, ties broken by smallest centroid id (the same
+  quantize-before-argmax trick the MMR rerank uses — float sums of 64
+  products differ between numpy's pairwise summation and a SQL fold in
+  the last ulp, ~1e-14, far below the 0.5e-9 quantization grid);
+- **update**: new centroid = elementwise mean rounded to 6 dp (mean
+  error from summation order is ~1e-13 for 1e6 members, far below the
+  0.5e-6 grid), an empty cluster keeps its previous centroid;
+- state is re-quantized every iteration, so the two engines can never
+  drift apart between steps.
+
+Scale shape (the part that matters at 100 TB): each iteration is ONE
+map-only pass — ``mapInPandas`` emits per-Arrow-batch partial sums
+(cluster id, member count, elementwise sum), so the rows crossing the
+wire per iteration number k x n_batches, not N. Those partials are
+reduced on the driver (bounded by k x n_batches, the same documented
+bounded-collect precedent as the BPE trainer's per-round argmax); no
+shuffle of the corpus ever happens. This is the DataFrame rendering of
+MLlib's own ``treeAggregate`` pattern. Iterations are a fixed small
+constant. The final assignment is one more map-only pass.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _partial_sums_pass(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> List[Tuple[int, int, np.ndarray]]:
+    """One assignment pass returning per-cluster (cid, count, sumvec),
+    reduced from per-batch partials. Distances are quantized to 9 dp
+    before the argmin; ``np.argmin`` takes the first minimum, i.e. the
+    smallest centroid id — matching the oracle's
+    ``ORDER BY round(dist, 9), cid`` row_number."""
+    k, d = centroids.shape
+    cent = centroids  # captured; tiny (k x d), rides the task closure
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # squared L2 to every centroid, quantized before argmin
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(np.round(d2, 9), axis=1)
+            rows = []
+            for cid in np.unique(assign):
+                sel = x[assign == cid]
+                rows.append(
+                    (int(cid), int(len(sel)),
+                     [float(s) for s in sel.sum(axis=0)])
+                )
+            yield pd.DataFrame(rows, columns=["cid", "cnt", "sums"])
+
+    partials = df.select(id_col, vec_col).mapInPandas(
+        emit, schema="cid int, cnt long, sums array<double>"
+    ).collect()  # bounded: k x n_arrow_batches rows, never N
+    return [(r.cid, r.cnt, np.asarray(r.sums, dtype=np.float64))
+            for r in partials]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Tuple[DataFrame, List[List[float]]]:
+    """Deterministic Lloyd k-means. Returns ``(assignments, centroids)``:
+    assignments is a DataFrame ``(id_col, cid int)`` from a final
+    assignment pass against the post-iteration centroids; centroids is
+    the plain-python k x d list (each element already 6-dp rounded).
+
+    Semantics, shared exactly with the SQL oracle: init = k smallest-id
+    vectors rounded to 6 dp; ``iters`` x (assign with 9-dp-quantized
+    squared-L2 argmin, smallest-cid ties; update = 6-dp-rounded
+    elementwise mean, empty cluster keeps its centroid); then one final
+    assignment against the settled centroids.
+    """
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )  # bounded: k rows
+    cent = np.round(
+        np.asarray([np.asarray(r[1], dtype=np.float64) for r in init_rows]),
+        6,
+    )
+    kk = cent.shape[0]
+
+    for _ in range(iters):
+        partials = _partial_sums_pass(df, cent, id_col, vec_col)
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(kk, dtype=np.int64)
+        for cid, cnt, s in partials:
+            sums[cid] += s
+            cnts[cid] += cnt
+        new = cent.copy()  # empty cluster keeps its previous centroid
+        nz = cnts > 0
+        new[nz] = np.round(sums[nz] / cnts[nz, None], 6)
+        cent = new
+
+    final = cent
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = ((x[:, None, :] - final[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "cid": np.argmin(np.round(d2, 9), axis=1).astype(np.int32),
+            })
+
+    id_type = dict(df.dtypes)[id_col]
+    assignments = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_type}, cid int"
+    )
+    return assignments, [[float(x) for x in c] for c in cent]
+
+
+def kmeans_summary(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster signature of a ``kmeans_lloyd`` fit: member count plus
+    two scalar centroid checksums (elementwise sum and L2 norm, both
+    6-dp rounded — scalars, not arrays, so the value hash is
+    format-independent). Clusters that end up empty still appear with
+    n = 0: the summary is driven from the centroid table, LEFT-joined
+    with the counts, exactly as the oracle does."""
+    assignments, cent = kmeans_lloyd(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    spark = df.sparkSession
+    c = np.asarray(cent, dtype=np.float64)
+    cent_rows = [
+        (
+            i,
+            float(np.round(np.sum(c[i]), 6)),
+            float(np.round(np.sqrt(np.sum(c[i] * c[i])), 6)),
+        )
+        for i in range(c.shape[0])
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cid int, cent_sum double, cent_norm double"
+    )
+    counts = assignments.groupBy("cid").agg(F.count("*").alias("n"))
+    return (
+        cent_df.join(F.broadcast(counts), "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "cent_sum",
+            "cent_norm",
+        )
+    )

@@ -1194,3 +1194,154 @@ def lsh_recall_report(
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# --------------------------------------------------------------------------
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    base: int = 131,
+    modulus: int = 64,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions chosen
+    by a Rabin-style rolling hash of the content itself, so identical
+    regions of two documents chunk identically REGARDLESS of their byte
+    offset. That is the property fixed-size blocking lacks — insert one
+    character at the front of a shifted copy and fixed blocks all change,
+    while CDC boundaries resynchronize after the first cut. Chunk-level
+    dedup on the resulting md5 table finds shared regions that document-
+    level hashing misses (boilerplate headers, quoted replies, template
+    wrappers) at a fraction of substring-span dedup's index cost.
+
+    Definition shared exactly with the SQL oracle (1-indexed, character
+    semantics, all int64-exact arithmetic):
+
+    - per character value v = unicode codepoint % 251 (the % keeps the
+      8-term polynomial below 2**63 for any codepoint);
+    - for each window start i in 1..L-w+1:
+      H(i) = sum_{k=0..w-1} v(t[i+k]) * base**(w-1-k);
+    - a chunk BOUNDARY after position i+w-1 wherever H(i) % modulus == 0
+      (expected chunk length ~= modulus), plus the implicit final
+      boundary at L; consecutive boundaries delimit the chunks.
+    - chunk_md5 = md5 of the chunk substring (UTF-8 bytes, both engines).
+
+    This is the stateless textbook form (Muhlemann/LBFS-style gear
+    hashing adds min/max chunk-size clamps, which make the boundary set
+    stateful; production use would add them inside this same map-only
+    kernel). Scale shape: ONE Arrow-batched ``mapInPandas`` pass, no
+    shuffle, no explode — the rolling hash is a strided int64 matmul per
+    document. Downstream dedup is a data-proportional groupBy on
+    (chunk_md5) only.
+    """
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    w, b, m = int(window), int(base), int(modulus)
+    weights = (b ** np.arange(w - 1, -1, -1)).astype(np.int64)
+    extra = list(passthrough)
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "chunk_idx": [], "start": [], "len": [],
+                "chunk_md5": [],
+            }
+            for c in extra:
+                out[c] = []
+            for row in pdf.itertuples(index=False):
+                rd = row._asdict()
+                t = rd[text_col] or ""
+                L = len(t)
+                if L == 0:
+                    continue
+                ends: list[int] = []
+                if L >= w:
+                    cps = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64) % 251
+                    win = np.lib.stride_tricks.sliding_window_view(cps, w)
+                    h = win @ weights  # int64-exact: 250 * sum(base^k) < 2^63
+                    ends = [int(i) + w for i in np.nonzero(h % m == 0)[0]]
+                if not ends or ends[-1] != L:
+                    ends.append(L)
+                prev = 0
+                for idx, e in enumerate(ends):
+                    chunk = t[prev:e]
+                    out[id_col].append(rd[id_col])
+                    out["chunk_idx"].append(idx)
+                    out["start"].append(prev + 1)
+                    out["len"].append(e - prev)
+                    out["chunk_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+                    for c in extra:
+                        out[c].append(rd[c])
+                    prev = e
+            yield pd.DataFrame(out)
+
+    id_type = dict(docs.dtypes)[id_col]
+    extra_schema = "".join(
+        f", {c} {dict(docs.dtypes)[c]}" for c in extra
+    )
+    return docs.select(id_col, text_col, *extra).mapInPandas(
+        chunker,
+        schema=(
+            f"{id_col} {id_type}, chunk_idx bigint, start bigint, "
+            f"len bigint, chunk_md5 string{extra_schema}"
+        ),
+    )
+
+
+def cdc_savings(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    base: int = 131,
+    modulus: int = 64,
+) -> DataFrame:
+    """Chunk-level dedup savings report per group: how many CDC chunks,
+    how many distinct, and the character-volume ratio a chunk store
+    would hold vs the raw corpus. ``uniq_chars`` sums each distinct
+    chunk's length once (identical md5 => identical content => identical
+    length). One map-only chunking pass, then one data-proportional
+    shuffle keyed on (group, chunk_md5) — the chunk TEXT never moves,
+    only (md5, len) pairs."""
+    chunks = cdc_chunks(
+        docs, text_col=text_col, id_col=id_col, window=window,
+        base=base, modulus=modulus, passthrough=(group_col,),
+    )
+    per_chunk = chunks.groupBy(group_col, "chunk_md5").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("len").alias("__len")
+    )
+    return (
+        per_chunk.groupBy(group_col)
+        .agg(
+            F.sum("__n").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.sum(F.col("__n") * F.col("__len")).alias("total_chars"),
+            F.sum("__len").alias("uniq_chars"),
+        )
+        .select(
+            group_col,
+            "n_chunks",
+            "n_uniq",
+            "total_chars",
+            "uniq_chars",
+            F.round(
+                F.col("uniq_chars").cast("double")
+                / F.col("total_chars").cast("double"),
+                6,
+            ).alias("dedup_ratio"),
+        )
+    )

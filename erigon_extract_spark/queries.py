@@ -10852,6 +10852,224 @@ def stream_band_join_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 10)
+# ---------------------------------------------------------------------------
+
+_CDC_CHUNKS_CTE = """
+    d AS (
+      SELECT doc_id, source, text AS t, length(text) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    pos AS (
+      SELECT doc_id, i,
+          CAST(ord(substr(t, CAST(i     AS INTEGER), 1)) % 251 AS BIGINT)
+            * 662062621900811
+        + CAST(ord(substr(t, CAST(i + 1 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 5053913144281
+        + CAST(ord(substr(t, CAST(i + 2 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 38579489651
+        + CAST(ord(substr(t, CAST(i + 3 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 294499921
+        + CAST(ord(substr(t, CAST(i + 4 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 2248091
+        + CAST(ord(substr(t, CAST(i + 5 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 17161
+        + CAST(ord(substr(t, CAST(i + 6 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 131
+        + CAST(ord(substr(t, CAST(i + 7 AS INTEGER), 1)) % 251 AS BIGINT)
+            AS h
+      FROM d, UNNEST(generate_series(1, L - 7)) AS u(i)
+      WHERE L >= 8
+    ),
+    ends AS (
+      SELECT doc_id, i + 7 AS e FROM pos WHERE h % 64 = 0
+      UNION
+      SELECT doc_id, CAST(L AS BIGINT) AS e FROM d
+    ),
+    bounds AS (
+      SELECT doc_id, e,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS pe,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) - 1
+               AS chunk_idx
+      FROM ends
+    ),
+    chunks AS (
+      SELECT o.doc_id, o.chunk_idx, o.pe + 1 AS start, o.e - o.pe AS len,
+             md5(substr(d.t, CAST(o.pe + 1 AS INTEGER),
+                        CAST(o.e - o.pe AS INTEGER))) AS chunk_md5,
+             d.source
+      FROM bounds o JOIN d USING (doc_id)
+    )
+"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    f"""
+    WITH {_CDC_CHUNKS_CTE}
+    SELECT doc_id, chunk_idx, start, len, chunk_md5
+    FROM chunks WHERE doc_id < 120
+    """,
+)
+def dedup_cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.cdc_chunks): Rabin-style
+    rolling-hash boundaries (w=8, base 131, boundary when H % 64 == 0,
+    int64-exact polynomial over codepoint%251 values), so identical
+    content regions chunk identically at ANY byte offset — the property
+    that makes chunk-level dedup find shared boilerplate that document
+    hashing misses. One Arrow-batched map-only pass, zero shuffle; the
+    oracle rebuilds the exact boundary set relationally (positions x
+    8-term polynomial, UNION final end, LAG over ordered boundaries).
+    The full chunk table for the first 120 docs — every boundary
+    position, length, and content md5 — is under the value hash."""
+    from erigon_extract_spark.operators.dedup import cdc_chunks
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return cdc_chunks(docs)
+
+
+@query(
+    "dedup_cdc_savings",
+    f"""
+    WITH {_CDC_CHUNKS_CTE},
+    per_chunk AS (
+      SELECT source, chunk_md5, COUNT(*) AS n, MAX(len) AS len
+      FROM chunks GROUP BY source, chunk_md5
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_uniq,
+           CAST(SUM(n * len) AS BIGINT) AS total_chars,
+           CAST(SUM(len) AS BIGINT) AS uniq_chars,
+           ROUND(CAST(SUM(len) AS DOUBLE) / CAST(SUM(n * len) AS DOUBLE), 6)
+             AS dedup_ratio
+    FROM per_chunk GROUP BY source
+    """,
+)
+def dedup_cdc_savings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store savings per source (operators/dedup.cdc_savings): CDC
+    chunk the whole corpus, then report per source how many chunks, how
+    many distinct, and the char-volume dedup ratio. Scale shape: the
+    chunk TEXT never crosses the wire — one map-only chunking pass, one
+    data-proportional shuffle of (source, md5, len) triples, then a
+    5-row aggregate."""
+    from erigon_extract_spark.operators.dedup import cdc_savings
+
+    return cdc_savings(_load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic oracle-gated Lloyd k-means (round 10)
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int, iters: int, dim: int, final_select: str) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs, sharing every
+    quantization decision with operators/clustering.kmeans_lloyd:
+    6-dp-rounded init/means, 9-dp-quantized squared-L2 argmin with
+    smallest-cid ties, empty clusters keeping their centroid."""
+    dist = (
+        "round(list_sum(list_transform(generate_series(1, {dim}), dd ->"
+        " power(CAST(e.embedding[dd] AS DOUBLE) - c.cent[dd], 2))), 9)"
+    ).format(dim=dim)
+    parts = [
+        f"""
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+               AS cent
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN c{it - 1} c
+      ) WHERE rn = 1
+    ),
+    u{it} AS (
+      SELECT cid, list(mv ORDER BY d) AS cent FROM (
+        SELECT a.cid, t.d,
+               round(avg(CAST(e.embedding[t.d] AS DOUBLE)), 6) AS mv
+        FROM a{it} a JOIN embeddings e USING (vec_id)
+        CROSS JOIN UNNEST(generate_series(1, {dim})) AS t(d)
+        GROUP BY a.cid, t.d
+      ) GROUP BY cid
+    ),
+    c{it} AS (
+      SELECT * FROM u{it}
+      UNION ALL
+      SELECT p.cid, p.cent FROM c{it - 1} p
+      WHERE p.cid NOT IN (SELECT cid FROM u{it})
+    )""")
+    parts.append(f"""
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN c{iters} c
+      ) WHERE rn = 1
+    )""")
+    return "WITH " + ",".join(parts) + "\n" + final_select
+
+
+@query(
+    "embedding_kmeans_assign",
+    _kmeans_oracle(8, 3, 64, "SELECT vec_id, cid FROM af"),
+)
+def embedding_kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means, full assignment table
+    (operators/clustering.kmeans_lloyd; k=8, 3 iterations). Unlike the
+    seeded-but-engine-specific MLlib KMeans the PQ/IVF trainers use
+    internally, every nondeterminism source is pinned (smallest-id init,
+    9-dp-quantized distances, 6-dp-rounded means, smallest-cid ties), so
+    the CLUSTERING ITSELF sits under the value hash — the oracle unrolls
+    the same three Lloyd iterations as SQL CTEs. Scale shape: each
+    iteration is one map-only pass emitting k x n_batches partial sums
+    (the DataFrame form of MLlib's treeAggregate); the corpus is never
+    shuffled and the driver reduce is bounded by k x n_batches rows."""
+    from erigon_extract_spark.operators.clustering import kmeans_lloyd
+
+    emb = _load(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans_lloyd(emb, k=8, iters=3)
+    return assignments
+
+
+@query(
+    "embedding_kmeans",
+    _kmeans_oracle(
+        8, 3, 64,
+        """
+    SELECT c.cid,
+           CAST(COALESCE(n.n, 0) AS BIGINT) AS n,
+           round(list_sum(c.cent), 6) AS cent_sum,
+           round(sqrt(list_sum(list_transform(c.cent, x -> x * x))), 6)
+             AS cent_norm
+    FROM c3 c
+    LEFT JOIN (SELECT cid, COUNT(*) AS n FROM af GROUP BY cid) n
+      USING (cid)
+    """,
+    ),
+)
+def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster signature of the deterministic k-means fit
+    (operators/clustering.kmeans_summary): member count plus two scalar
+    centroid checksums (elementwise sum, L2 norm — scalars so the hash
+    is representation-independent). Driven from the centroid table
+    LEFT-joined with counts, so an empty cluster still shows n = 0 on
+    both engines."""
+    from erigon_extract_spark.operators.clustering import kmeans_summary
+
+    return kmeans_summary(_load(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
