@@ -96,6 +96,11 @@ HEADLINE = [
     "dedup_recall_eval",  # banded-LSH vs exact-Jaccard recall s-curve
     "maintenance_file_stats",  # per-file layout health report
     "sample_leakage_safe_split",  # content-keyed dedup-aware split
+    # --- round-10 additions ---
+    "erigon_chained_increments",  # base + 2 appended increments == tip
+    "erigon_ref_file_lookup",  # O(log N) page binary search, no Spark scan
+    "dedup_cdc_savings",  # map-only CDC chunking + chunk-store dedup report
+    "embedding_kmeans_assign",  # 3 deterministic Lloyd iterations, map-only
 ]
 
 

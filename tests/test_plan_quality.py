@@ -380,3 +380,41 @@ def test_prefix_sum_global_window_is_totals_only(spark, sf_dir):
     assert "__tot" in plan, plan
     # the row-side window partitions by the bucket id: a hash exchange
     assert "hashpartitioning(__b" in plan, plan
+
+
+def test_kmeans_assignment_pass_has_no_exchange(spark, sf_dir):
+    """The k-means scale contract: the final-assignment pass is ONE
+    MapInPandas stage over the corpus scan — zero Exchange. (The
+    per-iteration partial-sum passes have the same shape; the returned
+    DataFrame pins the representative plan.)"""
+    from erigon_extract_spark.operators.clustering import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, _ = kmeans_lloyd(emb, k=8, iters=1)
+    plan = _plan(assignments)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_cdc_chunker_is_map_only_and_savings_exchanges_triples(spark, sf_dir):
+    """CDC scale contract: the chunker itself adds NO Exchange and NO
+    Generate (no per-character explode — the rolling hash stays inside
+    the Arrow batch); the savings aggregate exchanges only the
+    (source, chunk_md5) aggregation keys, with the map-side partial
+    aggregate present so the shuffle carries combined triples."""
+    from erigon_extract_spark.operators.dedup import cdc_chunks, cdc_savings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunk_plan = _plan(cdc_chunks(docs))
+    assert "Exchange" not in chunk_plan, chunk_plan
+    assert "Generate" not in chunk_plan, chunk_plan
+    assert "MapInPandas" in chunk_plan
+
+    savings_plan = _plan(cdc_savings(docs))
+    # partial agg before each exchange (map-side combine)
+    assert savings_plan.count("HashAggregate") >= 4, savings_plan
+    # the chunk text column never reaches an exchange: every Exchange
+    # node's schema mentions only key/metric columns
+    for frag in savings_plan.split("Exchange")[1:]:
+        head = frag.splitlines()[0]
+        assert "text" not in head, head

@@ -161,6 +161,16 @@ SHOWCASE = [
      "increments resolve through the SAME rekey window as the full "
      "rebuild — one range exchange over the union, no per-increment "
      "re-shuffle, no join against the existing store."),
+    ("dedup_cdc_savings",
+     "Content-defined chunking: the chunker is ONE ArrowEvalPython/"
+     "MapInPandas map stage (no Generate, no per-character explode); "
+     "the savings aggregate exchanges only (source, md5, len) triples — "
+     "chunk TEXT never crosses the wire."),
+    ("embedding_kmeans_assign",
+     "Deterministic Lloyd k-means, final-assignment pass: one MapInPandas "
+     "stage over the corpus scan, ZERO Exchange — per-iteration partial "
+     "sums (k x n_batches rows) are the only rows that ever leave a "
+     "task, the DataFrame form of treeAggregate."),
 ]
 
 

@@ -74,6 +74,11 @@ SWEEP = [
     "stream_band_join_batch",
     # web graph: iterative join+agg
     "graph_pagerank_web",
+    # round-10 continuation: CDC chunk-md5 exchange is data-proportional;
+    # k-means partial-sum count grows with n_batches and the oracle's
+    # unrolled CTEs join 64x the corpus rows — both first bind at sf1.
+    "dedup_cdc_savings",
+    "embedding_kmeans",
 ]
 
 
