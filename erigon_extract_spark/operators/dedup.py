@@ -1200,6 +1200,44 @@ def lsh_recall_report(
 # Content-defined chunking (CDC)
 # --------------------------------------------------------------------------
 
+def cdc_chunk_spans(
+    t: str, window: int = 8, base: int = 131, modulus: int = 64
+) -> list[tuple[int, int, str]]:
+    """Pure per-document CDC kernel: ``[(start_1based, length, md5hex)]``
+    for one text, exactly the definition in :func:`cdc_chunks` (which
+    calls this per row inside the Arrow batch). Separated so the rolling
+    hash — a strided int64 matmul — can be differentially fuzzed against
+    a naive per-position reference without a Spark session."""
+    import hashlib
+
+    import numpy as np
+
+    w, b, m = int(window), int(base), int(modulus)
+    weights = (b ** np.arange(w - 1, -1, -1)).astype(np.int64)
+    L = len(t)
+    if L == 0:
+        return []
+    ends: list[int] = []
+    if L >= w:
+        cps = np.frombuffer(
+            t.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64) % 251
+        win = np.lib.stride_tricks.sliding_window_view(cps, w)
+        h = win @ weights  # int64-exact: 250 * sum(base^k) < 2^63
+        ends = [int(i) + w for i in np.nonzero(h % m == 0)[0]]
+    if not ends or ends[-1] != L:
+        ends.append(L)
+    spans: list[tuple[int, int, str]] = []
+    prev = 0
+    for e in ends:
+        spans.append(
+            (prev + 1, e - prev,
+             hashlib.md5(t[prev:e].encode("utf-8")).hexdigest())
+        )
+        prev = e
+    return spans
+
+
 def cdc_chunks(
     docs: DataFrame,
     text_col: str = "text",
@@ -1239,14 +1277,11 @@ def cdc_chunks(
     document. Downstream dedup is a data-proportional groupBy on
     (chunk_md5) only.
     """
-    import hashlib
     from typing import Iterator
 
-    import numpy as np
     import pandas as pd
 
     w, b, m = int(window), int(base), int(modulus)
-    weights = (b ** np.arange(w - 1, -1, -1)).astype(np.int64)
     extra = list(passthrough)
 
     def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1260,32 +1295,16 @@ def cdc_chunks(
             for row in pdf.itertuples(index=False):
                 rd = row._asdict()
                 t = rd[text_col] or ""
-                L = len(t)
-                if L == 0:
-                    continue
-                ends: list[int] = []
-                if L >= w:
-                    cps = np.frombuffer(
-                        t.encode("utf-32-le"), dtype=np.uint32
-                    ).astype(np.int64) % 251
-                    win = np.lib.stride_tricks.sliding_window_view(cps, w)
-                    h = win @ weights  # int64-exact: 250 * sum(base^k) < 2^63
-                    ends = [int(i) + w for i in np.nonzero(h % m == 0)[0]]
-                if not ends or ends[-1] != L:
-                    ends.append(L)
-                prev = 0
-                for idx, e in enumerate(ends):
-                    chunk = t[prev:e]
+                for idx, (start, ln, digest) in enumerate(
+                    cdc_chunk_spans(t, window=w, base=b, modulus=m)
+                ):
                     out[id_col].append(rd[id_col])
                     out["chunk_idx"].append(idx)
-                    out["start"].append(prev + 1)
-                    out["len"].append(e - prev)
-                    out["chunk_md5"].append(
-                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
-                    )
+                    out["start"].append(start)
+                    out["len"].append(ln)
+                    out["chunk_md5"].append(digest)
                     for c in extra:
                         out[c].append(rd[c])
-                    prev = e
             yield pd.DataFrame(out)
 
     id_type = dict(docs.dtypes)[id_col]

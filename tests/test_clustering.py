@@ -181,3 +181,61 @@ def test_cdc_savings_accounting(spark):
     assert a["total_chars"] == 2 * len(blob) + len("unique tail one") + len(
         "a different unique tail"
     )
+
+
+def test_cdc_kernel_differential_vs_naive_reference():
+    """Hypothesis fuzz of the pure CDC kernel: the strided int64 matmul
+    must agree with a naive per-position Python rolling hash (the spec)
+    on arbitrary unicode, including astral-plane codepoints, and the
+    spans must always tile [1..len] exactly."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erigon_extract_spark.operators.dedup import cdc_chunk_spans
+
+    W, B, M = 8, 131, 64
+
+    def naive(t):
+        L = len(t)
+        if L == 0:
+            return []
+        ends = []
+        for i in range(L - W + 1):
+            h = 0
+            for k in range(W):
+                h += (ord(t[i + k]) % 251) * B ** (W - 1 - k)
+            if h % M == 0:
+                ends.append(i + W)
+        if not ends or ends[-1] != L:
+            ends.append(L)
+        spans, prev = [], 0
+        for e in ends:
+            spans.append(
+                (prev + 1, e - prev,
+                 hashlib.md5(t[prev:e].encode("utf-8")).hexdigest())
+            )
+            prev = e
+        return spans
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-32-le", exclude_categories=("Cs",)
+            ),
+            max_size=200,
+        )
+    )
+    def check(t):
+        got = cdc_chunk_spans(t)
+        assert got == naive(t)
+        # tiling invariant regardless of content
+        pos = 1
+        for start, ln, _ in got:
+            assert start == pos and ln >= 1
+            pos += ln
+        assert pos == len(t) + 1 or (len(t) == 0 and got == [])
+
+    check()
