@@ -105,6 +105,14 @@ def kmeans_lloyd(
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )  # bounded: k rows
+    if not init_rows:
+        # empty input: an empty assignment table (same schema) and no
+        # centroids — not a numpy shape error three calls deep
+        id_type = dict(df.dtypes)[id_col]
+        empty = df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cid int"
+        )
+        return empty, []
     cent = np.round(
         np.asarray([np.asarray(r[1], dtype=np.float64) for r in init_rows]),
         6,

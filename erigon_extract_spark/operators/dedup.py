@@ -18,6 +18,8 @@ partitionings.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1200,6 +1202,13 @@ def lsh_recall_report(
 # Content-defined chunking (CDC)
 # --------------------------------------------------------------------------
 
+@_functools.lru_cache(maxsize=16)
+def _cdc_weights(window: int, base: int):
+    import numpy as np
+
+    return (base ** np.arange(window - 1, -1, -1)).astype(np.int64)
+
+
 def cdc_chunk_spans(
     t: str, window: int = 8, base: int = 131, modulus: int = 64
 ) -> list[tuple[int, int, str]]:
@@ -1207,20 +1216,25 @@ def cdc_chunk_spans(
     for one text, exactly the definition in :func:`cdc_chunks` (which
     calls this per row inside the Arrow batch). Separated so the rolling
     hash — a strided int64 matmul — can be differentially fuzzed against
-    a naive per-position reference without a Spark session."""
+    a naive per-position reference without a Spark session. The weights
+    vector is lru-cached per (window, base) so the per-document cost in
+    the hot Arrow-batch loop is the matmul alone."""
     import hashlib
 
     import numpy as np
 
     w, b, m = int(window), int(base), int(modulus)
-    weights = (b ** np.arange(w - 1, -1, -1)).astype(np.int64)
+    weights = _cdc_weights(w, b)
     L = len(t)
     if L == 0:
         return []
     ends: list[int] = []
     if L >= w:
+        # '<u4' pins the explicitly-little-endian utf-32-le bytes to a
+        # little-endian view on ANY host — native-order u4 would byte-swap
+        # codepoints (and every boundary) on a big-endian platform
         cps = np.frombuffer(
-            t.encode("utf-32-le"), dtype=np.uint32
+            t.encode("utf-32-le"), dtype="<u4"
         ).astype(np.int64) % 251
         win = np.lib.stride_tricks.sliding_window_view(cps, w)
         h = win @ weights  # int64-exact: 250 * sum(base^k) < 2^63

@@ -239,3 +239,13 @@ def test_cdc_kernel_differential_vs_naive_reference():
         assert pos == len(t) + 1 or (len(t) == 0 and got == [])
 
     check()
+
+
+def test_kmeans_empty_input_returns_empty(spark):
+    from erigon_extract_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assignments, cent = kmeans_lloyd(df, k=4, iters=2)
+    assert cent == []
+    assert assignments.count() == 0
+    assert [f.name for f in assignments.schema.fields] == ["vec_id", "cid"]
