@@ -11070,6 +11070,42 @@ def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(_load(spark, sf_dir, "embeddings"), k=8, iters=3)
 
 
+@query(
+    "corpus_cluster_balanced_sample",
+    _kmeans_oracle(
+        8, 3, 64,
+        """
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+      FROM af
+    ) WHERE rn <= 10
+    """,
+    ),
+)
+def corpus_cluster_balanced_sample_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced sampling: k-means the embedding space, then take
+    a fixed per-cluster quota (10 smallest ids per cluster) — the
+    diversity-preserving selection step SemDeDup-style pipelines run
+    after clustering (sample the clusters evenly, not the density). The
+    composition is the point: the deterministic k-means output feeds a
+    per-group top-n (one partial-agg'd exchange on cid), so the whole
+    train-assign-sample chain sits under ONE value hash. At 100 TB the
+    quota read is a per-cluster top-n, never a global sort."""
+    from erigon_extract_spark.operators.clustering import kmeans_lloyd
+
+    emb = _load(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans_lloyd(emb, k=8, iters=3)
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    return (
+        assignments.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", "cid")
+    )
+
+
 # ROUND-6 ROTATION — now MECHANICAL (VERDICT r5 directive #2). Rounds
 # 1-5 hand-maintained this list and produced exactly one systematic
 # miss: agg_approx_distinct went red in r1 (no_oracle), gained its
