@@ -131,7 +131,26 @@ def kmeans_lloyd(
         new[nz] = np.round(sums[nz] / cnts[nz, None], 6)
         cent = new
 
-    final = cent
+    centroids = [[float(x) for x in c] for c in cent]
+    return kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col), \
+        centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to FIXED centroids — the production shape of
+    k-means at 100 TB: train once (``kmeans_lloyd``, or load a persisted
+    centroid sidecar), then assign every new batch without ever touching
+    the training corpus again. Stateless map-only pass (broadcastable
+    k x d closure, zero Exchange), so it composes with ``readStream``
+    unchanged — the same batch==stream contract as the CDC chunker.
+    Same pinned semantics as the training iterations: 9-dp-quantized
+    squared L2, argmin with smallest-cid ties."""
+    final = np.asarray(centroids, dtype=np.float64)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,10 +166,9 @@ def kmeans_lloyd(
             })
 
     id_type = dict(df.dtypes)[id_col]
-    assignments = df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} {id_type}, cid int"
     )
-    return assignments, [[float(x) for x in c] for c in cent]
 
 
 def kmeans_summary(

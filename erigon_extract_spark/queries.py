@@ -10963,23 +10963,36 @@ def dedup_cdc_savings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic oracle-gated Lloyd k-means (round 10)
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle(k: int, iters: int, dim: int, final_select: str) -> str:
+def _kmeans_oracle(
+    k: int,
+    iters: int,
+    dim: int,
+    final_select: str,
+    train_where: str = "",
+    assign_where: str = "",
+) -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs, sharing every
     quantization decision with operators/clustering.kmeans_lloyd:
     6-dp-rounded init/means, 9-dp-quantized squared-L2 argmin with
-    smallest-cid ties, empty clusters keeping their centroid."""
+    smallest-cid ties, empty clusters keeping their centroid.
+    ``train_where``/``assign_where`` (full "WHERE ..." fragments) split
+    the training corpus from the final-assignment batch — the
+    incremental train-once/assign-forever gate; both default to the
+    whole table."""
     dist = (
         "round(list_sum(list_transform(generate_series(1, {dim}), dd ->"
         " power(CAST(e.embedding[dd] AS DOUBLE) - c.cent[dd], 2))), 9)"
     ).format(dim=dim)
     parts = [
         f"""
+    emb AS (SELECT vec_id, embedding FROM embeddings {train_where}),
+    asg_src AS (SELECT vec_id, embedding FROM embeddings {assign_where}),
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cid,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
                AS cent
-      FROM (SELECT vec_id, embedding FROM embeddings
+      FROM (SELECT vec_id, embedding FROM emb
             ORDER BY vec_id LIMIT {k})
     )"""
     ]
@@ -10990,14 +11003,14 @@ def _kmeans_oracle(k: int, iters: int, dim: int, final_select: str) -> str:
         SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
           PARTITION BY e.vec_id
           ORDER BY {dist} ASC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN c{it - 1} c
+        FROM emb e CROSS JOIN c{it - 1} c
       ) WHERE rn = 1
     ),
     u{it} AS (
       SELECT cid, list(mv ORDER BY d) AS cent FROM (
         SELECT a.cid, t.d,
                round(avg(CAST(e.embedding[t.d] AS DOUBLE)), 6) AS mv
-        FROM a{it} a JOIN embeddings e USING (vec_id)
+        FROM a{it} a JOIN emb e USING (vec_id)
         CROSS JOIN UNNEST(generate_series(1, {dim})) AS t(d)
         GROUP BY a.cid, t.d
       ) GROUP BY cid
@@ -11014,7 +11027,7 @@ def _kmeans_oracle(k: int, iters: int, dim: int, final_select: str) -> str:
         SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
           PARTITION BY e.vec_id
           ORDER BY {dist} ASC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN c{iters} c
+        FROM asg_src e CROSS JOIN c{iters} c
       ) WHERE rn = 1
     )""")
     return "WITH " + ",".join(parts) + "\n" + final_select
@@ -11068,6 +11081,36 @@ def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erigon_extract_spark.operators.clustering import kmeans_summary
 
     return kmeans_summary(_load(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+@query(
+    "embedding_kmeans_incremental",
+    _kmeans_oracle(
+        8, 3, 64,
+        "SELECT vec_id, cid FROM af",
+        train_where="WHERE vec_id < 400",
+        assign_where="WHERE vec_id >= 400",
+    ),
+)
+def embedding_kmeans_incremental_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-once / assign-forever — the production k-means lifecycle:
+    fit on the existing corpus (vec_id < 400), then assign a NEW vector
+    batch (vec_id >= 400) against the FROZEN centroids with
+    ``kmeans_assign`` — no retrain, no training-corpus read, one
+    stateless map pass over the new batch (the same maintain-in-place
+    discipline as `sim_ivfpq_index_add` and the erigon incremental
+    gates). The oracle re-derives the frozen centroids from the
+    training subset and assigns the held-out batch relationally."""
+    from erigon_extract_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_lloyd,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    _, cent = kmeans_lloyd(emb.filter(F.col("vec_id") < 400), k=8, iters=3)
+    return kmeans_assign(emb.filter(F.col("vec_id") >= 400), cent)
 
 
 @query(
