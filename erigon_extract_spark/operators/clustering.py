@@ -150,6 +150,14 @@ def kmeans_assign(
     unchanged — the same batch==stream contract as the CDC chunker.
     Same pinned semantics as the training iterations: 9-dp-quantized
     squared L2, argmin with smallest-cid ties."""
+    id_type = dict(df.dtypes)[id_col]
+    if not centroids:
+        # the train-once/assign-forever path can feed an empty centroid
+        # list (kmeans_lloyd on an empty training subset); mirror its
+        # empty-input contract instead of a numpy broadcast error
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cid int"
+        )
     final = np.asarray(centroids, dtype=np.float64)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,7 +173,6 @@ def kmeans_assign(
                 "cid": np.argmin(np.round(d2, 9), axis=1).astype(np.int32),
             })
 
-    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} {id_type}, cid int"
     )

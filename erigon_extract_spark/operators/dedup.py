@@ -1206,6 +1206,17 @@ def lsh_recall_report(
 def _cdc_weights(window: int, base: int):
     import numpy as np
 
+    # int64-exactness bound: max char value is 250 (codepoint % 251), so
+    # the largest window hash is 250 * sum(base^k). At the default base
+    # 131 this holds only through window 8 — window 9 is ~2.2e19 > 2^63
+    # and the matmul would silently wrap, diverging from any arbitrary-
+    # precision oracle. Refuse rather than wrap. (lru-cached with the
+    # weights, so the hot Arrow-batch loop never re-checks.)
+    if 250 * sum(base ** k for k in range(window)) >= 2 ** 63:
+        raise ValueError(
+            f"cdc window={window} base={base} overflows int64 "
+            "(250 * sum(base^k) >= 2^63); shrink window or base"
+        )
     return (base ** np.arange(window - 1, -1, -1)).astype(np.int64)
 
 
@@ -1224,7 +1235,7 @@ def cdc_chunk_spans(
     import numpy as np
 
     w, b, m = int(window), int(base), int(modulus)
-    weights = _cdc_weights(w, b)
+    weights = _cdc_weights(w, b)  # raises ValueError on int64 overflow
     L = len(t)
     if L == 0:
         return []
@@ -1306,8 +1317,13 @@ def cdc_chunks(
             }
             for c in extra:
                 out[c] = []
-            for row in pdf.itertuples(index=False):
-                rd = row._asdict()
+            # name=None tuples + explicit zip: itertuples' namedtuple
+            # path silently renames columns that aren't valid Python
+            # identifiers (spaces, keywords, leading underscore), which
+            # would mis-bind rd[text_col] / passthrough lookups
+            cols = list(pdf.columns)
+            for row in pdf.itertuples(index=False, name=None):
+                rd = dict(zip(cols, row))
                 t = rd[text_col] or ""
                 for idx, (start, ln, digest) in enumerate(
                     cdc_chunk_spans(t, window=w, base=b, modulus=m)
@@ -1321,14 +1337,14 @@ def cdc_chunks(
                         out[c].append(rd[c])
             yield pd.DataFrame(out)
 
-    id_type = dict(docs.dtypes)[id_col]
-    extra_schema = "".join(
-        f", {c} {dict(docs.dtypes)[c]}" for c in extra
-    )
+    dtypes = dict(docs.dtypes)
+    # backtick-quote every carried column in the output DDL — plain
+    # interpolation breaks on names with spaces/keywords
+    extra_schema = "".join(f", `{c}` {dtypes[c]}" for c in extra)
     return docs.select(id_col, text_col, *extra).mapInPandas(
         chunker,
         schema=(
-            f"{id_col} {id_type}, chunk_idx bigint, start bigint, "
+            f"`{id_col}` {dtypes[id_col]}, chunk_idx bigint, start bigint, "
             f"len bigint, chunk_md5 string{extra_schema}"
         ),
     )

@@ -59,19 +59,22 @@ def test_kmeans_objective_nonincreasing(emb):
 
 
 def test_kmeans_empty_cluster_keeps_centroid(spark):
-    """Two far-apart data blobs, k=3 seeded from ids 0..2 — the blob
-    layout guarantees at least one seed wins no points after the first
-    assignment (seeds 1 and 2 sit in the same blob as seed 0's
-    neighborhood), and its centroid must survive unchanged."""
-    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.2, 0.0]),
-           (3, [100.0, 0.0]), (4, [100.1, 0.0])]
+    """Cluster 1 is PROVABLY empty at every iteration: seeds 0 and 1 are
+    coincident at [1.5, 2.5], so every point there ties at distance 0 and
+    the smallest-cid rule always awards it to cluster 0 — cluster 1 never
+    wins a point and must keep its init centroid verbatim (the nz-mask
+    branch in kmeans_lloyd and the summary's LEFT-join n=0 row)."""
+    pts = [(0, [1.5, 2.5]), (1, [1.5, 2.5]), (2, [100.0, 0.0])]
     df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
     _, cent = kmeans_lloyd(df, k=3, iters=2)
     assert len(cent) == 3
-    # summary still reports every cluster, including any empty one
-    s = kmeans_summary(df, k=3, iters=2).collect()
+    assert cent[1] == [1.5, 2.5]  # untouched init value
+    s = {r["cid"]: r for r in kmeans_summary(df, k=3, iters=2).collect()}
     assert len(s) == 3
-    assert sum(r["n"] for r in s) == 5
+    assert s[1]["n"] == 0  # genuinely empty, not merely small
+    assert s[1]["cent_sum"] == 4.0
+    assert s[0]["n"] == 2 and s[2]["n"] == 1
+    assert sum(r["n"] for r in s.values()) == 3
 
 
 def test_kmeans_summary_counts_match_assignments(emb):
@@ -249,3 +252,45 @@ def test_kmeans_empty_input_returns_empty(spark):
     assert cent == []
     assert assignments.count() == 0
     assert [f.name for f in assignments.schema.fields] == ["vec_id", "cid"]
+
+
+def test_kmeans_assign_empty_centroids_returns_empty(spark):
+    """The train-once/assign-forever path with an empty centroid list
+    (kmeans_lloyd over an empty training subset) must yield the same
+    empty (id, cid) contract as kmeans_lloyd itself — not a numpy
+    broadcast error from inside the Arrow batch."""
+    from erigon_extract_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_assign(df, [])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cid"]
+
+
+def test_cdc_window_overflow_guard():
+    """window/base are public parameters; at (window=9, base=131) the
+    worst-case rolling hash exceeds 2^63 and int64 would silently wrap —
+    the kernel must refuse instead."""
+    from erigon_extract_spark.operators.dedup import cdc_chunk_spans
+
+    with pytest.raises(ValueError, match="overflows int64"):
+        cdc_chunk_spans("x" * 32, window=9, base=131)
+    # the boundary case that still fits must keep working
+    assert cdc_chunk_spans("x" * 32, window=8, base=131)
+
+
+def test_cdc_chunks_non_identifier_column_names(spark):
+    """Column names that are not valid Python identifiers (spaces,
+    keyword collisions) must survive the Arrow batch loop — pandas
+    itertuples silently renames such columns in namedtuple mode."""
+    df = spark.createDataFrame(
+        [(1, "some text long enough to chunk " * 4, "keepme")],
+        "doc_id long, text string, `src tag` string",
+    )
+    rows = cdc_chunks(df, passthrough=("src tag",)).collect()
+    assert rows and all(r["src tag"] == "keepme" for r in rows)
+    assert sum(r["len"] for r in rows) == len(
+        "some text long enough to chunk " * 4
+    )
