@@ -18,10 +18,16 @@ cross-engine nondeterminism pinned:
   argmin, ties broken by smallest centroid id (the same
   quantize-before-argmax trick the MMR rerank uses — float sums of 64
   products differ between numpy's pairwise summation and a SQL fold in
-  the last ulp, ~1e-14, far below the 0.5e-9 quantization grid);
-- **update**: new centroid = elementwise mean rounded to 6 dp (mean
-  error from summation order is ~1e-13 for 1e6 members, far below the
-  0.5e-6 grid), an empty cluster keeps its previous centroid;
+  the last ulp, ~1e-14, far below the 0.5e-9 quantization grid). The
+  quantizer is ``oracle_compat.np_round_half_away`` — DuckDB ROUND
+  semantics, NOT np.round: half-even vs half-away genuinely split the
+  argmin winner on values that land exactly on the grid line
+  (constructible from coarse-decimal embeddings; see
+  tests/test_tie_semantics.py), so both engines must share the rule;
+- **update**: new centroid = elementwise mean rounded to 6 dp with the
+  same half-away rule (mean error from summation order is ~1e-13 for
+  1e6 members, far below the 0.5e-6 grid), an empty cluster keeps its
+  previous centroid;
 - state is re-quantized every iteration, so the two engines can never
   drift apart between steps.
 
@@ -43,6 +49,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from erigon_extract_spark.oracle_compat import np_round_half_away
+
 
 def _partial_sums_pass(
     df: DataFrame,
@@ -52,9 +60,10 @@ def _partial_sums_pass(
 ) -> List[Tuple[int, int, np.ndarray]]:
     """One assignment pass returning per-cluster (cid, count, sumvec),
     reduced from per-batch partials. Distances are quantized to 9 dp
-    before the argmin; ``np.argmin`` takes the first minimum, i.e. the
-    smallest centroid id — matching the oracle's
-    ``ORDER BY round(dist, 9), cid`` row_number."""
+    with DuckDB ROUND (half-away) semantics before the argmin;
+    ``np.argmin`` takes the first minimum, i.e. the smallest centroid
+    id — matching the oracle's ``ORDER BY round(dist, 9), cid``
+    row_number rule-for-rule."""
     k, d = centroids.shape
     cent = centroids  # captured; tiny (k x d), rides the task closure
 
@@ -67,7 +76,7 @@ def _partial_sums_pass(
             )
             # squared L2 to every centroid, quantized before argmin
             d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(np.round(d2, 9), axis=1)
+            assign = np.argmin(np_round_half_away(d2, 9), axis=1)
             rows = []
             for cid in np.unique(assign):
                 sel = x[assign == cid]
@@ -113,7 +122,7 @@ def kmeans_lloyd(
             [], f"{id_col} {id_type}, cid int"
         )
         return empty, []
-    cent = np.round(
+    cent = np_round_half_away(
         np.asarray([np.asarray(r[1], dtype=np.float64) for r in init_rows]),
         6,
     )
@@ -128,7 +137,7 @@ def kmeans_lloyd(
             cnts[cid] += cnt
         new = cent.copy()  # empty cluster keeps its previous centroid
         nz = cnts > 0
-        new[nz] = np.round(sums[nz] / cnts[nz, None], 6)
+        new[nz] = np_round_half_away(sums[nz] / cnts[nz, None], 6)
         cent = new
 
     centroids = [[float(x) for x in c] for c in cent]
@@ -168,9 +177,10 @@ def kmeans_assign(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             d2 = ((x[:, None, :] - final[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(np_round_half_away(d2, 9), axis=1)
             yield pd.DataFrame({
                 id_col: pdf[id_col].values,
-                "cid": np.argmin(np.round(d2, 9), axis=1).astype(np.int32),
+                "cid": cid.astype(np.int32),
             })
 
     return df.select(id_col, vec_col).mapInPandas(
@@ -199,8 +209,8 @@ def kmeans_summary(
     cent_rows = [
         (
             i,
-            float(np.round(np.sum(c[i]), 6)),
-            float(np.round(np.sqrt(np.sum(c[i] * c[i])), 6)),
+            float(np_round_half_away(np.sum(c[i]), 6)),
+            float(np_round_half_away(np.sqrt(np.sum(c[i] * c[i])), 6)),
         )
         for i in range(c.shape[0])
     ]

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from erigon_extract_spark.oracle_compat import round_half_away
+
 
 def dot(a, b) -> F.Column:
     return F.aggregate(
@@ -254,9 +256,14 @@ def mmr_select(
                 # engines round the reported score to 6 dp. At 9 dp the
                 # engines agree (float64 dot error ~1e-15 on unit
                 # vectors) and genuine ties collapse to the shared
-                # id-asc tie-break on both sides. The oracle tail
-                # (queries._MMR_UNROLL_TAIL) rounds identically.
-                score = round(lam * rel[i] - mu * pen, 9)
+                # id-asc tie-break on both sides. The quantizer must be
+                # DuckDB ROUND semantics (half-away), not Python round
+                # (half-even): on a score landing exactly on the 0.5e-9
+                # grid the two rules pick different quantized values and
+                # the selection can diverge (tests/test_tie_semantics.py
+                # constructs this). The oracle tail
+                # (queries._MMR_UNROLL_TAIL) rounds with the same rule.
+                score = round_half_away(lam * rel[i] - mu * pen, 9)
                 key = (-score, ids[i])  # score desc, id asc tie-break
                 if best_key is None or key < best_key:
                     best, best_key = i, key
