@@ -1221,7 +1221,12 @@ def _cdc_weights(window: int, base: int):
 
 
 def cdc_chunk_spans(
-    t: str, window: int = 8, base: int = 131, modulus: int = 64
+    t: str,
+    window: int = 8,
+    base: int = 131,
+    modulus: int = 64,
+    min_size: int | None = None,
+    max_size: int | None = None,
 ) -> list[tuple[int, int, str]]:
     """Pure per-document CDC kernel: ``[(start_1based, length, md5hex)]``
     for one text, exactly the definition in :func:`cdc_chunks` (which
@@ -1229,7 +1234,21 @@ def cdc_chunk_spans(
     hash — a strided int64 matmul — can be differentially fuzzed against
     a naive per-position reference without a Spark session. The weights
     vector is lru-cached per (window, base) so the per-document cost in
-    the hot Arrow-batch loop is the matmul alone."""
+    the hot Arrow-batch loop is the matmul alone.
+
+    ``min_size``/``max_size`` add the LBFS-style clamps that make CDC
+    production-real: without them an adversarial document whose EVERY
+    window hashes to a boundary (any char with codepoint % 251 divisible
+    by 4 at the defaults) chunks per-character. Clamped walk, left to
+    right from the last cut ``pos``: take the first hash boundary ``e``
+    with ``min_size <= e - pos`` and ``e <= pos + max_size``; if none,
+    force a cut at ``pos + max_size`` (or the end of the document if
+    closer). The final chunk may be shorter than ``min_size`` — there is
+    nothing after it to merge with. Chunk count is thus bounded by
+    ``ceil(L / min_size)`` and every chunk by ``max_size``, while
+    boundaries still resynchronize after insertions once the clamp
+    windows realign. Both default to None = the stateless textbook form
+    (the existing durable gate's byte-identical behavior)."""
     import hashlib
 
     import numpy as np
@@ -1250,7 +1269,16 @@ def cdc_chunk_spans(
         win = np.lib.stride_tricks.sliding_window_view(cps, w)
         h = win @ weights  # int64-exact: 250 * sum(base^k) < 2^63
         ends = [int(i) + w for i in np.nonzero(h % m == 0)[0]]
-    if not ends or ends[-1] != L:
+    if min_size is not None or max_size is not None:
+        minsz = 1 if min_size is None else int(min_size)
+        maxsz = L if max_size is None else int(max_size)
+        if minsz < 1 or maxsz < minsz:
+            raise ValueError(
+                f"cdc clamps need 1 <= min_size <= max_size, got "
+                f"({min_size}, {max_size})"
+            )
+        ends = _cdc_clamp_walk(ends, L, minsz, maxsz)
+    elif not ends or ends[-1] != L:
         ends.append(L)
     spans: list[tuple[int, int, str]] = []
     prev = 0
@@ -1263,6 +1291,29 @@ def cdc_chunk_spans(
     return spans
 
 
+def _cdc_clamp_walk(
+    cand: list[int], L: int, minsz: int, maxsz: int
+) -> list[int]:
+    """LBFS clamp walk over sorted candidate boundary ends. Linear: a
+    candidate below ``pos + minsz`` stays ineligible forever (``pos``
+    only grows), so the cursor never backs up. Shared definition with
+    the recursive-CTE oracle in queries._CDC_CLAMPED_CTE."""
+    cuts: list[int] = []
+    pos, j, n = 0, 0, len(cand)
+    while pos < L:
+        while j < n and cand[j] - pos < minsz:
+            j += 1
+        if j < n and cand[j] <= pos + maxsz:
+            nxt = cand[j]
+        elif pos + maxsz < L:
+            nxt = pos + maxsz  # forced cut: no boundary inside the clamp
+        else:
+            nxt = L
+        cuts.append(nxt)
+        pos = nxt
+    return cuts
+
+
 def cdc_chunks(
     docs: DataFrame,
     text_col: str = "text",
@@ -1271,6 +1322,8 @@ def cdc_chunks(
     base: int = 131,
     modulus: int = 64,
     passthrough: tuple[str, ...] = (),
+    min_size: int | None = None,
+    max_size: int | None = None,
 ) -> DataFrame:
     """Content-defined chunking: split each document at positions chosen
     by a Rabin-style rolling hash of the content itself, so identical
@@ -1294,13 +1347,15 @@ def cdc_chunks(
       boundary at L; consecutive boundaries delimit the chunks.
     - chunk_md5 = md5 of the chunk substring (UTF-8 bytes, both engines).
 
-    This is the stateless textbook form (Muhlemann/LBFS-style gear
-    hashing adds min/max chunk-size clamps, which make the boundary set
-    stateful; production use would add them inside this same map-only
-    kernel). Scale shape: ONE Arrow-batched ``mapInPandas`` pass, no
-    shuffle, no explode — the rolling hash is a strided int64 matmul per
-    document. Downstream dedup is a data-proportional groupBy on
-    (chunk_md5) only.
+    With ``min_size``/``max_size`` unset this is the stateless textbook
+    form; setting them applies the LBFS-style clamps inside the same
+    map-only kernel (see :func:`cdc_chunk_spans` — first eligible hash
+    boundary per clamp window, forced cut at ``pos + max_size``, so
+    adversarial all-boundary input is bounded by ``ceil(L/min_size)``
+    chunks instead of per-character). Scale shape either way: ONE
+    Arrow-batched ``mapInPandas`` pass, no shuffle, no explode — the
+    rolling hash is a strided int64 matmul per document. Downstream
+    dedup is a data-proportional groupBy on (chunk_md5) only.
     """
     from typing import Iterator
 
@@ -1326,7 +1381,10 @@ def cdc_chunks(
                 rd = dict(zip(cols, row))
                 t = rd[text_col] or ""
                 for idx, (start, ln, digest) in enumerate(
-                    cdc_chunk_spans(t, window=w, base=b, modulus=m)
+                    cdc_chunk_spans(
+                        t, window=w, base=b, modulus=m,
+                        min_size=min_size, max_size=max_size,
+                    )
                 ):
                     out[id_col].append(rd[id_col])
                     out["chunk_idx"].append(idx)

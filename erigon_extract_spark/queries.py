@@ -10929,6 +10929,95 @@ def dedup_cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs)
 
 
+_CDC_CLAMPED_SQL = """
+WITH RECURSIVE
+    d AS (
+      SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0 AND doc_id < 120
+    ),
+    pos AS (
+      SELECT doc_id, i,
+          CAST(ord(substr(t, CAST(i     AS INTEGER), 1)) % 251 AS BIGINT)
+            * 662062621900811
+        + CAST(ord(substr(t, CAST(i + 1 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 5053913144281
+        + CAST(ord(substr(t, CAST(i + 2 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 38579489651
+        + CAST(ord(substr(t, CAST(i + 3 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 294499921
+        + CAST(ord(substr(t, CAST(i + 4 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 2248091
+        + CAST(ord(substr(t, CAST(i + 5 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 17161
+        + CAST(ord(substr(t, CAST(i + 6 AS INTEGER), 1)) % 251 AS BIGINT)
+            * 131
+        + CAST(ord(substr(t, CAST(i + 7 AS INTEGER), 1)) % 251 AS BIGINT)
+            AS h
+      FROM d, UNNEST(generate_series(1, L - 7)) AS u(i)
+      WHERE L >= 8
+    ),
+    cand AS (SELECT doc_id, i + 7 AS e FROM pos WHERE h % 64 = 0),
+    -- the LBFS clamp walk is inherently sequential (each cut's
+    -- eligibility window depends on the previous cut), so the oracle
+    -- re-derives it as a per-document recursion over the SAME candidate
+    -- set: first candidate with 32 <= e - pos AND e <= pos + 128, else
+    -- a forced cut at pos + 128, else the end of the document.
+    -- Recursion depth = chunks per document (bounded by ceil(L/32)),
+    -- working set = one row per unfinished document.
+    walk AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS e, -1 AS chunk_idx, L FROM d
+      UNION ALL
+      SELECT w.doc_id,
+             COALESCE(
+               (SELECT MIN(c.e) FROM cand c
+                WHERE c.doc_id = w.doc_id
+                  AND c.e - w.e >= 32 AND c.e <= w.e + 128),
+               CASE WHEN w.e + 128 < w.L THEN w.e + 128 ELSE w.L END),
+             w.chunk_idx + 1, w.L
+      FROM walk w WHERE w.e < w.L
+    ),
+    bounds AS (
+      SELECT doc_id, e,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+               AS pe,
+             chunk_idx
+      FROM walk WHERE chunk_idx >= 0
+    )
+SELECT b.doc_id, b.chunk_idx, b.pe + 1 AS start, b.e - b.pe AS len,
+       md5(substr(d.t, CAST(b.pe + 1 AS INTEGER),
+                  CAST(b.e - b.pe AS INTEGER))) AS chunk_md5
+FROM bounds b JOIN d USING (doc_id)
+"""
+
+
+@query("dedup_cdc_chunks_clamped", _CDC_CLAMPED_SQL)
+def dedup_cdc_chunks_clamped_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LBFS-clamped content-defined chunking
+    (operators/dedup.cdc_chunks with min_size=32, max_size=128): the
+    production form of CDC. The stateless textbook chunker
+    (`dedup_cdc_chunks`) has an adversarial worst case — a document
+    whose every window hashes to a boundary chunks per-character — so
+    real chunk stores (LBFS, Muhlemann) clamp: take the first hash
+    boundary at least min_size past the previous cut and at most
+    max_size, forcing a cut at max_size when no boundary lands inside
+    the window. Chunk count is bounded by ceil(L/min_size) and every
+    chunk by max_size, while boundaries still resynchronize after
+    insertions once the clamp windows realign
+    (tests/test_clustering.py pins both properties). Same scale shape
+    as the unclamped gate: ONE Arrow-batched map-only pass, zero
+    shuffle; the sequential clamp walk lives entirely inside the
+    per-document kernel. The oracle re-derives the walk as a
+    per-document recursive CTE over the same candidate-boundary set."""
+    from erigon_extract_spark.operators.dedup import cdc_chunks
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return cdc_chunks(docs, min_size=32, max_size=128).select(
+        "doc_id", "chunk_idx", "start", "len", "chunk_md5"
+    )
+
+
 @query(
     "dedup_cdc_savings",
     f"""

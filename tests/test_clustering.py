@@ -294,3 +294,58 @@ def test_cdc_chunks_non_identifier_column_names(spark):
     assert sum(r["len"] for r in rows) == len(
         "some text long enough to chunk " * 4
     )
+
+
+def test_cdc_clamped_bounds_adversarial_input():
+    """The reason clamps exist: 'D' has codepoint 68, 68 % 4 == 0, so at
+    the defaults EVERY 8-char window of 'DDDD…' hashes to a boundary
+    (the weight sum is ≡ 16 mod 64) and the unclamped chunker degrades
+    to per-character chunks. The clamped walk must cut exactly every
+    min_size chars instead, bounding the chunk count by ceil(L/min)."""
+    from erigon_extract_spark.operators.dedup import cdc_chunk_spans
+
+    t = "D" * 400
+    unclamped = cdc_chunk_spans(t)
+    assert len(unclamped) == 400 - 8 + 1  # the pathological case is real
+    clamped = cdc_chunk_spans(t, min_size=32, max_size=128)
+    assert len(clamped) == -(-400 // 32)  # == 13: every cut at pos+32
+    assert [ln for _, ln, _ in clamped] == [32] * 12 + [16]
+
+
+def test_cdc_clamped_invariants_and_resync(spark):
+    """On ordinary text: chunks tile [1..L]; every chunk <= max_size;
+    every chunk >= min_size except possibly the last; and the
+    content-defined property survives the clamps — a prefix insertion
+    still resynchronizes to shared chunk md5s."""
+    from erigon_extract_spark.operators.dedup import cdc_chunk_spans
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the rain taps the glass "
+        "in a slow steady rhythm all afternoon long without any pause"
+    ) * 4
+    for t in (base, "X" + base):
+        spans = cdc_chunk_spans(t, min_size=32, max_size=128)
+        pos = 1
+        for start, ln, _ in spans:
+            assert start == pos and 1 <= ln <= 128
+            pos += ln
+        assert pos == len(t) + 1
+        for _, ln, _ in spans[:-1]:
+            assert ln >= 32
+    h1 = {h for _, _, h in cdc_chunk_spans(base, min_size=32, max_size=128)}
+    h2 = {h for _, _, h in cdc_chunk_spans(
+        "X" + base, min_size=32, max_size=128)}
+    assert len(h1 & h2) >= len(h1) - 2  # boundaries resync after insert
+
+
+def test_cdc_clamp_parameter_validation():
+    from erigon_extract_spark.operators.dedup import cdc_chunk_spans
+
+    with pytest.raises(ValueError, match="min_size <= max_size"):
+        cdc_chunk_spans("abc" * 40, min_size=64, max_size=32)
+    with pytest.raises(ValueError, match="min_size <= max_size"):
+        cdc_chunk_spans("abc" * 40, min_size=0, max_size=32)
+    # single-sided clamps are legal: min-only and max-only
+    assert cdc_chunk_spans("abc" * 40, min_size=16)
+    assert cdc_chunk_spans("abc" * 40, max_size=64)
