@@ -99,6 +99,7 @@ def kmeans_lloyd(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = False,
 ) -> Tuple[DataFrame, List[List[float]]]:
     """Deterministic Lloyd k-means. Returns ``(assignments, centroids)``:
     assignments is a DataFrame ``(id_col, cid int)`` from a final
@@ -110,9 +111,42 @@ def kmeans_lloyd(
     squared-L2 argmin, smallest-cid ties; update = 6-dp-rounded
     elementwise mean, empty cluster keeps its centroid); then one final
     assignment against the settled centroids.
+
+    The lifecycle reads the corpus ``iters + 2`` times (init sort,
+    one map-only pass per iteration, final assignment). At bench scale
+    that is noise; at 100 TB the repeated scans ARE the dominant cost,
+    so ``persist=True`` caches the projected ``(id, vector)`` frame
+    (MEMORY_AND_DISK) for the init + iteration passes and unpersists
+    before returning — the source is then read ~twice (once filling the
+    cache, once by the caller evaluating the returned lazy assignment)
+    regardless of ``iters``; tests/test_clustering.py counts the scans
+    with an accumulator below the cache. Callers that already hold a
+    cached frame should pass it directly and leave ``persist=False``
+    (the pass never shuffles the corpus either way, so the persist is
+    purely a scan-count lever, not a correctness one).
     """
+    src = df.select(id_col, vec_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _kmeans_lloyd_impl(df, src, k, iters, id_col, vec_col)
+    finally:
+        if persist:
+            src.unpersist(blocking=False)
+
+
+def _kmeans_lloyd_impl(
+    df: DataFrame,
+    src: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> Tuple[DataFrame, List[List[float]]]:
     init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        src.orderBy(id_col).limit(k).collect()
     )  # bounded: k rows
     if not init_rows:
         # empty input: an empty assignment table (same schema) and no
@@ -129,7 +163,7 @@ def kmeans_lloyd(
     kk = cent.shape[0]
 
     for _ in range(iters):
-        partials = _partial_sums_pass(df, cent, id_col, vec_col)
+        partials = _partial_sums_pass(src, cent, id_col, vec_col)
         sums = np.zeros_like(cent)
         cnts = np.zeros(kk, dtype=np.int64)
         for cid, cnt, s in partials:

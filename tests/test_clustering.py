@@ -349,3 +349,40 @@ def test_cdc_clamp_parameter_validation():
     # single-sided clamps are legal: min-only and max-only
     assert cdc_chunk_spans("abc" * 40, min_size=16)
     assert cdc_chunk_spans("abc" * 40, max_size=64)
+
+
+def test_kmeans_persist_bounds_source_scans(spark):
+    """Scan-count evidence for the persist hint (VERDICT r10 item 5):
+    an accumulator inside a pass-through mapInPandas BELOW the cache
+    counts how many times source rows are actually produced. Without
+    persist the lifecycle reads the source iters+2 times; with
+    persist=True the init+iteration passes hit the cache, so the source
+    is produced at most twice (cache fill + the caller's evaluation of
+    the lazy final assignment) regardless of iters."""
+    import pandas as pd
+
+    n, iters = 256, 4
+    rng = np.random.default_rng(3)
+    pts = [(i, [float(v) for v in rng.normal(size=4)]) for i in range(n)]
+    base = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+
+    def run(persist):
+        acc = spark.sparkContext.accumulator(0)
+
+        def tap(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        counted = base.mapInPandas(
+            tap, schema="vec_id long, embedding array<double>"
+        )
+        a, c = kmeans_lloyd(counted, k=4, iters=iters, persist=persist)
+        a.count()  # evaluate the final assignment like a caller would
+        return acc.value // n, c
+
+    scans_plain, c_plain = run(False)
+    scans_persist, c_persist = run(True)
+    assert c_plain == c_persist  # the persist is a scan lever, not semantic
+    assert scans_plain == iters + 2
+    assert scans_persist <= 2
