@@ -101,6 +101,9 @@ HEADLINE = [
     "erigon_ref_file_lookup",  # O(log N) page binary search, no Spark scan
     "dedup_cdc_savings",  # map-only CDC chunking + chunk-store dedup report
     "embedding_kmeans_assign",  # 3 deterministic Lloyd iterations, map-only
+    # --- round-11 additions ---
+    "dedup_cdc_chunks_clamped",  # LBFS-clamped CDC walk, map-only
+    "dedup_connected_clusters",  # CC keep-labels over the jaccard graph
 ]
 
 

@@ -13,6 +13,8 @@ reference binary (show_usage, erigon_extract.c:2595-2611), Spark-side.
     python -m erigon_extract_spark.cli ann-query <idx> <probes.parquet> -k 10
     python -m erigon_extract_spark.cli index-build <docs.parquet> <idx>  # inverted text index
     python -m erigon_extract_spark.cli index-query <idx> term1 term2 --mode and
+    python -m erigon_extract_spark.cli cluster-build <emb.parquet> <model> -k 8
+    python -m erigon_extract_spark.cli cluster-assign <model> <new.parquet> [--out dir]
 
 ``show`` mirrors the reference's output line formats (print_account /
 print_storage / the dim "(set ...)" trace lines, erigon_extract.c:361-424)
@@ -455,6 +457,73 @@ def _ann_query(args) -> int:
     return 0
 
 
+def _cluster_build(args) -> int:
+    """Fit the deterministic k-means on an embeddings parquet, write the
+    assignment table + frozen-centroid sidecar (the cluster sibling of
+    ann-build: train once here, label forever with cluster-assign)."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.clustering import (
+        build_kmeans_model,
+    )
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-cluster-build")
+    emb = spark.read.parquet(args.parquet)
+    centroids = build_kmeans_model(
+        emb, args.out_dir, k=args.k, iters=args.iters,
+        id_col=args.id_col, vec_col=args.vec_col,
+        persist=not args.no_persist,
+    )
+    sizes = {
+        r["cid"]: r["n"]
+        for r in spark.read.parquet(args.out_dir)
+        .groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    dist = " ".join(
+        f"{cid}:{sizes.get(cid, 0)}" for cid in range(len(centroids))
+    )
+    print(f"clustered {total} vectors into k={len(centroids)} "
+          f"(iters={args.iters}) at {args.out_dir}; sizes {dist}")
+    return 0
+
+
+def _cluster_assign(args) -> int:
+    """Label a new vector batch against a persisted cluster model's
+    frozen centroids — no retrain, no training-corpus read, one
+    stateless map pass (the k-means analogue of ann-add's
+    frozen-codebook discipline)."""
+    from pyspark.sql import functions as F
+
+    from erigon_extract_spark.operators.clustering import (
+        assign_with_model,
+        load_kmeans_model,
+    )
+    from erigon_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-cluster-assign")
+    meta = load_kmeans_model(args.model)
+    new = spark.read.parquet(args.parquet)
+    out = assign_with_model(new, args.model)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"assigned {n} vectors against {args.model} "
+              f"(k={meta['k']}) -> {args.out}")
+    else:
+        sizes = {
+            r["cid"]: r["n"]
+            for r in out.groupBy("cid").agg(F.count("*").alias("n"))
+            .collect()
+        }
+        total = sum(sizes.values())
+        dist = " ".join(f"{c}:{sizes[c]}" for c in sorted(sizes))
+        print(f"assigned {total} vectors against {args.model} "
+              f"(k={meta['k']}); sizes {dist}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="erigon_extract_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -581,6 +650,30 @@ def main(argv=None) -> int:
     p.add_argument("--mode", choices=("and", "any"), default="and")
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(fn=_index_query)
+
+    p = sub.add_parser("cluster-build",
+                       help="fit deterministic k-means; persist "
+                            "assignments + centroid sidecar")
+    p.add_argument("parquet")
+    p.add_argument("out_dir")
+    p.add_argument("-k", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--no-persist", action="store_true",
+                   help="skip caching the projected corpus across the "
+                        "iteration passes")
+    p.set_defaults(fn=_cluster_build)
+
+    p = sub.add_parser("cluster-assign",
+                       help="label new vectors with a persisted cluster "
+                            "model's frozen centroids")
+    p.add_argument("model", help="cluster-build output directory")
+    p.add_argument("parquet", help="parquet of vectors to label")
+    p.add_argument("--out", default=None,
+                   help="write (id, cid) parquet here instead of "
+                        "printing cluster sizes")
+    p.set_defaults(fn=_cluster_assign)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -261,3 +261,74 @@ def kmeans_summary(
             "cent_norm",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted model lifecycle (cli cluster-build / cluster-assign)
+# --------------------------------------------------------------------------
+
+_KMEANS_META = "_kmeans_meta.json"
+
+
+def build_kmeans_model(
+    df: DataFrame,
+    out_dir: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> List[List[float]]:
+    """Train-once half of the production lifecycle: fit the
+    deterministic Lloyd k-means, write the full assignment table as
+    Parquet under ``out_dir`` and the frozen centroids (plus the column
+    contract) into a ``_kmeans_meta.json`` sidecar — the same
+    sidecar-next-to-data pattern as the IVFPQ index
+    (operators/similarity.build_ivfpq_index), so `cluster-assign` can
+    label every future batch without touching the training corpus.
+    Returns the centroids. ``persist`` defaults True here (the CLI is
+    the at-scale entry point; the scan-count rationale is in
+    :func:`kmeans_lloyd`)."""
+    import json
+    import os
+
+    assignments, centroids = kmeans_lloyd(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        persist=persist,
+    )
+    assignments.write.mode("overwrite").parquet(out_dir)
+    with open(os.path.join(out_dir, _KMEANS_META), "w") as fh:
+        json.dump(
+            {
+                "k": int(k),
+                "iters": int(iters),
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "centroids": centroids,
+            },
+            fh,
+        )
+    return centroids
+
+
+def load_kmeans_model(model_dir: str) -> dict:
+    """Read the ``_kmeans_meta.json`` sidecar written by
+    :func:`build_kmeans_model`."""
+    import json
+    import os
+
+    with open(os.path.join(model_dir, _KMEANS_META)) as fh:
+        return json.load(fh)
+
+
+def assign_with_model(df: DataFrame, model_dir: str) -> DataFrame:
+    """Assign-forever half: label a new vector batch against the frozen
+    persisted centroids — one stateless map pass, zero Exchange, and
+    identical under ``readStream`` (the batch==stream parity pytest).
+    The sidecar's column contract travels with the model, so callers
+    don't re-specify id/vector column names."""
+    meta = load_kmeans_model(model_dir)
+    return kmeans_assign(
+        df, meta["centroids"],
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+    )

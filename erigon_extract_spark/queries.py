@@ -773,8 +773,18 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared DuckDB CTE chain: source table → 3-gram shingles → exact-jaccard
 # pairs at threshold 0.2 (reused by the pair query, the cluster oracle, and
 # the end-to-end curation oracle — parameterized on the source relation).
-def _ngram_pair_ctes(src: str = "documents") -> str:
-    return _NGRAM_PAIR_CTES_TMPL.replace("__SRC__", src)
+def _ngram_pair_ctes(src: str = "documents", materialized: bool = False) -> str:
+    """``materialized=True`` tags every CTE in the chain AS MATERIALIZED —
+    required whenever a downstream CTE references ``jpairs`` more than
+    once (the CC oracles' symmetric ``edges``): DuckDB 1.0 inlines plain
+    CTEs per reference, so without the tag the whole shingle self-join
+    re-executes per copy and the combined memory pressure spilled >40 GB
+    at sf1 where the single-copy chain needs ~15 s and no spill."""
+    out = _NGRAM_PAIR_CTES_TMPL.replace("__SRC__", src)
+    if materialized:
+        for cte in ("words", "sh", "sizes", "inter", "jpairs"):
+            out = out.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (")
+    return out
 
 
 _NGRAM_PAIR_CTES_TMPL = """words AS (
@@ -818,23 +828,45 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_connected_clusters",
-    f"""
-    WITH RECURSIVE {_ngram_pair_ctes()},
-    edges AS (
+# Connected-component labels WITHOUT a transitive closure (VERDICT r10
+# item 7 — the recursive-closure oracle's O(V*E) ``reach`` set exhausted
+# disk at sf1 while the engine side finished fine). Label-SET
+# propagation: seed every node with LEAST(u, min neighbor), then
+# recursively flow a label l from node p to neighbor u whenever l < u.
+# The recursion references itself exactly once (DuckDB's recursive-CTE
+# constraint), runs to the TRUE fixpoint (no unrolled-round truncation
+# to guard), and its accumulated state is (node, seen-label) pairs —
+# labels only originate at local minima, so the set stays near-linear
+# on clustered dup graphs instead of the closure's all-reachable-pairs.
+# MIN per node over the set is exactly the component minimum: the
+# component min m seeds itself (LEAST(m, nbrs) = m), propagates to every
+# other node (m < u), and no label from outside the component ever
+# enters. Expects a ``jpairs`` CTE upstream, tagged MATERIALIZED
+# (``_ngram_pair_ctes(materialized=True)``) because ``edges`` reads it
+# twice. Measured at sf1: 108 s bounded-spill vs the closure's >40 GB
+# disk exhaustion.
+_CC_LABELPROP_CTES = """edges AS MATERIALIZED (
       SELECT doc_id_a AS u, doc_id_b AS v FROM jpairs
       UNION
       SELECT doc_id_b AS u, doc_id_a AS v FROM jpairs
     ),
-    reach AS (
-      SELECT u, v FROM edges
+    lp AS (
+      SELECT u, LEAST(u, MIN(v)) AS l FROM edges GROUP BY u
       UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      SELECT e.u, p.l
+      FROM lp p JOIN edges e ON e.v = p.u
+      WHERE p.l < e.u
     ),
-    comp AS (
-      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
-    )
+    comp AS MATERIALIZED (
+      SELECT u AS doc_id, MIN(l) AS cluster FROM lp GROUP BY u
+    )"""
+
+
+@query(
+    "dedup_connected_clusters",
+    f"""
+    WITH RECURSIVE {_ngram_pair_ctes(materialized=True)},
+    {_CC_LABELPROP_CTES}
     SELECT doc_id, cluster FROM comp
     UNION ALL
     SELECT d.doc_id, d.doc_id AS cluster
@@ -846,8 +878,11 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution over the near-dup pair graph: every doc labeled
     with the smallest doc id reachable through jaccard>=0.2 pairs
     (singletons label themselves). Spark side: iterative min-label
-    propagation (operators/graph.py); oracle: recursive transitive
-    closure — same fixpoint, independently computed."""
+    propagation (operators/graph.py); oracle: recursive label-set
+    propagation to the exact fixpoint (_CC_LABELPROP_CTES) — the same
+    component minima, independently computed, with near-linear state
+    instead of the former transitive closure's O(V*E) pair set (which
+    exhausted disk at sf1)."""
     from erigon_extract_spark.operators.graph import dedup_clusters
 
     docs = _load(spark, sf_dir, "documents")
@@ -909,20 +944,8 @@ def graph_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_e AS (
       SELECT d.doc_id, d.text FROM documents d JOIN e USING (doc_id)
     ),
-    {_ngram_pair_ctes("docs_e")},
-    edges AS (
-      SELECT doc_id_a AS u, doc_id_b AS v FROM jpairs
-      UNION
-      SELECT doc_id_b AS u, doc_id_a AS v FROM jpairs
-    ),
-    reach AS (
-      SELECT u, v FROM edges
-      UNION
-      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
-    ),
-    comp AS (
-      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
-    ),
+    {_ngram_pair_ctes("docs_e", materialized=True)},
+    {_CC_LABELPROP_CTES},
     kept AS (
       SELECT e.doc_id FROM e LEFT JOIN comp c USING (doc_id)
       WHERE c.doc_id IS NULL OR c.cluster = e.doc_id

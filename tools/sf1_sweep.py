@@ -47,12 +47,12 @@ SWEEP = [
     "j3_index_range_join",
     # dedup family: banded LSH candidate shuffle, CC iterations,
     # blocked levenshtein, fold-key exchange, recall truth join.
-    # dedup_connected_clusters is EXCLUDED from the hash arm at sf1: its
-    # oracle is a recursive-CTE transitive closure (O(V*E) intermediate
-    # pairs) and DuckDB's spill exhausted the box's disk at 50k docs —
-    # the ENGINE side (iterative min-label propagation) completed; the
-    # sweep records it rows-only and gates graph_components_star (same
-    # CC fixpoint, bounded 500-node domain) as the hash representative.
+    # dedup_connected_clusters re-entered the hash arm in round 11: the
+    # former recursive-CTE transitive-closure oracle (O(V*E) pair set,
+    # exhausted disk at 50k docs) was replaced by the unrolled min-label
+    # + pointer-jumping recurrence (_cc_minlabel_ctes, O(V) per round,
+    # convergence-guarded).
+    "dedup_connected_clusters",
     "dedup_scale",
     "dedup_minhash_portable",
     "dedup_recall_eval",
@@ -79,6 +79,15 @@ SWEEP = [
     # unrolled CTEs join 64x the corpus rows — both first bind at sf1.
     "dedup_cdc_savings",
     "embedding_kmeans",
+    # round-11 extension (VERDICT item 6): the r10 stragglers that were
+    # both-SF green but postdated the original sweep, plus the clamped
+    # CDC gate (its recursive-CTE walk oracle first meets real document
+    # length distribution at sf1).
+    "embedding_kmeans_assign",
+    "embedding_kmeans_incremental",
+    "corpus_cluster_balanced_sample",
+    "erigon_ref_file_lookup",
+    "dedup_cdc_chunks_clamped",
 ]
 
 
@@ -92,23 +101,6 @@ def main() -> None:
     spark = get_spark(app_name="sf1_sweep")
     ledger: dict[str, dict] = {}
     n_pass = n_fail = 0
-
-    # engine-only arm for the oracle-unscalable CC gate (see SWEEP note):
-    # prove the Spark side completes and record its cardinality.
-    t0 = time.perf_counter()
-    n_rows = q.QUERIES["dedup_connected_clusters"](spark, sf_dir).count()
-    ledger["dedup_connected_clusters"] = {
-        "pass": True,
-        "detail": (
-            f"rows-only at sf1: {n_rows} rows — the DuckDB oracle "
-            "(recursive-CTE transitive closure, O(V*E)) exhausts disk at "
-            "this scale; hash parity holds at sf0.01/sf0.1 and "
-            "graph_components_star carries the CC hash arm here"
-        ),
-        "wall_s": round(time.perf_counter() - t0, 2),
-        "sf_dir": sf_dir,
-    }
-    print(f"ROWS dedup_connected_clusters: {n_rows} rows", flush=True)
 
     for name in SWEEP:
         t0 = time.perf_counter()
