@@ -418,3 +418,10 @@ def test_cdc_chunker_is_map_only_and_savings_exchanges_triples(spark, sf_dir):
     for frag in savings_plan.split("Exchange")[1:]:
         head = frag.splitlines()[0]
         assert "text" not in head, head
+
+    # the LBFS-clamped walk lives entirely inside the per-document
+    # kernel: same zero-Exchange, zero-Generate map-only plan
+    clamped_plan = _plan(cdc_chunks(docs, min_size=32, max_size=128))
+    assert "Exchange" not in clamped_plan, clamped_plan
+    assert "Generate" not in clamped_plan, clamped_plan
+    assert "MapInPandas" in clamped_plan
