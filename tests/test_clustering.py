@@ -386,3 +386,67 @@ def test_kmeans_persist_bounds_source_scans(spark):
     assert c_plain == c_persist  # the persist is a scan lever, not semantic
     assert scans_plain == iters + 2
     assert scans_persist <= 2
+
+
+def test_cdc_clamped_kernel_differential_vs_naive_reference():
+    """Hypothesis fuzz of the CLAMPED walk: the cursor-based linear walk
+    in _cdc_clamp_walk must agree with a naive quadratic re-scan of the
+    candidate set (the spec: first boundary e with min <= e-pos <=
+    max... else forced cut), and spans must tile [1..len] with every
+    non-final chunk in [min_size, max_size]."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erigon_extract_spark.operators.dedup import cdc_chunk_spans
+
+    def naive_walk(cand, L, minsz, maxsz):
+        cuts, pos = [], 0
+        while pos < L:
+            eligible = [e for e in cand
+                        if e - pos >= minsz and e <= pos + maxsz]
+            if eligible:
+                nxt = min(eligible)
+            elif pos + maxsz < L:
+                nxt = pos + maxsz
+            else:
+                nxt = L
+            cuts.append(nxt)
+            pos = nxt
+        return cuts
+
+    W, B, M = 8, 131, 64
+
+    def cand_ends(t):
+        L = len(t)
+        out = []
+        for i in range(L - W + 1):
+            h = sum((ord(t[i + k]) % 251) * B ** (W - 1 - k)
+                    for k in range(W))
+            if h % M == 0:
+                out.append(i + W)
+        return out
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=300,
+        ),
+        st.integers(1, 40),
+        st.integers(0, 80),
+    )
+    def check(t, minsz, extra):
+        maxsz = minsz + extra
+        got = cdc_chunk_spans(t, min_size=minsz, max_size=maxsz)
+        L = len(t)
+        want = naive_walk(cand_ends(t), L, minsz, maxsz)
+        assert [s + ln - 1 for s, ln, _ in got] == want
+        pos = 1
+        for i, (start, ln, _) in enumerate(got):
+            assert start == pos and 1 <= ln <= maxsz
+            if i < len(got) - 1:
+                assert ln >= minsz
+            pos += ln
+        assert pos == L + 1 or (L == 0 and got == [])
+
+    check()

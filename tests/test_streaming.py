@@ -494,6 +494,20 @@ def test_stream_cdc_chunks_matches_batch(spark, sf_dir):
             == sorted(map(tuple, expected.select(*key).collect()))
         )
         assert got.count() > 200  # the chunking is real, not degenerate
+
+        # the LBFS-clamped walk is equally stateless (per-document
+        # kernel, no cross-row state), so the clamped chunker must be
+        # drop-in streamable too
+        _run_available_now(
+            cdc_chunks(stream, min_size=32, max_size=128),
+            "cdc_stream_clamped", "append",
+        )
+        got_c = spark.table("cdc_stream_clamped")
+        expected_c = cdc_chunks(docs, min_size=32, max_size=128)
+        assert (
+            sorted(map(tuple, got_c.select(*key).collect()))
+            == sorted(map(tuple, expected_c.select(*key).collect()))
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
