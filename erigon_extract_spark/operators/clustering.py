@@ -193,14 +193,17 @@ def kmeans_assign(
     unchanged — the same batch==stream contract as the CDC chunker.
     Same pinned semantics as the training iterations: 9-dp-quantized
     squared L2, argmin with smallest-cid ties."""
-    id_type = dict(df.dtypes)[id_col]
     if not centroids:
         # the train-once/assign-forever path can feed an empty centroid
         # list (kmeans_lloyd on an empty training subset); mirror its
-        # empty-input contract instead of a numpy broadcast error
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} {id_type}, cid int"
-        )
+        # empty-input contract instead of a numpy broadcast error.
+        # Derive the empty frame FROM df (not createDataFrame) so a
+        # streaming input stays streaming — the readStream composability
+        # contract in the docstring holds for this edge too.
+        return df.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cid")
+        ).where(F.lit(False))
+    id_type = dict(df.dtypes)[id_col]
     final = np.asarray(centroids, dtype=np.float64)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -300,7 +303,12 @@ def build_kmeans_model(
     with open(os.path.join(out_dir, _KMEANS_META), "w") as fh:
         json.dump(
             {
-                "k": int(k),
+                # actual centroid count — kmeans_lloyd seeds from the
+                # available rows, so a corpus smaller than the requested
+                # k yields fewer centroids; consumers sizing buckets from
+                # the sidecar must see the truth, not the request
+                "k": len(centroids),
+                "k_requested": int(k),
                 "iters": int(iters),
                 "id_col": id_col,
                 "vec_col": vec_col,

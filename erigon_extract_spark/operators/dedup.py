@@ -1270,13 +1270,19 @@ def cdc_chunk_spans(
         h = win @ weights  # int64-exact: 250 * sum(base^k) < 2^63
         ends = [int(i) + w for i in np.nonzero(h % m == 0)[0]]
     if min_size is not None or max_size is not None:
+        # validate the RAW parameters — substituting the document length
+        # for an omitted max_size before validating would reject min-only
+        # clamps on any document shorter than min_size (L < minsz), a
+        # legal configuration where the whole document is one final chunk
         minsz = 1 if min_size is None else int(min_size)
-        maxsz = L if max_size is None else int(max_size)
-        if minsz < 1 or maxsz < minsz:
+        maxsz = None if max_size is None else int(max_size)
+        if minsz < 1 or (maxsz is not None and maxsz < minsz):
             raise ValueError(
                 f"cdc clamps need 1 <= min_size <= max_size, got "
                 f"({min_size}, {max_size})"
             )
+        if maxsz is None:
+            maxsz = max(L, minsz)
         ends = _cdc_clamp_walk(ends, L, minsz, maxsz)
     elif not ends or ends[-1] != L:
         ends.append(L)

@@ -269,6 +269,49 @@ def test_kmeans_assign_empty_centroids_returns_empty(spark):
     assert [f.name for f in out.schema.fields] == ["vec_id", "cid"]
 
 
+def test_kmeans_assign_empty_centroids_stays_streaming(spark, tmp_path):
+    """The empty-centroids guard must preserve the input's streaming-ness:
+    assign_with_model over readStream with a degenerate (empty-corpus)
+    model should still be a streaming frame, not a batch empty frame —
+    the docstring's 'composes with readStream unchanged' contract covers
+    this edge too."""
+    from erigon_extract_spark.operators.clustering import kmeans_assign
+
+    d = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(d)
+    stream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .parquet(d)
+    )
+    out = kmeans_assign(stream, [])
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cid"]
+
+
+def test_build_kmeans_model_sidecar_records_actual_k(spark, tmp_path):
+    """A corpus smaller than the requested k yields fewer centroids;
+    the sidecar's `k` must be the truth (len(centroids)) with the
+    request preserved separately as `k_requested`."""
+    from erigon_extract_spark.operators.clustering import (
+        build_kmeans_model,
+        load_kmeans_model,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = str(tmp_path / "model")
+    cent = build_kmeans_model(df, out, k=8, iters=2)
+    meta = load_kmeans_model(out)
+    assert len(cent) == 3
+    assert meta["k"] == 3 == len(meta["centroids"])
+    assert meta["k_requested"] == 8
+
+
 def test_cdc_window_overflow_guard():
     """window/base are public parameters; at (window=9, base=131) the
     worst-case rolling hash exceeds 2^63 and int64 would silently wrap —
@@ -349,6 +392,13 @@ def test_cdc_clamp_parameter_validation():
     # single-sided clamps are legal: min-only and max-only
     assert cdc_chunk_spans("abc" * 40, min_size=16)
     assert cdc_chunk_spans("abc" * 40, max_size=64)
+    # min-only on a document SHORTER than min_size is also legal: the
+    # whole document is one final chunk (the final chunk is the one
+    # exempt from the min bound). Validation must judge the raw
+    # parameters, not the L-substituted max — this raised before r11.
+    spans = cdc_chunk_spans("short doc", min_size=16)
+    assert [(s, ln) for s, ln, _ in spans] == [(1, 9)]
+    assert cdc_chunk_spans("x", min_size=5) == cdc_chunk_spans("x")
 
 
 def test_kmeans_persist_bounds_source_scans(spark):

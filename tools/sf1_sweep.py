@@ -49,9 +49,11 @@ SWEEP = [
     # blocked levenshtein, fold-key exchange, recall truth join.
     # dedup_connected_clusters re-entered the hash arm in round 11: the
     # former recursive-CTE transitive-closure oracle (O(V*E) pair set,
-    # exhausted disk at 50k docs) was replaced by the unrolled min-label
-    # + pointer-jumping recurrence (_cc_minlabel_ctes, O(V) per round,
-    # convergence-guarded).
+    # exhausted disk at 50k docs) was replaced by recursive label-set
+    # propagation run to the exact fixpoint (queries._CC_LABELPROP_CTES:
+    # seed LEAST(u, min nbr), flow a label to a neighbor only when
+    # smaller, MIN per node == component min — no truncation guard
+    # needed because the recursion adds no row once labels stabilize).
     "dedup_connected_clusters",
     "dedup_scale",
     "dedup_minhash_portable",
