@@ -92,8 +92,11 @@ def main() -> None:
             "spark.pyspark.python": sys.executable,
             "spark.executorEnv.PYTHONPATH":
                 str(Path(__file__).resolve().parent.parent),
-            # use the worker allocation (default executor heap is 1g)
-            "spark.executor.memory": "3g",
+            # use the worker allocation (default executor heap is 1g);
+            # raise via env for 10x-data sweeps (sorts spill, but heap
+            # headroom keeps Arrow batches off the GC cliff)
+            "spark.executor.memory":
+                os.environ.get("SPARK_GRAFT_MULTIJVM_EXEC_MEM", "3g"),
         },
     )
     sc = spark.sparkContext
