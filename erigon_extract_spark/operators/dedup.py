@@ -247,25 +247,39 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for doc pairs above ``threshold``.
 
-    Scale shape (``prefix_filter=True``, the default): classic prefix
-    filtering. Sort each doc's shingles by (global document frequency,
-    shingle); if J(A,B) >= t then the first ``floor(|S|*(1-t))+1``
-    shingles of each side must intersect, so ONLY those prefix shingles
-    feed the inverted-index candidate join — the frequent boilerplate
-    shingles that make a naive shingle self-join quadratic ("the" appears
-    in every doc) land at the END of the order and mostly stay out of the
+    Scale shape (``prefix_filter=True``): classic prefix filtering. Sort
+    each doc's shingles by (global document frequency, shingle); if
+    J(A,B) >= t then the first ``floor(|S|*(1-t))+1`` shingles of each
+    side must intersect, so ONLY those prefix shingles feed the
+    inverted-index candidate join — the frequent boilerplate shingles
+    that make a naive shingle self-join quadratic ("the" appears in
+    every doc) land at the END of the order and mostly stay out of the
     join. Candidates are then verified exactly via ``array_intersect`` on
     the full shingle sets, so the result is IDENTICAL to the naive plan —
     the DuckDB oracle needs no cap modeling — while the join volume is
     bounded by rare-shingle collisions.
 
-    ``prefix_filter=False`` keeps the naive inverted-index join (fine for
-    small corpora; the candidate stage degrades to O(df²) per hot shingle).
+    ``prefix_filter=False`` is the direct inverted-index join: shingle
+    self-join -> per-pair count agg -> jaccard filter. O(df²) per hot
+    shingle, but only ONE pass over the shingle table and zero windows.
+
+    ``prefix_filter=None`` (default) picks BY THRESHOLD: prefix
+    filtering keeps ``floor(n*(1-t))+1`` shingles per doc, so at t=0.2
+    the "prefix" is 80% of every doc — the candidate join volume is the
+    naive one ANYWAY, and the df-ranking window, the candidate distinct,
+    and the collect_set/array_intersect verification are pure overhead
+    (measured 5.98s vs 3.37s on the 5k-doc sf0.1 corpus, identical 256
+    pairs — r11 optimization round, guide §2.4). The cutover is t>=0.5:
+    below it the prefix keeps the majority of shingles and cannot beat
+    the direct join it still has to do; above it the prefix shrinks
+    toward the selective regime prefix filtering was invented for.
     """
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.5
     sh = exploded_shingles(docs, text_col, shingle_n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 

@@ -59,9 +59,15 @@ def connected_components(
 def _cc_minlabel(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> tuple[DataFrame, int]:
+    # Checkpoint the INPUT once before the self-union: the two union
+    # branches are otherwise two full computations of the upstream
+    # pipeline (for dedup_clusters that upstream is the whole exact-
+    # jaccard pair join — measured at 2x the query's wall, r11 round).
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     bidir = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )
@@ -107,7 +113,12 @@ def _cc_star(
     toward stars rooted at each component's min in O(log n) rounds.
     Convergence = edge multiset fixed point, checked with a single
     count+hash aggregate (no exceptAll shuffle)."""
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the input once — nodes' self-union and the canonical
+    # edge set below would otherwise recompute the upstream pipeline
+    # three times (same rationale as _cc_minlabel)
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     # every node ever seen — taken BEFORE the self-loop filter, so a node
     # whose only edge is (x, x) still gets its singleton row (minlabel
     # keeps such nodes through its bidir union; the methods must agree)
@@ -315,7 +326,15 @@ def pagerank(
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # checkpoint the canonical edge set ONCE: nodes' self-union and the
+    # outdeg attach below would otherwise recompute the upstream edge
+    # pipeline (for the web-graph query: HTML link extraction + URL
+    # parsing) three times over (r11 optimization round, guide §2.4)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -348,6 +367,11 @@ def pagerank(
                 .cast("long")
                 .alias("rank_fp"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: still cuts the Catalyst lineage per round
+            # (the iterative-DataFrame trap), but defers materialization
+            # to the caller's single action — a fixed-iteration loop has
+            # no driver decision between rounds, so the 10 eager
+            # driver-synchronous jobs collapse into one (r11 round).
+            .localCheckpoint(eager=False)
         )
     return ranks
