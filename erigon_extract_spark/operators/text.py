@@ -748,12 +748,24 @@ def unicode_fold_dedup(
 ) -> DataFrame:
     """Exact dedup over the unicode-folded text: one fingerprint shuffle
     (the exact_dedup shape) keyed on sha2(fold(text)) instead of the raw
-    bytes. Returns (id, rep_id = min id among fold-equals, group_size)."""
-    f = docs.select(
-        F.col(id_col),
-        F.sha2(unicode_fold(F.col(text_col)), 256).alias("__fp"),
+    bytes. Returns (id, rep_id = min id among fold-equals, group_size).
+
+    Shape: whole-group window aggregates over the fingerprint, not
+    groupBy + join-back — the join form scans its input twice, which
+    here means evaluating the Python fold UDF over the corpus TWICE
+    (one BatchEvalPython per join side); the window keeps ONE UDF pass
+    and ONE exchange (r11 optimization round, guide §4/§2.4)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fp")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.sha2(unicode_fold(F.col(text_col)), 256).alias("__fp"),
+        )
+        .select(
+            id_col,
+            F.min(id_col).over(w).alias("rep_id"),
+            F.count("*").over(w).alias("group_size"),
+        )
     )
-    g = f.groupBy("__fp").agg(
-        F.min(id_col).alias("rep_id"), F.count("*").alias("group_size")
-    )
-    return f.join(g, "__fp").select(id_col, "rep_id", "group_size")
