@@ -482,10 +482,20 @@ def portable_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_n: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, __s0..__s{n-1}) — md5-derived minhash signature as flat
-    columns: ONE map-side-combined aggregate over exploded shingles."""
-    sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
+    columns: ONE map-side-combined aggregate over exploded shingles.
+
+    ``shingles``: optional pre-computed ``exploded_shingles`` frame
+    (id_col, sh) to aggregate instead of re-deriving it from ``docs`` —
+    lets a caller that also needs the shingle table for other arms (the
+    recall report's exact-truth self-join) share ONE explode pass."""
+    sh = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
+    )
     hv = sh.select(id_col, portable_shingle_hash(F.col("sh")).alias("hv"))
     return hv.groupBy(id_col).agg(
         *[
@@ -583,6 +593,7 @@ def minhash_lsh_pairs_portable(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded minhash LSH with md5-derived permutation hashes, plus the
     signature-agreement fraction per candidate pair.
@@ -595,7 +606,7 @@ def minhash_lsh_pairs_portable(
     the correctness witness that the minhash machinery computes what it
     claims.
     """
-    flat = portable_signatures(docs, text_col, id_col, n_hashes, shingle_n)
+    flat = portable_signatures(docs, text_col, id_col, n_hashes, shingle_n, shingles)
     # Carry each doc's full signature INTO the bucket rows (one array per
     # banded row) so agreement is computed bucket-locally on the pair —
     # the earlier shape re-joined the corpus-sized signature table twice
@@ -1156,11 +1167,24 @@ def lsh_recall_report(
     cost, paid on a SAMPLE at 100 TB (the report is how you pick the
     config before the full run, not a per-run stage).
     """
+    # ONE explode pass: the shingle table feeds FIVE consumers (candidate
+    # arm's signature aggregate, both sides of the exact self-join, and
+    # the sizes aggregate aliased as sa/sb). Un-checkpointed, each
+    # consumer recomputes normalize+split+explode over the corpus — the
+    # before plan (plans/r11/dedup_recall_eval_before.txt) shows 4
+    # Generate subtrees for one logical shingle set (r11 optimization
+    # round, guide §2.4/§5: materialize the shared intermediate once).
+    sh = exploded_shingles(
+        widen_if_narrow(docs), text_col, shingle_n, id_col
+    ).localCheckpoint()
     cand = minhash_lsh_pairs_portable(
-        docs, text_col, id_col, n_hashes, bands, shingle_n
+        docs, text_col, id_col, n_hashes, bands, shingle_n, shingles=sh
     ).select("doc_id_a", "doc_id_b", F.lit(1).alias("__c"))
-    sh = exploded_shingles(widen_if_narrow(docs), text_col, shingle_n, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # tiny (one row per doc) but consumed twice (sa, sb) — checkpoint so
+    # the count aggregate over the shingle table runs once, not twice
+    sizes = (
+        sh.groupBy(id_col).agg(F.count("*").alias("n_sh")).localCheckpoint()
+    )
     inter = (
         sh.alias("l")
         .join(sh.alias("r"), "sh")

@@ -1109,16 +1109,26 @@ def ann_recall_report(
     the inputs, which each carry their own scale story (brute force =
     one corpus scan per probe batch; LSH/IVF = pruned candidate reads).
     """
-    e = exact.select(probe_id_col, id_col)
-    a = approx.select(probe_id_col, id_col)
+    # Checkpoint both top-k inputs: they are tiny (k rows per probe) but
+    # ``e`` feeds TWO consumers (n_exact and the hits join) — without the
+    # checkpoint the whole exact arm (a corpus cross-join + window for
+    # brute_force_topk) is computed twice, one BroadcastNestedLoopJoin
+    # subtree per consumer in the before plan
+    # (plans/r11/sim_recall_eval_before.txt; r11 round, guide §2.4/§5).
+    e = exact.select(probe_id_col, id_col).localCheckpoint()
+    a = approx.select(probe_id_col, id_col).localCheckpoint()
     n_exact = e.groupBy(probe_id_col).agg(F.count("*").alias("n_exact"))
+    # explicit broadcasts: checkpointed frames carry no catalyst size
+    # stats, so the planner falls back to sort-merge for these joins even
+    # though both sides are k-rows-per-probe tiny BY CONTRACT (guide §3.1:
+    # hint when you know a side is small and the estimate is wrong)
     hits = (
-        e.join(a, [probe_id_col, id_col])
+        e.join(F.broadcast(a), [probe_id_col, id_col])
         .groupBy(probe_id_col)
         .agg(F.count("*").alias("n_hits"))
     )
     return (
-        n_exact.join(hits, probe_id_col, "left")
+        n_exact.join(F.broadcast(hits), probe_id_col, "left")
         .select(
             probe_id_col,
             "n_exact",
