@@ -231,15 +231,18 @@ def kmeans_summary(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = False,
 ) -> DataFrame:
     """Per-cluster signature of a ``kmeans_lloyd`` fit: member count plus
     two scalar centroid checksums (elementwise sum and L2 norm, both
     6-dp rounded — scalars, not arrays, so the value hash is
     format-independent). Clusters that end up empty still appear with
     n = 0: the summary is driven from the centroid table, LEFT-joined
-    with the counts, exactly as the oracle does."""
+    with the counts, exactly as the oracle does. ``persist`` passes
+    through to :func:`kmeans_lloyd` (the iters+2 scan-count lever)."""
     assignments, cent = kmeans_lloyd(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        persist=persist,
     )
     spark = df.sparkSession
     c = np.asarray(cent, dtype=np.float64)

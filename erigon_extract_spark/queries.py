@@ -11163,7 +11163,10 @@ def embedding_kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erigon_extract_spark.operators.clustering import kmeans_lloyd
 
     emb = _load(spark, sf_dir, "embeddings")
-    assignments, _ = kmeans_lloyd(emb, k=8, iters=3)
+    # persist=True: the Lloyd lifecycle otherwise scans the corpus
+    # iters+2 times (init, per-iteration partials, final assign) — the
+    # cache bounds it at ~2 scans at any SF (r11 round, guide §5)
+    assignments, _ = kmeans_lloyd(emb, k=8, iters=3, persist=True)
     return assignments
 
 
@@ -11192,7 +11195,9 @@ def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     from erigon_extract_spark.operators.clustering import kmeans_summary
 
-    return kmeans_summary(_load(spark, sf_dir, "embeddings"), k=8, iters=3)
+    return kmeans_summary(
+        _load(spark, sf_dir, "embeddings"), k=8, iters=3, persist=True
+    )
 
 
 @query(
@@ -11252,7 +11257,9 @@ def corpus_cluster_balanced_sample_q(
     from erigon_extract_spark.operators.clustering import kmeans_lloyd
 
     emb = _load(spark, sf_dir, "embeddings")
-    assignments, _ = kmeans_lloyd(emb, k=8, iters=3)
+    # persist=True: same iters+2 scan-count rationale as
+    # embedding_kmeans_assign (r11 round, guide §5)
+    assignments, _ = kmeans_lloyd(emb, k=8, iters=3, persist=True)
     w = Window.partitionBy("cid").orderBy("vec_id")
     return (
         assignments.withColumn("rn", F.row_number().over(w))
