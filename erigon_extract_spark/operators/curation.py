@@ -79,14 +79,22 @@ def decontaminate_against(
         .select("sh")
         .distinct()
     )
+    # ONE pass over the corpus shingles: left-join the broadcast benchmark
+    # set with a hit flag and take total/shared as two aggregates of the
+    # SAME groupBy. The former total-arm + shared-arm + join-back shape
+    # computed the corpus shingle explode twice and paid an extra join
+    # (plans/r11/curation_decontaminate_before.txt: 3 Generate, 2
+    # BroadcastHashJoin; r11 optimization round, guide §2.4). shared =
+    # sum(hit) ≡ the inner-join count, and never-hit docs get 0 from the
+    # sum instead of the na.fill.
     corp_sh = exploded_shingles(corpus, text_col, shingle_n, id_col)
-    total = corp_sh.groupBy(id_col).agg(F.count("*").alias("total_shingles"))
-    shared = (
-        corp_sh.join(F.broadcast(bench_sh), "sh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("shared_shingles"))
+    marked = corp_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "sh", "left"
     )
-    joined = total.join(shared, id_col, "left").na.fill({"shared_shingles": 0})
+    joined = marked.groupBy(id_col).agg(
+        F.count("*").alias("total_shingles"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("shared_shingles"),
+    )
     ratio = F.col("shared_shingles") * F.lit(1.0) / F.col("total_shingles")
     return joined.select(
         id_col,

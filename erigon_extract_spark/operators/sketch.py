@@ -89,7 +89,15 @@ def cms_heavy_hitters(
     is the point — the demo's exact groupBy is what the sketch REPLACES.
     """
     sketch = cms_build(df, key_col, depth=depth, width=width)
-    exact = df.groupBy(key_col).agg(F.count("*").alias("true_count"))
+    # checkpoint the exact counts: they feed BOTH the estimate's probe
+    # key set and the final comparison join, so without it the per-key
+    # groupBy over the full input runs twice (r11 round, guide §2.4);
+    # the frame is one row per distinct key — cheap to hold
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("true_count"))
+        .localCheckpoint()
+    )
     est = cms_estimate(sketch, exact.select(key_col), key_col, depth=depth, width=width)
     return (
         est.join(exact, key_col)
