@@ -267,19 +267,21 @@ def ngram_jaccard_pairs(
     self-join -> per-pair count agg -> jaccard filter. O(df²) per hot
     shingle, but only ONE pass over the shingle table and zero windows.
 
-    ``prefix_filter=None`` (default) picks BY THRESHOLD: prefix
-    filtering keeps ``floor(n*(1-t))+1`` shingles per doc, so at t=0.2
-    the "prefix" is 80% of every doc — the candidate join volume is the
-    naive one ANYWAY, and the df-ranking window, the candidate distinct,
-    and the collect_set/array_intersect verification are pure overhead
-    (measured 5.98s vs 3.37s on the 5k-doc sf0.1 corpus, identical 256
-    pairs — r11 optimization round, guide §2.4). The cutover is t>=0.5:
-    below it the prefix keeps the majority of shingles and cannot beat
-    the direct join it still has to do; above it the prefix shrinks
-    toward the selective regime prefix filtering was invented for.
+    ``prefix_filter=None`` (default) resolves to True. An r11
+    threshold-based heuristic (direct join below t=0.5, where the prefix
+    keeps 80% of every doc) was tried and REVERTED: it won 3.37s vs
+    5.98s on the 5k-doc sf0.1 corpus (identical 256 pairs) but lost
+    catastrophically at sf1 — 527s vs 117s for dedup_connected_clusters
+    (BENCH_full_local sf1 section, r11 optimization round) — because
+    even a weak prefix still ranks by document frequency and keeps the
+    HOTTEST shingles out of most docs' prefixes, which is exactly the
+    O(df²) term that explodes as the corpus grows. The direct join's
+    small-corpus win does not survive scale, so it stays opt-in for
+    callers that KNOW the corpus is small or uniformly dense (where
+    nothing filters and the window is pure overhead).
     """
     if prefix_filter is None:
-        prefix_filter = threshold >= 0.5
+        prefix_filter = True
     sh = exploded_shingles(docs, text_col, shingle_n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
