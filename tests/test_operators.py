@@ -231,6 +231,28 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark, near_dup_docs):
     assert naive  # the corpus must actually produce pairs at the last t
 
 
+def test_ngram_jaccard_prefix_length_float_boundary(spark):
+    """Regression: binary floats make (1.0-0.8)*10 = 1.9999999999999996,
+    so the bare floor(n*(1-t))+1 prefix was ONE SHORTER than the theorem
+    requires and provably dropped a true pair. Fixture: A's 8 3-shingles
+    are a subset of B's 10 (jaccard exactly 0.8); B's two non-shared
+    shingles are rarest (df=1 < df=2) so they occupy prefix ranks 1-2 and
+    the first SHARED shingle sits at rank 3 — inside the correct prefix
+    length floor(10*0.2)+1 = 3, outside the float-shortfall length 2."""
+    words = [f"w{i:02d}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[2:]))],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(
+            docs, shingle_n=3, threshold=0.8, prefix_filter=True
+        ).collect()
+    }
+    assert got == {(1, 2): 0.8}, got
+
+
 def test_connected_components_chain_and_islands(spark):
     from erigon_extract_spark.operators.graph import (
         connected_components,
