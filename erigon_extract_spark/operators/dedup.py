@@ -847,16 +847,25 @@ def duplicate_spans(
 
       1. normalize text, fingerprint a ``width``-char gram every ``stride``
          chars (explode factor = len/stride — linear in corpus bytes);
-      2. one hash-shuffle groupBy finds grams occurring in >= 2 distinct
-         documents (map-side partial agg keeps the shuffle small: the
-         payload per gram is a count, not the doc list);
-      3. join hits back on the gram hash (same key as step 2 — AQE reuses
-         the shuffle partitioning);
-      4. per-document gaps-and-islands window merges overlapping/touching
+         the fingerprint is ``xxhash64`` (8-byte long), not md5: the hash
+         is only an equality proxy, never surfaced, so the narrower type
+         quarters the shuffle bytes and drops the per-gram digest cost
+         (r11 optimization round, guide §2.3 — isolated sf0.1 action
+         1.92 → 0.96 s across this change and the one below);
+      2. ONE shuffle by gram hash + per-hash window computes
+         ``min(doc_id) != max(doc_id)`` — exactly "occurs in >= 2
+         distinct documents" — and keeps the hit rows in the same pass.
+         (The former shape aggregated ``count_distinct(doc_id)`` in a
+         two-exchange chain, then joined a broadcast dup-hash set back
+         against a SECOND full gram pass; the window form removes one
+         corpus scan + explode, two aggregate exchanges, and the
+         broadcast — whose size is corpus-dependent and would be a
+         driver hazard at 100 TB);
+      3. per-document gaps-and-islands window merges overlapping/touching
          gram positions into maximal duplicated spans.
 
     No pairwise or all-pairs work anywhere: cost is O(corpus grams) through
-    three linear shuffles, so the plan survives 100 TB (the reference
+    two linear shuffles, so the plan survives 100 TB (the reference
     pipelines run this over trillions of tokens).
 
     Approximation contract: grams are sampled on the stride grid, so a
@@ -888,16 +897,16 @@ def duplicate_spans(
         .select(
             "doc_id",
             "pos",
-            F.md5(F.expr(f"substring(t, pos, {width})")).alias("h"),
+            F.xxhash64(F.expr(f"substring(t, pos, {width})")).alias("h"),
         )
     )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    wh = Window.partitionBy("h")
+    hits = (
+        grams.withColumn("__mn", F.min("doc_id").over(wh))
+        .withColumn("__mx", F.max("doc_id").over(wh))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("doc_id", "pos")
     )
-    hits = grams.join(dup, "h").select("doc_id", "pos")
     order = Window.partitionBy("doc_id").orderBy("pos")
     run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
