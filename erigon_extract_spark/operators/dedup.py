@@ -333,7 +333,7 @@ def ngram_jaccard_pairs(
         hv = (
             sh.join(freq, "sh")
             .select(id_col, "__shid", "__df")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         wdoc = Window.partitionBy(id_col)
         ranked = (
@@ -370,7 +370,7 @@ def ngram_jaccard_pairs(
             # the checkpoint the freq aggregate and the rank/size windows
             # execute twice (the broadcast side cannot reuse the shuffle
             # side's exchange)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Candidate pruning (exact, PPJoin-style — every surviving pair is
         # still fully verified below, so these filters only REMOVE work):
@@ -426,7 +426,7 @@ def ngram_jaccard_pairs(
         sets = (
             hv.groupBy(id_col)
             .agg(F.collect_set("__shid").alias("__set"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         verified = (
             cand.join(

@@ -65,17 +65,17 @@ def _cc_minlabel(
     # jaccard pair join — measured at 2x the query's wall, r11 round).
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bidir = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         bidir.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for rounds in range(1, max_iter + 1):
         neighbor_min = (
@@ -86,7 +86,7 @@ def _cc_minlabel(
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -118,7 +118,7 @@ def _cc_star(
     # three times (same rationale as _cc_minlabel)
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # every node ever seen — taken BEFORE the self-loop filter, so a node
     # whose only edge is (x, x) still gets its singleton row (minlabel
     # keeps such nodes through its bidir union; the methods must agree)
@@ -126,7 +126,7 @@ def _cc_star(
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e = (
         e0.filter(F.col("u") != F.col("v"))
@@ -134,7 +134,7 @@ def _cc_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _sig(df: DataFrame):
@@ -164,7 +164,7 @@ def _cc_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # small-star: high→low directed view; re-point u and all its
         # smaller neighbors at min(N(u) ∪ {u})
@@ -178,7 +178,7 @@ def _cc_star(
             .filter(F.col("u") != F.col("m"))
             .select("u", F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sig = _sig(e)
         if (new_sig.n, new_sig.h) == (sig.n, sig.h):
@@ -333,17 +333,17 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # attach outdeg to each edge once, outside the loop
-    e_deg = e.join(outdeg, "u").localCheckpoint()
+    e_deg = e.join(outdeg, "u").localCheckpoint(eager=False)
     base = (damping_den - damping_num) * scale // damping_den
     ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
     for _ in range(n_iter):
