@@ -1285,14 +1285,16 @@ def lsh_recall_report(
     # round, guide §2.4/§5: materialize the shared intermediate once).
     sh = exploded_shingles(
         widen_if_narrow(docs), text_col, shingle_n, id_col
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cand = minhash_lsh_pairs_portable(
         docs, text_col, id_col, n_hashes, bands, shingle_n, shingles=sh
     ).select("doc_id_a", "doc_id_b", F.lit(1).alias("__c"))
     # tiny (one row per doc) but consumed twice (sa, sb) — checkpoint so
     # the count aggregate over the shingle table runs once, not twice
     sizes = (
-        sh.groupBy(id_col).agg(F.count("*").alias("n_sh")).localCheckpoint()
+        sh.groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=False)
     )
     inter = (
         sh.alias("l")

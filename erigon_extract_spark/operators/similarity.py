@@ -1115,8 +1115,8 @@ def ann_recall_report(
     # brute_force_topk) is computed twice, one BroadcastNestedLoopJoin
     # subtree per consumer in the before plan
     # (plans/r11/sim_recall_eval_before.txt; r11 round, guide §2.4/§5).
-    e = exact.select(probe_id_col, id_col).localCheckpoint()
-    a = approx.select(probe_id_col, id_col).localCheckpoint()
+    e = exact.select(probe_id_col, id_col).localCheckpoint(eager=False)
+    a = approx.select(probe_id_col, id_col).localCheckpoint(eager=False)
     n_exact = e.groupBy(probe_id_col).agg(F.count("*").alias("n_exact"))
     # explicit broadcasts: checkpointed frames carry no catalyst size
     # stats, so the planner falls back to sort-merge for these joins even
