@@ -995,3 +995,24 @@ def test_lsh_recall_report_scurve(spark, sf_dir):
         assert rep[t].n_hit <= rep[t].n_true
     # the planted near-dups sit far above the 4x4 band breakpoint
     assert rep[ts[-1]].recall == 1.0, rep[ts[-1]]
+
+
+def test_dense_dictionary_ids_exact_bijection(spark):
+    """The bucket-offset dense encode must assign exactly 0..N-1 (a
+    bijection, no gaps, no collisions across buckets) and pick INT when
+    the dictionary fits below 2^31."""
+    from erigon_extract_spark.operators.dedup import dense_dictionary_ids
+
+    keys = [f"shingle-{i:04d}" for i in range(537)]
+    df = spark.createDataFrame([(k,) for k in keys], "`sh` STRING")
+    out = dense_dictionary_ids(df, "sh", "__shid")
+    rows = out.collect()
+    assert sorted(r["__shid"] for r in rows) == list(range(537))
+    # one id per key, key column passes through untouched
+    assert sorted(r["sh"] for r in rows) == sorted(keys)
+    assert dict(out.dtypes)["__shid"] == "int"
+    # empty input: no rows, no crash
+    empty = dense_dictionary_ids(
+        spark.createDataFrame([], "`sh` STRING"), "sh", "__shid"
+    )
+    assert empty.count() == 0
