@@ -31,7 +31,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-PLAN_DIR = Path(__file__).resolve().parent.parent / "plans" / "r11"
+PLAN_DIR = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12")
+)
 
 
 def plan_shape(plan: str) -> dict:
