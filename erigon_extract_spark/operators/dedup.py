@@ -26,66 +26,6 @@ from pyspark.sql import functions as F
 
 from erigon_extract_spark.operators.text import normalize_text  # noqa: E402
 
-# Bucket count for the scale-safe dense dictionary encode in
-# ngram_jaccard_pairs: the id-assignment window partitions the distinct-
-# shingle table this many ways (so no single sort partition ever holds
-# the whole dictionary), and the driver collects exactly this many
-# per-bucket cardinalities to derive base offsets.
-_DICT_BUCKETS = 1024
-
-
-def dense_dictionary_ids(
-    distinct_keys: DataFrame, key_col: str, id_col: str
-) -> DataFrame:
-    """Assign DENSE ids 0..N-1 to the distinct values of ``key_col``.
-
-    Scale-safe bucket-offset assignment: hash every key into one of
-    ``_DICT_BUCKETS`` buckets, rank within the bucket (each window
-    partition holds ~N/_DICT_BUCKETS keys — never the whole dictionary,
-    unlike a global ``row_number``), collect only the per-bucket
-    cardinalities (<= _DICT_BUCKETS rows, one tiny driver action) and
-    add each bucket's exclusive prefix sum as its base offset. When N
-    fits below 2^31 the id column is INT (half the shuffle/array bytes
-    of a long); above it stays a dense BIGINT. The mapping is an exact,
-    deterministic bijection, so joins/intersection counts over ids equal
-    those over the original keys. Input rows must be distinct in
-    ``key_col``; all other columns pass through. The input is lazily
-    checkpointed (the ranking is consumed twice: once for the bucket
-    counts, once for the output), so callers get materialize-once
-    semantics without re-running their upstream.
-    """
-    ranked = (
-        distinct_keys.withColumn(
-            "__b",
-            F.pmod(F.xxhash64(key_col), F.lit(_DICT_BUCKETS)).cast("int"),
-        )
-        .withColumn(
-            "__i",
-            F.row_number().over(Window.partitionBy("__b").orderBy(key_col)),
-        )
-        .localCheckpoint(eager=False)
-    )
-    bucket_n = {
-        r["__b"]: r["n"]
-        for r in ranked.groupBy("__b").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for b in range(_DICT_BUCKETS):
-        offsets.append((b, acc))
-        acc += bucket_n.get(b, 0)
-    off_df = distinct_keys.sparkSession.createDataFrame(
-        offsets, "`__b` INT, `__off` BIGINT"
-    )
-    dense = F.col("__off") + F.col("__i") - F.lit(1)
-    if acc <= 0x7FFFFFFF:
-        dense = dense.cast("int")
-    return (
-        ranked.join(F.broadcast(off_df), "__b")
-        .withColumn(id_col, dense)
-        .drop("__b", "__i", "__off")
-    )
-
-
 def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than the
     cluster has slots.
@@ -372,27 +312,31 @@ def ngram_jaccard_pairs(
         )
         verified = inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
     else:
-        # Dictionary-encode shingles to DENSE ids: every downstream stage
-        # (window sort, candidate self-join shuffle, collect_set,
-        # array_intersect) then operates on fixed-width integers instead
-        # of ~20-byte strings — same counts, identical output, cheaper
-        # bytes (guide §2.3 "narrower types"). Density (r11 optimization
-        # round 2nd pass): ids are assigned scale-safely with the
-        # bucket-offset technique — hash each distinct shingle into one
-        # of _DICT_BUCKETS buckets, rank within the bucket (a window
-        # whose partitions are dictionary-sized/_DICT_BUCKETS, never a
-        # single global partition), collect only the per-bucket
-        # cardinalities (<= _DICT_BUCKETS rows), and add the exclusive
-        # prefix sum as the bucket's base offset. When the dictionary
-        # fits below 2^31 the id column is cast to INT, halving the
-        # bytes of every downstream shuffle, checkpoint and per-doc
-        # id-set array vs the former sparse monotonically_increasing_id
-        # longs; above 2^31 it stays a (still dense) long. The bijection
-        # (distinct sh <-> distinct id) is exact and deterministic, so
-        # intersection COUNTS over ids equal counts over strings.
-        freq = dense_dictionary_ids(
-            sh.groupBy("sh").agg(F.count("*").alias("__df")), "sh", "__shid"
-        ).select("sh", "__df", "__shid")
+        # Dictionary-encode shingles to dense int64 ids: every downstream
+        # stage (window sort, candidate self-join shuffle, collect_set,
+        # array_intersect) then operates on longs instead of ~20-byte
+        # strings — same counts, identical output, cheaper bytes (guide
+        # §2.3 "narrower types"). The id assignment is pinned by the
+        # checkpoint below: ids are materialized exactly once, so every
+        # consumer sees the same bijection (distinct sh <-> distinct id),
+        # and intersection COUNTS over ids equal counts over strings.
+        # The ids are SPARSE (monotonically_increasing_id) by design — a
+        # late-r11 dense bucket-offset re-encode (rank window over the
+        # distinct-shingle table + a driver collect of per-bucket counts,
+        # enabling an int32 cast) was measured THIS round and REVERTED:
+        # the collect made every DataFrame CONSTRUCTION eagerly run the
+        # full explode+freq pipeline (bench constructs per timed run, and
+        # each of the 5 query builders that call this function paid it),
+        # regressing dedup_connected_clusters sf1 from 36.5 s to 121.7 s
+        # at local[32] (201.5 s in the driver's local[8] run) for a
+        # byte-width win the verify stage never noticed at any SF. The
+        # sparse id needs no driver action, no dictionary-wide window,
+        # and no broadcast join — plan construction stays lazy.
+        freq = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .withColumn("__shid", F.monotonically_increasing_id())
+        )
         # The enriched shingle table feeds TWO consumers (the ranked
         # prefix pass and the verification set aggregate); without the
         # checkpoint each consumer recomputes normalize+split+explode

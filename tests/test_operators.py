@@ -997,22 +997,30 @@ def test_lsh_recall_report_scurve(spark, sf_dir):
     assert rep[ts[-1]].recall == 1.0, rep[ts[-1]]
 
 
-def test_dense_dictionary_ids_exact_bijection(spark):
-    """The bucket-offset dense encode must assign exactly 0..N-1 (a
-    bijection, no gaps, no collisions across buckets) and pick INT when
-    the dictionary fits below 2^31."""
-    from erigon_extract_spark.operators.dedup import dense_dictionary_ids
+def test_ngram_jaccard_construction_no_driver_collect(spark, monkeypatch):
+    """Building the jaccard-pairs plan must not run a driver-side
+    ``collect()``/``toPandas()`` (ADVICE r11 medium: the dense-encode's
+    construction-time collect made every plan CONSTRUCTION — the bench
+    runs one per timed repeat, and five query builders call this
+    function — eagerly execute the full explode+freq pipeline,
+    regressing dedup_connected_clusters sf1 36.5 s -> 121.7 s at
+    local[32]). Constructions may still plan lazy checkpoints; they may
+    not pull rows to the driver."""
+    from pyspark.sql import DataFrame
+    from erigon_extract_spark.operators.dedup import ngram_jaccard_pairs
 
-    keys = [f"shingle-{i:04d}" for i in range(537)]
-    df = spark.createDataFrame([(k,) for k in keys], "`sh` STRING")
-    out = dense_dictionary_ids(df, "sh", "__shid")
-    rows = out.collect()
-    assert sorted(r["__shid"] for r in rows) == list(range(537))
-    # one id per key, key column passes through untouched
-    assert sorted(r["sh"] for r in rows) == sorted(keys)
-    assert dict(out.dtypes)["__shid"] == "int"
-    # empty input: no rows, no crash
-    empty = dense_dictionary_ids(
-        spark.createDataFrame([], "`sh` STRING"), "sh", "__shid"
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "`doc_id` BIGINT, `text` STRING",
     )
-    assert empty.count() == 0
+
+    def _no_collect(self, *a, **k):  # pragma: no cover - fails the test
+        raise AssertionError("driver collect() during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", _no_collect)
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    _ = pairs.columns  # forces analysis; still no driver pull
+    monkeypatch.undo()
+    # and the plan still computes: smoke the action once
+    assert pairs.count() >= 0
