@@ -439,6 +439,16 @@ def ngram_jaccard_pairs(
             .agg(F.collect_set("__shid").alias("__set"))
             .localCheckpoint(eager=False)
         )
+        # Join strategy for the two set-attach joins, considered
+        # deliberately (guide §3.1) and left to the planner's
+        # SortMergeJoin: a SHUFFLE_HASH hint on the sets side (one row
+        # per doc, far smaller than the pair relation) was A/B measured
+        # at sf1/local[32] in r12 — interleaved same-session min-of-2:
+        # SMJ 76.8 s vs SHJ 79.5 s for the full CC query — no win,
+        # because the wall is the shuffle BYTES of the array-attached
+        # pair relation plus array_intersect compute, not the SMJ sorts.
+        # A broadcast hint would win locally but is a scale hazard (sets
+        # is corpus-sized, O(docs) rows).
         verified = (
             cand.join(
                 sets.select(
