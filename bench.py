@@ -420,34 +420,8 @@ def main() -> None:
         print(f"# full bench detail -> {full_path}", file=sys.stderr)
     except OSError as exc:
         print(f"# full-detail write failed: {exc}", file=sys.stderr)
-    # The driver captures only a ~2000-char tail of the output and parses
-    # the FINAL line; r9-r11 replaced the whole per-query map with
-    # {"total_only": true} once the line outgrew that window, which
-    # silently broke the driver's per-query comparison AND its low-core
-    # scaling measurement for three rounds (PERF_r11: n_common = 1). The
-    # queries map is the contract ("never remove or rename entries"), so
-    # it is NEVER dropped; instead the line is kept inside the tail by
-    # (a) compact JSON separators, and (b) shedding the AUXILIARY fields
-    # (host-load provenance, compression detail, ratio summaries) in
-    # fixed order until the line fits — all of them remain in the full
-    # sidecar file written above.
-    line_budget = 1900  # headroom under the ~2000-char driver tail
-    shed_order = [
-        "section_loads",
-        "load_gate",
-        "load_avg",
-        "compression",
-        "sf1_ratio_median",
-        "sf1_ratio_max",
-        "scale10_ratio_max",
-    ]
-    line = json.dumps(summary, separators=(",", ":"))
-    for key in shed_order:
-        if len(line) <= line_budget:
-            break
-        summary.pop(key, None)
-        line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > line_budget:
+    line = summary_line(summary)
+    if len(line) > LINE_BUDGET:
         print(
             f"# WARNING: summary line {len(line)} chars exceeds the "
             "driver-tail budget even with auxiliary fields shed; the "
@@ -455,6 +429,46 @@ def main() -> None:
             file=sys.stderr,
         )
     print(line)
+
+
+# The driver captures only a ~2000-char tail of the output and parses
+# the FINAL line; r9-r11 replaced the whole per-query map with
+# {"total_only": true} once the line outgrew that window, which
+# silently broke the driver's per-query comparison AND its low-core
+# scaling measurement for three rounds (PERF_r11: n_common = 1). The
+# queries map is the contract ("never remove or rename entries"), so
+# it is NEVER dropped; instead the line is kept inside the tail by
+# (a) compact JSON separators, (b) shedding the AUXILIARY fields
+# (host-load provenance, compression detail, ratio summaries) in fixed
+# order, and (c) as a last resort re-rounding per-query seconds to two
+# decimals (10 ms granularity — an order of magnitude below this box's
+# run-to-run noise). All shed detail remains in the full sidecar file.
+LINE_BUDGET = 1900  # headroom under the ~2000-char driver tail
+_SHED_ORDER = [
+    "section_loads",
+    "load_gate",
+    "load_avg",
+    "compression",
+    "sf1_ratio_median",
+    "sf1_ratio_max",
+    "scale10_ratio_max",
+]
+
+
+def summary_line(summary: dict) -> str:
+    """Render the driver-visible JSON line, never dropping ``queries``."""
+    line = json.dumps(summary, separators=(",", ":"))
+    for key in _SHED_ORDER:
+        if len(line) <= LINE_BUDGET:
+            break
+        summary.pop(key, None)
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > LINE_BUDGET and "queries" in summary:
+        summary["queries"] = {
+            k: round(v, 2) for k, v in summary["queries"].items()
+        }
+        line = json.dumps(summary, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":
