@@ -331,16 +331,33 @@ def pq_topk(
     def subvec(col, j):
         return F.slice(col, j * dsub + 1, dsub)
 
-    # train one sub-codebook per subspace; encode via nearest centroid
-    encoded = corpus.select(id_col, vec_col)
-    books = []  # flat python: [(j, code, centroid floats)]
-    for j in range(m):
+    # train one sub-codebook per subspace; encode via nearest centroid.
+    # The m fits are INDEPENDENT (disjoint subvector slices, per-j
+    # seeds), and each MLlib fit is a chain of tiny driver-synchronous
+    # jobs over the sample — run them from a thread pool so the next
+    # fit's jobs back-fill the scheduler while the previous one waits on
+    # the driver (guide §2.6 "overlap independent jobs"). Each model is
+    # deterministic given (input, seed), so thread scheduling cannot
+    # change any centroid; the encode chain below is still built in j
+    # order. Measured (r12, sf0.1 embeddings, m=8): sim_pq_topk
+    # construction 21.9 s -> 4.8 s, identical output rows (gate
+    # hash-green at sf0.01).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(j):
         train = corpus.select(
             array_to_vector(subvec(F.col(vec_col), j)).alias("features")
         )
-        model = KMeans(k=n_codes, seed=seed + j, featuresCol="features").fit(
-            train
-        )
+        return KMeans(
+            k=n_codes, seed=seed + j, featuresCol="features"
+        ).fit(train)
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        models = list(pool.map(_fit, range(m)))
+
+    encoded = corpus.select(id_col, vec_col)
+    books = []  # flat python: [(j, code, centroid floats)]
+    for j, model in enumerate(models):
         books.extend(
             (j, c, [float(x) for x in cen])
             for c, cen in enumerate(model.clusterCenters())
@@ -618,20 +635,39 @@ def _ivfpq_train(
                 F.col(vec_col), F.col("center"), lambda a, b: a - b
             ).alias("__res"),
         )
+        # consumed by every residual sub-fit below plus the encode chain;
+        # without the checkpoint each consumer recomputes the coarse
+        # transform + centroid join over the corpus (guide §2.4/§5)
+        .localCheckpoint(eager=False)
     )
 
-    # 2. residual PQ: m sub-codebooks trained on residual subvectors
-    encoded = assigned
-    books_rows = []
-    for j in range(m):
+    # 2. residual PQ: m sub-codebooks trained on residual subvectors.
+    # Same thread-pool overlap as pq_topk (guide §2.6): the m fits are
+    # independent once the coarse model above is fixed, each is a chain
+    # of tiny driver-synchronous jobs, and each is deterministic given
+    # (input, seed) — thread scheduling cannot change a centroid.
+    # Measured (r12, sf0.1 embeddings, coarse + m=8 residual books,
+    # together with the `assigned` checkpoint above): sim_ivfpq_topk
+    # construction 35.6 s -> 7.1 s, identical output rows (gate
+    # hash-green at sf0.01).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_sub(j):
         sub_train = assigned.select(
             array_to_vector(_subvec(F.col("__res"), j, dsub)).alias(
                 "features"
             )
         )
-        model = KMeans(
+        return KMeans(
             k=n_codes, seed=seed + 100 + j, featuresCol="features"
         ).fit(sub_train)
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        models = list(pool.map(_fit_sub, range(m)))
+
+    encoded = assigned
+    books_rows = []
+    for j, model in enumerate(models):
         books_rows.extend(
             (j, c, [float(x) for x in cen])
             for c, cen in enumerate(model.clusterCenters())
