@@ -980,7 +980,15 @@ def winnowing_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    pre = docs.select(
+    # widen first: the per-gram md5 projection below is the expensive
+    # stage, and a single small parquet file otherwise arrives as ONE
+    # partition and serializes it on one core (the exploded_shingles
+    # lesson; r12 measured the fingerprint pass alone at 10.4 s single-
+    # task vs 0.8 s widened on the sf0.1 corpus; full query interleaved
+    # same-session A/B: 31.9 -> 13.9 s min-of-2, identical 6 rows — the
+    # residual wall is the pair enumeration, sum(df^2) = 118 M join rows
+    # on this fixture's 1002-hash space, which is the gate's semantics)
+    pre = widen_if_narrow(docs).select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__t")
     ).filter(F.length("__t") >= k)
     # (hash, position) pairs as ONE attribute array (the exploded_shingles
@@ -1052,12 +1060,24 @@ def winnowing_matches(
     volume is bounded by rare-hash collisions; no self-join of text.
     """
     fps = winnowing_fingerprints(docs, text_col, id_col, k=k, w=w)
-    # distinct hashes per doc (a hash selected at two positions counts once)
-    dh = fps.select(id_col, "gram_hash").distinct()
+    # distinct hashes per doc (a hash selected at two positions counts
+    # once). Checkpointed: dh feeds FOUR consumers (the df aggregate,
+    # both sides of the pair self-join, the coverage sizes). At sf0.1
+    # this measured NEUTRAL (ReuseExchange already collapses the four
+    # consumers onto the distinct's exchange), but that reuse depends on
+    # exact plan-canonicalization equality; the checkpoint pins
+    # fingerprint-once structurally, and the materialized frame
+    # (fingerprints only) is far smaller than its recompute (guide
+    # §2.4/§5, the r11 "smaller than the recompute" rule)
+    dh = (
+        fps.select(id_col, "gram_hash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hot = dh.groupBy("gram_hash").agg(F.count("*").alias("df"))
     usable = dh.join(
         hot.filter(F.col("df") <= max_hash_df).select("gram_hash"), "gram_hash"
-    )
+    ).localCheckpoint(eager=False)  # consumed by sizes and both join sides
     # coverage denominators come from the SAME df-capped hash space as the
     # shared counts — otherwise two identical docs sharing one boilerplate
     # hash (df > cap) could never reach cover == 1.0 and an exact-clone
@@ -1129,7 +1149,13 @@ def levenshtein_near_pairs(
     early-exit sentinel only replaces distances the <= max_dist filter
     was about to drop anyway).
     """
-    n = docs.select(
+    # widen first: the banded levenshtein kernel below is the expensive
+    # stage, and with a broadcast bucket join the STREAM side is
+    # otherwise the raw single-partition scan of a small parquet file —
+    # the whole DP cost serialized on one core (r12 interleaved
+    # same-session A/B at sf0.1: 9.1 -> 1.4 s min-of-2, identical 79
+    # pairs)
+    n = widen_if_narrow(docs).select(
         F.col(id_col).alias("id"),
         *[F.col(c).alias(f"bk_{i}") for i, c in enumerate(block_cols)],
         normalize_text(F.col(text_col)).alias("t"),
@@ -1205,6 +1231,12 @@ def containment_pairs(
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     t_ppm = round(threshold * 1_000_000)
+    # deliberately NOT widened (unlike the other shingle consumers in
+    # this module): the word-shingle explode here is cheap and every
+    # downstream stage is shuffle-bound (freq/sizes aggregates, prefix
+    # window, candidate join), so the extra round-robin exchange costs
+    # more than it saves — r12 interleaved A/B at sf0.1: narrow 4.85 s
+    # vs widened 5.55 s (min-of-3), identical 512 rows
     sh = exploded_shingles(docs, text_col, shingle_n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_a"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
